@@ -1,0 +1,125 @@
+"""Ellipsoid parameter derivation.
+
+Reimplements the constant derivation of PROJ's ``pj_calc_ellipsoid_params``
+(/root/reference/src/ell_set.cpp) as a frozen dataclass: given (a, es)
+derive the full constant pack an operation needs.  The catalog mirrors a
+subset of /root/reference/src/ellps.cpp.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+# id -> (a, rf_or_b) ; rf given as ("rf", value) or ("b", value)
+# subset of /root/reference/src/ellps.cpp
+ELLIPSOIDS: dict[str, tuple[float, str, float]] = {
+    "WGS84": (6378137.0, "rf", 298.257223563),
+    "GRS80": (6378137.0, "rf", 298.257222101),
+    "WGS72": (6378135.0, "rf", 298.26),
+    "WGS66": (6378145.0, "rf", 298.25),
+    "WGS60": (6378165.0, "rf", 298.3),
+    "intl": (6378388.0, "rf", 297.0),
+    "bessel": (6377397.155, "rf", 299.1528128),
+    "clrk66": (6378206.4, "b", 6356583.8),
+    "clrk80": (6378249.145, "rf", 293.4663),
+    "clrk80ign": (6378249.2, "rf", 293.4660212936269),
+    "airy": (6377563.396, "rf", 299.3249646),
+    "krass": (6378245.0, "rf", 298.3),
+    "evrst30": (6377276.345, "rf", 300.8017),
+    "GRS67": (6378160.0, "rf", 298.2471674270),
+    "aust_SA": (6378160.0, "rf", 298.25),
+    "helmert": (6378200.0, "rf", 298.3),
+    "sphere": (6370997.0, "b", 6370997.0),
+}
+
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    """The 18-constant pack of /root/reference/src/proj_internal.h:536-567."""
+
+    a: float  # semimajor axis
+    es: float  # first eccentricity squared
+
+    # derived
+    e: float = 0.0
+    b: float = 0.0
+    f: float = 0.0
+    n: float = 0.0  # third flattening
+    one_es: float = 0.0
+    rone_es: float = 0.0
+    ra: float = 0.0  # 1/a
+    e2s: float = 0.0  # second eccentricity squared es/(1-es)
+    e2: float = 0.0
+
+    @staticmethod
+    def from_a_es(a: float, es: float) -> "Ellipsoid":
+        one_es = 1.0 - es
+        f = 1.0 - math.sqrt(one_es)
+        b = a * (1.0 - f)
+        n = f / (2.0 - f)
+        e2s = es / one_es if one_es != 0 else float("inf")
+        return Ellipsoid(
+            a=a,
+            es=es,
+            e=math.sqrt(es),
+            b=b,
+            f=f,
+            n=n,
+            one_es=one_es,
+            rone_es=1.0 / one_es if one_es != 0 else float("inf"),
+            ra=1.0 / a,
+            e2s=e2s,
+            e2=math.sqrt(e2s) if e2s >= 0 else float("nan"),
+        )
+
+    @staticmethod
+    def from_name(name: str) -> "Ellipsoid":
+        a, kind, v = ELLIPSOIDS[name]
+        if kind == "rf":
+            f = 1.0 / v
+            es = 2.0 * f - f * f
+        else:  # b
+            f = (a - v) / a
+            es = 2.0 * f - f * f
+        return Ellipsoid.from_a_es(a, es)
+
+    @staticmethod
+    def from_params(params: dict) -> "Ellipsoid":
+        """Resolve ellipsoid from proj-string params.
+
+        Precedence mirrors /root/reference/src/ell_set.cpp (entry
+        ``pj_ellipsoid``): explicit a + shape param beats +ellps;
+        +R forces a sphere; the default appended when no ellipsoid
+        information is given is GRS80
+        (/root/reference/src/init.cpp:319-362).
+        """
+        if "R" in params:
+            a = float(params["R"])
+            return Ellipsoid.from_a_es(a, 0.0)
+        if "a" in params:
+            a = float(params["a"])
+            if "es" in params:
+                es = float(params["es"])
+            elif "e" in params:
+                e = float(params["e"])
+                es = e * e
+            elif "rf" in params:
+                f = 1.0 / float(params["rf"])
+                es = 2 * f - f * f
+            elif "f" in params:
+                f = float(params["f"])
+                es = 2 * f - f * f
+            elif "b" in params:
+                b = float(params["b"])
+                f = (a - b) / a
+                es = 2 * f - f * f
+            else:
+                es = 0.0  # a alone -> sphere of radius a
+            return Ellipsoid.from_a_es(a, es)
+        name = params.get("ellps", "GRS80")
+        ell = Ellipsoid.from_name(name)
+        if "es" in params:  # rare override
+            ell = Ellipsoid.from_a_es(ell.a, float(params["es"]))
+        return ell

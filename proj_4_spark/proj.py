@@ -1,0 +1,535 @@
+"""proj-string compiler: parse -> analyze -> setup -> fused executable.
+
+The Spark-first restatement of PROJ's query lifecycle
+(/root/reference/src/create.cpp:206-303, src/init.cpp:434-714,
+src/pipeline.cpp): parsing + analysis + constant setup all happen once
+on the driver, producing an immutable, picklable ``Transform`` that is
+broadcast to executors and applied to NumPy batches inside pandas UDFs.
+
+Execution semantics (prepare / kernel / finalize) mirror
+/root/reference/src/fwd.cpp:40-174 and src/inv.cpp:39-141:
+
+- angular input: clamp |phi| <= pi/2, reject |lam| > 10 rad,
+  subtract lam0, wrap to [-pi, pi]
+- classic output: scale by a, add false eastings, convert units
+- errors are per-point and in-band: NaN components (PROJ uses
+  HUGE_VAL; src/trans.cpp:377-415)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from .kernels import cart as k_cart
+from .kernels import helmert as k_helmert
+from .kernels import lcc as k_lcc
+from .kernels import merc as k_merc
+from .kernels import tmerc as k_tmerc
+from .kernels.common import DEG_TO_RAD, HALFPI, adjlon
+from .kernels.ellipsoid import Ellipsoid
+
+PJ_EPS_LAT = 1e-12
+
+# IO unit tags (src/proj_internal.h:192-200)
+WHATEVER = "whatever"
+CLASSIC = "classic"  # plane coords in units of the semimajor axis
+PROJECTED = "projected"
+CARTESIAN = "cartesian"
+RADIANS = "radians"
+DEGREES = "degrees"
+
+# linear units (subset of /root/reference/src/units.cpp)
+UNITS: dict[str, float] = {
+    "m": 1.0,
+    "km": 1000.0,
+    "dm": 0.1,
+    "cm": 0.01,
+    "mm": 0.001,
+    "ft": 0.3048,
+    "us-ft": 1200.0 / 3937.0,
+    "us-yd": 3 * 1200.0 / 3937.0,
+    "yd": 0.9144,
+    "in": 0.0254,
+    "mi": 1609.344,
+    "us-mi": 6336000.0 / 3937.0,
+    "kmi": 1852.0,
+    "fath": 1.8288,
+    "ch": 20.1168,
+    "link": 0.201168,
+}
+
+ANGULAR_UNITS: dict[str, float] = {  # to radians
+    "rad": 1.0,
+    "deg": DEG_TO_RAD,
+    "grad": math.pi / 200.0,
+}
+
+
+def parse_projstring(s: str) -> list[dict]:
+    """proj-string -> list of param dicts (one per pipeline step).
+
+    Mirrors the paralist construction of /root/reference/src/init.cpp:482-496
+    (+key=value tokens; bare +key is a boolean flag) and the step splitting
+    of src/pipeline.cpp:361+.
+    """
+    tokens = s.replace("\t", " ").split()
+    global_params: dict = {}
+    steps: list[dict] = []
+    cur = global_params
+    for tok in tokens:
+        t = tok.lstrip("+")
+        if t == "step":
+            steps.append({})
+            cur = steps[-1]
+            continue
+        if "=" in t:
+            k, v = t.split("=", 1)
+            # pj_param scans the paralist from the head: on duplicate
+            # keys the FIRST occurrence wins (src/init.cpp:482-496)
+            cur.setdefault(k, v)
+        else:
+            cur.setdefault(t, True)
+    if global_params.get("proj") == "pipeline":
+        # globals (except proj=pipeline) are inherited by each step
+        inherited = {k: v for k, v in global_params.items() if k not in ("proj",)}
+        merged = []
+        for st in steps:
+            d = dict(inherited)
+            d.update(st)
+            merged.append(d)
+        return [{"proj": "pipeline", "_steps": merged, **global_params}]
+    if steps:
+        raise ValueError("+step outside +proj=pipeline")
+    return [global_params]
+
+
+@dataclass
+class Operation:
+    """A compiled coordinate operation — the analogue of an executable PJ
+    (src/proj_internal.h:457-693): immutable constants + kernel closures."""
+
+    proj_id: str
+    params: dict
+    ell: Ellipsoid
+    lam0: float = 0.0
+    phi0: float = 0.0
+    x0: float = 0.0
+    y0: float = 0.0
+    z0: float = 0.0
+    k0: float = 1.0
+    to_meter: float = 1.0
+    fr_meter: float = 1.0
+    vto_meter: float = 1.0
+    vfr_meter: float = 1.0
+    over: bool = False
+    left: str = RADIANS
+    right: str = CLASSIC
+    consts: object = None
+    # kernels operate on (a, b[, z, t]) channel arrays
+    fwd_k: Callable | None = None
+    inv_k: Callable | None = None
+    inverse: bool = False  # +inv on this step
+    omit_fwd: bool = False
+    omit_inv: bool = False
+
+    # ---- generic prepare/finalize (fwd.cpp:40-174, inv.cpp:39-141) ----
+
+    def _prepare_angular(self, x, y, err):
+        bad = (np.abs(y) - HALFPI > PJ_EPS_LAT) | (x > 10) | (x < -10) | ~np.isfinite(x) | ~np.isfinite(y)
+        err |= bad
+        y = np.clip(y, -HALFPI, HALFPI)
+        if not self.over:
+            x = adjlon(x)
+        x = x - self.lam0
+        if not self.over:
+            x = adjlon(x)
+        return x, y, err
+
+    def _finalize_out(self, x, y, z, units):
+        if units == CLASSIC:
+            x = x * self.ell.a
+            y = y * self.ell.a
+            units = PROJECTED
+        if units == PROJECTED:
+            x = self.fr_meter * (x + self.x0)
+            y = self.fr_meter * (y + self.y0)
+            z = self.vfr_meter * (z + self.z0)
+        elif units == CARTESIAN:
+            x = x * self.fr_meter
+            y = y * self.fr_meter
+            z = z * self.fr_meter
+        return x, y, z
+
+    def _prepare_in(self, x, y, z, units):
+        if units in (PROJECTED, CLASSIC):
+            x = self.to_meter * x - self.x0
+            y = self.to_meter * y - self.y0
+            z = self.vto_meter * z - self.z0
+            if units == CLASSIC:
+                x = x * self.ell.ra
+                y = y * self.ell.ra
+        elif units == CARTESIAN:
+            x = x * self.to_meter
+            y = y * self.to_meter
+            z = z * self.to_meter
+        return x, y, z
+
+    def apply(self, x, y, z, t, forward: bool = True):
+        """Apply with full prepare/finalize. Arrays in, arrays out; NaN
+        marks per-point failure. ``forward`` already accounts for +inv."""
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = np.asarray(z, dtype=np.float64).copy()
+        t = np.asarray(t, dtype=np.float64)
+        err = np.zeros(x.shape, dtype=bool)
+        if forward:
+            if self.left == RADIANS:
+                x, y, err = self._prepare_angular(x, y, err)
+            elif self.left == CARTESIAN:
+                x, y, z = self._prepare_in(x, y, z, self.left)
+            x, y, z = self.fwd_k(x, y, z, t)
+            x, y, z = self._finalize_out(x, y, z, self.right)
+            if self.right == RADIANS:
+                z = self.vfr_meter * (z + self.z0)
+        else:
+            x, y, z = self._prepare_in(x, y, z, self.right)
+            if self.right == RADIANS:
+                z = self.vto_meter * z - self.z0
+            x, y, z = self.inv_k(x, y, z, t)
+            if self.left == RADIANS:
+                x = x + self.lam0
+                if not self.over:
+                    x = adjlon(x)
+            elif self.left == CARTESIAN:
+                x = x * self.fr_meter
+                y = y * self.fr_meter
+                z = z * self.fr_meter
+        bad = err | np.isnan(x) | np.isnan(y)
+        if bad.any():
+            x = np.where(bad, np.nan, x)
+            y = np.where(bad, np.nan, y)
+            z = np.where(bad, np.nan, z)
+        return x, y, z, t
+
+
+def _angular_identity(x, y, z, t):
+    return x, y, z
+
+
+def compile_operation(params: dict) -> Operation:
+    """Instantiate one +proj= step; the analogue of pj_init_ctx
+    (src/init.cpp:434-714) + the projection constructor."""
+    proj_id = params.get("proj")
+    if proj_id is None:
+        raise ValueError("missing +proj")
+    if proj_id == "pipeline":
+        raise ValueError("nested pipeline")
+
+    ell = Ellipsoid.from_params(params)
+    lam0 = float(params.get("lon_0", 0.0)) * DEG_TO_RAD
+    phi0 = float(params.get("lat_0", 0.0)) * DEG_TO_RAD
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    k0 = float(params.get("k_0", params.get("k", 1.0)))
+    if k0 <= 0:
+        raise ValueError("k <= 0")
+    units = params.get("units")
+    to_meter = float(params["to_meter"]) if "to_meter" in params else (UNITS[units] if units else 1.0)
+    over = "over" in params
+
+    op = Operation(
+        proj_id=proj_id, params=params, ell=ell, lam0=lam0, phi0=phi0,
+        x0=x0, y0=y0, k0=k0, to_meter=to_meter, fr_meter=1.0 / to_meter,
+        over=over, inverse="inv" in params,
+        omit_fwd="omit_fwd" in params, omit_inv="omit_inv" in params,
+    )
+
+    if proj_id in ("merc", "webmerc"):
+        C = k_merc.setup(params, ell, k0, proj_id)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*k_merc.fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*k_merc.inv(x, y, C), z)
+    elif proj_id in ("tmerc", "etmerc", "utm"):
+        if proj_id == "utm":
+            ov = k_tmerc.utm_params(params, ell)
+            op.lam0, op.phi0 = ov["lam0"], ov["phi0"]
+            op.x0, op.y0, op.k0 = ov["x0"], ov["y0"], ov["k0"]
+        C = k_tmerc.setup(params, ell, op.k0, op.phi0, proj_id)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*k_tmerc.fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*k_tmerc.inv(x, y, C), z)
+    elif proj_id == "lcc":
+        C, new_phi0 = k_lcc.setup(params, ell, k0, phi0)
+        op.phi0 = new_phi0
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*k_lcc.fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*k_lcc.inv(x, y, C), z)
+    elif proj_id in ("cart", "geocent"):
+        C = k_cart.setup(params, ell)
+        op.consts = C
+        op.left, op.right = RADIANS, CARTESIAN
+        op.fwd_k = lambda x, y, z, t: k_cart.fwd(x, y, z, C)
+        op.inv_k = lambda x, y, z, t: k_cart.inv(x, y, z, C)
+    elif proj_id == "helmert":
+        C = k_helmert.setup(params)
+        op.consts = C
+        op.left, op.right = CARTESIAN, CARTESIAN
+        op.fwd_k = lambda x, y, z, t: k_helmert.fwd(x, y, z, C, t)
+        op.inv_k = lambda x, y, z, t: k_helmert.inv(x, y, z, C, t)
+    elif proj_id in ("latlong", "longlat", "latlon", "lonlat"):
+        op.left, op.right = RADIANS, RADIANS
+        op.lam0 = 0.0  # identity marker op; src/projections/latlong.cpp
+        op.fwd_k = _angular_identity
+        op.inv_k = _angular_identity
+    elif proj_id == "noop":
+        op.left, op.right = WHATEVER, WHATEVER
+        op.fwd_k = _angular_identity
+        op.inv_k = _angular_identity
+    elif proj_id == "axisswap":
+        order = [o.strip() for o in str(params.get("order", "1,2,3,4")).split(",")]
+        idx = []
+        sign = []
+        for o in order:
+            neg = o.startswith("-")
+            idx.append(int(o.lstrip("-")) - 1)
+            sign.append(-1.0 if neg else 1.0)
+        # pad to 4 channels with identity
+        for i in range(len(idx), 4):
+            idx.append(i)
+            sign.append(1.0)
+
+        def _swap(x, y, z, t, idx=tuple(idx), sign=tuple(sign)):
+            chans = [x, y, z, t]
+            out = [sign[i] * chans[idx[i]] for i in range(3)]
+            return out[0], out[1], out[2]
+
+        op.left, op.right = WHATEVER, WHATEVER
+        op.fwd_k = _swap
+
+        inv_idx = [0, 0, 0, 0]
+        inv_sign = [1.0, 1.0, 1.0, 1.0]
+        for i in range(4):
+            inv_idx[idx[i]] = i
+            inv_sign[idx[i]] = sign[i]
+
+        def _unswap(x, y, z, t, idx=tuple(inv_idx), sign=tuple(inv_sign)):
+            chans = [x, y, z, t]
+            out = [sign[i] * chans[idx[i]] for i in range(3)]
+            return out[0], out[1], out[2]
+
+        op.inv_k = _unswap
+    elif proj_id == "unitconvert":
+        def factor(name, angular_ok=True):
+            if name in UNITS:
+                return UNITS[name], "linear"
+            if angular_ok and name in ANGULAR_UNITS:
+                return ANGULAR_UNITS[name], "angular"
+            raise ValueError(f"unknown unit {name}")
+
+        xy_in = params.get("xy_in")
+        xy_out = params.get("xy_out")
+        z_in = params.get("z_in")
+        z_out = params.get("z_out")
+        fxy = 1.0
+        if xy_in or xy_out:
+            fi = factor(xy_in)[0] if xy_in else 1.0
+            fo = factor(xy_out)[0] if xy_out else 1.0
+            fxy = fi / fo
+        fz = 1.0
+        if z_in or z_out:
+            fi = factor(z_in)[0] if z_in else 1.0
+            fo = factor(z_out)[0] if z_out else 1.0
+            fz = fi / fo
+
+        def _uc_fwd(x, y, z, t, fxy=fxy, fz=fz):
+            return x * fxy, y * fxy, z * fz
+
+        def _uc_inv(x, y, z, t, fxy=fxy, fz=fz):
+            return x / fxy, y / fxy, z / fz
+
+        op.left, op.right = WHATEVER, WHATEVER
+        op.fwd_k = _uc_fwd
+        op.inv_k = _uc_inv
+        op.consts = (fxy, fz)
+    elif proj_id == "affine":
+        # 4x4 affine transform (src/transformations/affine.cpp:30+)
+        def gp(key, default):
+            return float(params.get(key, default))
+
+        off = np.array([gp("xoff", 0.0), gp("yoff", 0.0), gp("zoff", 0.0)])
+        S = np.array(
+            [
+                [gp("s11", 1.0), gp("s12", 0.0), gp("s13", 0.0)],
+                [gp("s21", 0.0), gp("s22", 1.0), gp("s23", 0.0)],
+                [gp("s31", 0.0), gp("s32", 0.0), gp("s33", 1.0)],
+            ]
+        )
+        Sinv = np.linalg.inv(S)
+
+        def _aff_fwd(x, y, z, t, S=S, off=off):
+            return (
+                off[0] + S[0, 0] * x + S[0, 1] * y + S[0, 2] * z,
+                off[1] + S[1, 0] * x + S[1, 1] * y + S[1, 2] * z,
+                off[2] + S[2, 0] * x + S[2, 1] * y + S[2, 2] * z,
+            )
+
+        def _aff_inv(x, y, z, t, S=Sinv, off=off):
+            dx, dy, dz = x - off[0], y - off[1], z - off[2]
+            return (
+                S[0, 0] * dx + S[0, 1] * dy + S[0, 2] * dz,
+                S[1, 0] * dx + S[1, 1] * dy + S[1, 2] * dz,
+                S[2, 0] * dx + S[2, 1] * dy + S[2, 2] * dz,
+            )
+
+        op.left, op.right = WHATEVER, WHATEVER
+        op.fwd_k = _aff_fwd
+        op.inv_k = _aff_inv
+    elif proj_id in ("push", "pop"):
+        op.left, op.right = WHATEVER, WHATEVER
+        op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+    else:
+        raise NotImplementedError(f"+proj={proj_id} not implemented")
+    return op
+
+
+# ------------------------- pipeline -------------------------------------
+
+
+def _is_identity_step(op: Operation) -> bool:
+    """Pipeline-simplification rules mirrored from PROJStringFormatter
+    (/root/reference/src/iso19111/io.cpp:8654-9000): drop noop,
+    identity unitconvert, all-zero helmert, identity axisswap."""
+    if op.proj_id == "noop":
+        return True
+    if op.proj_id == "unitconvert" and op.consts == (1.0, 1.0):
+        return True
+    if op.proj_id == "helmert":
+        C = op.consts
+        return (
+            C.no_rotation
+            and C.scale0 == 0 and C.dscale == 0
+            and all(v == 0 for v in C.xyz0) and all(v == 0 for v in C.dxyz)
+            and not C.fourparam
+        )
+    if op.proj_id == "axisswap":
+        o = str(op.params.get("order", "")).replace(" ", "")
+        return o in ("1,2", "1,2,3", "1,2,3,4", "")
+    return False
+
+
+@dataclass
+class Transform:
+    """A fused pipeline of compiled operations, applied to NumPy batches
+    in sequence inside a single UDF invocation (operator fusion — the
+    Spark analogue of src/pipeline.cpp:163-193)."""
+
+    ops: list
+    definition: str = ""
+
+    def transform(self, x, y, z=None, t=None, direction: str = "fwd"):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64)
+        t = np.full_like(x, np.inf) if t is None else np.asarray(t, dtype=np.float64)
+        stack: dict[int, list] = {1: [], 2: [], 3: [], 4: []}
+        fwd = direction == "fwd"
+        seq = self.ops if fwd else list(reversed(self.ops))
+        for op in seq:
+            # effective direction: pipeline direction XOR the step's +inv
+            # (src/pipeline.cpp:163-193 — reverse iterates backwards
+            # swapping fwd/inv)
+            step_fwd = fwd != op.inverse
+            if fwd and op.omit_fwd:
+                continue
+            if not fwd and op.omit_inv:
+                continue
+            if op.proj_id in ("push", "pop"):
+                eff = op.proj_id if fwd else ("pop" if op.proj_id == "push" else "push")
+                chans = {1: x, 2: y, 3: z, 4: t}
+                if eff == "push":
+                    for i in op.consts:
+                        stack[i].append(chans[i].copy())
+                else:
+                    for i in op.consts:
+                        if stack[i]:
+                            v = stack[i].pop()
+                            if i == 1:
+                                x = v
+                            elif i == 2:
+                                y = v
+                            elif i == 3:
+                                z = v
+                            else:
+                                t = v
+                continue
+            x, y, z, t = op.apply(x, y, z, t, forward=step_fwd)
+        return x, y, z, t
+
+    def input_units(self, direction: str = "fwd") -> str:
+        """Units consumed at the pipeline edge, skipping unit-agnostic
+        steps (push/pop/axisswap/...) the way the pipeline constructor
+        wires step units (src/pipeline.cpp:382-400)."""
+        seq = self.ops if direction == "fwd" else list(reversed(self.ops))
+        for op in seq:
+            eff_fwd = (direction == "fwd") != op.inverse
+            u = op.left if eff_fwd else op.right
+            if u != WHATEVER:
+                return u
+        return WHATEVER
+
+    def output_units(self, direction: str = "fwd") -> str:
+        seq = list(reversed(self.ops)) if direction == "fwd" else self.ops
+        for op in seq:
+            eff_fwd = (direction == "fwd") != op.inverse
+            u = op.right if eff_fwd else op.left
+            if u != WHATEVER:
+                return u
+        return WHATEVER
+
+    # gie-style convenience: degrees at the angular edges
+    def transform_deg(self, x, y, z=None, t=None, direction: str = "fwd"):
+        in_ang = self.input_units(direction) == RADIANS
+        out_ang = self.output_units(direction) == RADIANS
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if in_ang:
+            x = x * DEG_TO_RAD
+            y = y * DEG_TO_RAD
+        xo, yo, zo, to = self.transform(x, y, z, t, direction)
+        if out_ang:
+            xo = xo / DEG_TO_RAD
+            yo = yo / DEG_TO_RAD
+        return xo, yo, zo, to
+
+
+def compile_projstring(s: str) -> Transform:
+    """proj-string -> Transform (single op or pipeline, rewrites applied)."""
+    parsed = parse_projstring(s)
+    top = parsed[0]
+    if top.get("proj") == "pipeline":
+        ops = [compile_operation(st) for st in top["_steps"]]
+        ops = [op for op in ops if not _is_identity_step(op)]
+        # cancel adjacent fwd/inv pairs with identical definitions
+        # (io.cpp:8800-8840)
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(ops) - 1):
+                a, b = ops[i], ops[i + 1]
+                if (
+                    a.proj_id == b.proj_id
+                    and a.proj_id not in ("push", "pop")
+                    and a.inverse != b.inverse
+                    and {k: v for k, v in a.params.items() if k != "inv"}
+                    == {k: v for k, v in b.params.items() if k != "inv"}
+                ):
+                    del ops[i : i + 2]
+                    changed = True
+                    break
+        return Transform(ops=ops, definition=s)
+    op = compile_operation(top)
+    return Transform(ops=[op], definition=s)
