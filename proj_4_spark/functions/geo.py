@@ -1,0 +1,221 @@
+"""Geo column functions: projection, geodesic, S2-cell pandas UDFs.
+
+The compiled :class:`~proj_4_spark.proj.Transform` is built once on the
+driver (PROJ's parse/analyze/setup, src/create.cpp:206-303) and closed
+over by an Arrow-batched pandas UDF — the Spark restatement of
+``proj_trans_generic`` (/root/reference/src/trans.cpp:418-566): strided
+double arrays in, strided double arrays out, per-point in-band errors
+(NaN instead of HUGE_VAL).
+
+No per-row Python anywhere: every UDF maps NumPy float64 arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..index import s2 as s2idx
+from ..kernels import geodesic as k_geod
+from ..proj import Transform, compile_projstring
+
+
+def project_udf(projstr_or_transform, direction: str = "fwd"):
+    """pandas UDF (lon,lat[,z,t] degrees) -> struct<x,y,z double>.
+
+    Angular edges are degrees (gie convention); projected edges meters.
+    """
+    tr = (projstr_or_transform if isinstance(projstr_or_transform, Transform)
+          else compile_projstring(projstr_or_transform))
+
+    @pandas_udf("struct<x: double, y: double, z: double>")
+    def _project(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        x, y, z, _ = tr.transform_deg(a.to_numpy(np.float64),
+                                      b.to_numpy(np.float64),
+                                      direction=direction)
+        return pd.DataFrame({"x": x, "y": y, "z": z})
+
+    return _project
+
+
+def with_projected(df: DataFrame, projstr: str, lon: str = "lon",
+                   lat: str = "lat", prefix: str = "",
+                   direction: str = "fwd") -> DataFrame:
+    """Append projected columns ``{prefix}x, {prefix}y`` to ``df``."""
+    u = project_udf(projstr, direction)
+    st = u(F.col(lon), F.col(lat))
+    return (df.withColumn("_pj", st)
+              .withColumn(prefix + "x", F.col("_pj.x"))
+              .withColumn(prefix + "y", F.col("_pj.y"))
+              .drop("_pj"))
+
+
+def s2_cell_udf(level: int):
+    """pandas UDF (lon_deg, lat_deg) -> int64 S2 cell id at ``level``."""
+
+    @pandas_udf("long")
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2idx.cell_id(lon.to_numpy(np.float64),
+                                       lat.to_numpy(np.float64), level))
+
+    return _cell
+
+
+def s2_face_ij_udf(level: int):
+    """pandas UDF (lon, lat) -> struct<face int, i long, j long> at
+    ``level`` (i/j are the leaf coordinates truncated to the level grid).
+    This integer triple is the SQL-checkable core of the tile
+    assignment: it is bijective with the Hilbert cell id."""
+    shift = s2idx.MAX_LEVEL - level
+
+    @pandas_udf("struct<face: int, i: long, j: long>")
+    def _fij(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        cid = s2idx.cell_id(lon.to_numpy(np.float64),
+                            lat.to_numpy(np.float64), level)
+        face, i, j = s2idx.to_face_ij(cid)
+        return pd.DataFrame({"face": face.astype(np.int32),
+                             "i": i >> shift, "j": j >> shift})
+
+    return _fij
+
+
+def s2_cell_to_face_ij_udf(level: int):
+    """pandas UDF cell_id -> struct<face int, i long, j long> with i/j
+    truncated to the ``level`` grid (inverse of :func:`s2_face_ij_udf`
+    composed with :func:`s2_cell_udf`)."""
+    shift = s2idx.MAX_LEVEL - level
+
+    @pandas_udf("struct<face: int, i: long, j: long>")
+    def _decode(cid: pd.Series) -> pd.DataFrame:
+        face, i, j = s2idx.to_face_ij(cid.to_numpy(np.int64))
+        return pd.DataFrame({"face": face.astype(np.int32),
+                             "i": i >> shift, "j": j >> shift})
+
+    return _decode
+
+
+def s2_parent_udf(level: int):
+    @pandas_udf("long")
+    def _parent(cid: pd.Series) -> pd.Series:
+        return pd.Series(s2idx.parent(cid.to_numpy(np.int64), level))
+
+    return _parent
+
+
+def hex_cell_udf(res: int):
+    """pandas UDF (lon, lat) -> int64 H3-style aperture-7 hex cell
+    (index/hexdggs.py)."""
+    from ..index import hexdggs as hx
+
+    @pandas_udf("long")
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(hx.encode(lon.to_numpy(np.float64),
+                                   lat.to_numpy(np.float64), res))
+
+    return _cell
+
+
+def geodesic_inverse_udf(a: float | None = None, f: float | None = None):
+    """pandas UDF (lat1,lon1,lat2,lon2 degrees) ->
+    struct<s12 double, azi1 double, azi2 double>  (Karney inverse,
+    /root/reference/src/geodesic.c:1080)."""
+    ga = 6378137.0 if a is None else a
+    gf = 1 / 298.257223563 if f is None else f
+    g = k_geod.Geodesic.init(ga, gf)
+
+    @pandas_udf("struct<s12: double, azi1: double, azi2: double>")
+    def _inv(lat1: pd.Series, lon1: pd.Series,
+             lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
+        s12, azi1, azi2, _ = k_geod.inverse(g, lat1.to_numpy(np.float64),
+                                            lon1.to_numpy(np.float64),
+                                            lat2.to_numpy(np.float64),
+                                            lon2.to_numpy(np.float64))
+        return pd.DataFrame({"s12": s12, "azi1": azi1, "azi2": azi2})
+
+    return _inv
+
+
+# ----------------- pure-Catalyst (JVM codegen) expressions ---------------
+
+_R_MEAN = 6371008.8  # IUGG mean earth radius
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                radius: float = _R_MEAN) -> Column:
+    """Great-circle distance in meters as a pure Catalyst expression
+    (stays inside WholeStageCodegen — no Python)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    h = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
+    return F.lit(2.0 * radius) * F.asin(F.sqrt(h))
+
+
+def webmerc_x(lon: Column, radius: float = 6378137.0) -> Column:
+    """Spherical web-mercator x as a Catalyst expression
+    (semantics of /root/reference/src/projections/merc.cpp:76-84)."""
+    return F.radians(lon) * F.lit(radius)
+
+
+def webmerc_y(lat: Column, radius: float = 6378137.0) -> Column:
+    rl = F.radians(lat)
+    # asinh(tan φ) = ln(tan φ + sqrt(tan²φ + 1))
+    t = F.tan(rl)
+    return F.log(t + F.sqrt(t * t + F.lit(1.0))) * F.lit(radius)
+
+
+def slippy_tile(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Web-mercator slippy tile (tx, ty) at ``zoom`` — Catalyst only."""
+    n = float(1 << zoom)
+    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    rl = F.radians(lat)
+    t = F.tan(rl)
+    y = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    ty = F.floor((F.lit(1.0) - y / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(n))
+    tx = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), tx))
+    ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), ty))
+    return tx.cast("long"), ty.cast("long")
+
+
+def utm_all_zones_udf(approx: bool = True):
+    """pandas UDF (lon,lat) -> struct<zone int, easting double,
+    northing double> — per-point UTM with the zone derived from the
+    longitude (tmerc.cpp:737-779) and a vectorized TM kernel.
+
+    This is the Spark restatement of PROJ's per-point operation
+    selection (src/trans.cpp:44-173): instead of a per-point dispatch
+    loop, the zone is a vectorized integer expression and a SINGLE
+    TM evaluation runs with a per-point central meridian.
+    """
+    from ..kernels import tmerc as k_tmerc
+    from ..kernels.ellipsoid import Ellipsoid
+
+    ell = Ellipsoid.from_name("GRS80")
+    params = {"approx": True} if approx else {}
+    C = k_tmerc.setup(params, ell, 0.9996, 0.0)
+    a = ell.a
+
+    @pandas_udf("struct<zone: int, easting: double, northing: double>")
+    def _utm(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        zone = (np.floor((lo + 180.0) / 6.0).astype(np.int64) % 60 + 1)
+        lam0 = np.radians((zone * 6 - 183).astype(np.float64))
+        lam = np.radians(lo) - lam0
+        phi = np.radians(la)
+        xk, yk = k_tmerc.fwd(lam, phi, C)
+        e = a * xk + 500000.0
+        n = a * yk + np.where(la < 0, 1.0e7, 0.0)
+        return pd.DataFrame({"zone": zone.astype(np.int32),
+                             "easting": e, "northing": n})
+
+    return _utm
+
+
+def utm_zone(lon: Column) -> Column:
+    """UTM zone number from longitude — integer Catalyst expression
+    (zone logic of /root/reference/src/projections/tmerc.cpp:737-779)."""
+    return (F.floor((lon + F.lit(180.0)) / F.lit(6.0)).cast("int") % 60 + 1)

@@ -119,7 +119,7 @@ def fwd(X, Y, Z, C: HelmertConsts, t=None):
     outY = np.empty_like(X)
     outZ = np.empty_like(X)
     for ep in np.atleast_1d(epochs):
-        t_obs = C.t_epoch if (ep is None or np.isnan(ep)) else float(ep)
+        t_obs = C.t_epoch if (ep is None or not np.isfinite(ep)) else float(ep)
         m = slice(None) if t is None else (np.asarray(t) == ep)
         xyz, opk, scale_ppm, _ = _params_at(C, t_obs)
         R = _rot_matrix(C, opk)
@@ -141,7 +141,7 @@ def inv(X, Y, Z, C: HelmertConsts, t=None):
     outY = np.empty_like(X)
     outZ = np.empty_like(X)
     for ep in np.atleast_1d(epochs):
-        t_obs = C.t_epoch if (ep is None or np.isnan(ep)) else float(ep)
+        t_obs = C.t_epoch if (ep is None or not np.isfinite(ep)) else float(ep)
         m = slice(None) if t is None else (np.asarray(t) == ep)
         xyz, opk, scale_ppm, _ = _params_at(C, t_obs)
         R = _rot_matrix(C, opk)

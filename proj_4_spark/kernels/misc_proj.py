@@ -1,0 +1,589 @@
+"""Long-tail projection kernels (SURVEY.md §2.3 registry expansion).
+
+Each is the standard closed-form map re-derived from the reference
+implementation (file:line cited per function), vectorized over NumPy
+point arrays: (lam, phi) radians in -> (x, y) in units of the
+semimajor axis (the pipeline compiler applies a-scaling/offsets).
+
+Ellipsoidal forms use the shared helpers in kernels.common (qsfn,
+tsfn, msfn, mlfn ...) exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .common import DEG_TO_RAD, FORTPI, HALFPI, enfn, inv_mlfn, mlfn, msfn, phi2, tsfn
+from .ellipsoid import Ellipsoid
+
+EPS10 = 1e-10
+
+
+def qsfn(sinphi, e, one_es):
+    """Authalic-latitude q function (src/qsfn.cpp:6-18)."""
+    if e < 1e-7:
+        return sinphi + sinphi
+    con = e * sinphi
+    return one_es * (sinphi / (1.0 - con * con)
+                     - (0.5 / e) * np.log((1.0 - con) / (1.0 + con)))
+
+
+# ---------------------------------------------------------------- eqc
+
+@dataclass(frozen=True)
+class EqcConsts:
+    rc: float
+    phi0: float
+
+
+def eqc_setup(params: dict, ell: Ellipsoid, k0: float, phi0: float) -> EqcConsts:
+    """Equidistant cylindrical / Plate Carrée (src/projections/eqc.cpp):
+    x = rc·lam, y = phi - phi0; rc = cos(lat_ts)."""
+    phits = float(params.get("lat_ts", 0.0)) * DEG_TO_RAD
+    rc = float(np.cos(phits))
+    if rc <= 0:
+        raise ValueError("|lat_ts| should be < 90")
+    return EqcConsts(rc=rc, phi0=phi0)
+
+
+def eqc_fwd(lam, phi, C: EqcConsts):
+    return C.rc * lam, phi - C.phi0
+
+
+def eqc_inv(x, y, C: EqcConsts):
+    return x / C.rc, y + C.phi0
+
+
+# ---------------------------------------------------------------- cea
+
+@dataclass(frozen=True)
+class CeaConsts:
+    k0: float
+    qp: float
+    e: float
+    one_es: float
+    spherical: bool
+    apa: tuple | None
+
+
+def _authset(es: float) -> tuple:
+    """Authalic latitude series coefficients (src/authlat.cpp?; the
+    classic P00..P31 constants used by pj_authset/pj_authlat)."""
+    P00, P01, P02 = 0.33333333333333333333, 0.17222222222222222222, 0.10257936507936507936
+    P10, P11, P20 = 0.06388888888888888888, 0.06640211640211640211, 0.01641501294219154443
+    t = es * es
+    apa0 = es * P00 + t * P01 + t * es * P02
+    apa1 = t * P10 + t * es * P11
+    apa2 = t * es * P20
+    return (apa0, apa1, apa2)
+
+
+def _authlat(beta, apa) -> np.ndarray:
+    return (beta + apa[0] * np.sin(beta + beta)
+            + apa[1] * np.sin(4.0 * beta) + apa[2] * np.sin(6.0 * beta))
+
+
+def cea_setup(params: dict, ell: Ellipsoid, k0: float) -> CeaConsts:
+    """Lambert cylindrical equal-area (src/projections/cea.cpp):
+    +lat_ts rescales k0 (with msfn on the ellipsoid)."""
+    if "lat_ts" in params:
+        phits = float(params["lat_ts"]) * DEG_TO_RAD
+        if ell.es != 0.0:
+            k0 = float(msfn(np.sin(phits), np.cos(phits), ell.es))
+        else:
+            k0 = float(np.cos(phits))
+    if ell.es == 0.0:
+        return CeaConsts(k0=k0, qp=2.0, e=0.0, one_es=1.0,
+                         spherical=True, apa=None)
+    qp = float(qsfn(np.float64(1.0), ell.e, ell.one_es))
+    return CeaConsts(k0=k0, qp=qp, e=ell.e, one_es=ell.one_es,
+                     spherical=False, apa=_authset(ell.es))
+
+
+def cea_fwd(lam, phi, C: CeaConsts):
+    x = C.k0 * lam
+    if C.spherical:
+        y = np.sin(phi) / C.k0
+    else:
+        y = 0.5 * qsfn(np.sin(phi), C.e, C.one_es) / C.k0
+    return x, y
+
+
+def cea_inv(x, y, C: CeaConsts):
+    lam = x / C.k0
+    if C.spherical:
+        phi = np.arcsin(np.clip(y * C.k0, -1.0, 1.0))
+    else:
+        beta = np.arcsin(np.clip(2.0 * y * C.k0 / C.qp, -1.0, 1.0))
+        phi = _authlat(beta, C.apa)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- aea/leac
+
+@dataclass(frozen=True)
+class AeaConsts:
+    n: float
+    c: float
+    rho0: float
+    ec: float
+    e: float
+    es: float
+    one_es: float
+    dd: float
+    n2: float
+    spherical: bool
+    apa: tuple | None
+    qp: float
+
+
+def aea_setup(params: dict, ell: Ellipsoid, phi0: float,
+              phi1: float, phi2_: float) -> AeaConsts:
+    """Albers equal-area conic (src/projections/aea.cpp:60-150)."""
+    if abs(phi1 + phi2_) < EPS10:
+        raise ValueError("|lat_1 + lat_2| should be > 0")
+    sinphi = np.sin(phi1)
+    cosphi = np.cos(phi1)
+    n = float(sinphi)
+    secant = abs(phi1 - phi2_) >= EPS10
+    if ell.es > 0.0:
+        m1 = float(msfn(sinphi, cosphi, ell.es))
+        ml1 = float(qsfn(sinphi, ell.e, ell.one_es))
+        if secant:
+            sinphi = np.sin(phi2_)
+            cosphi = np.cos(phi2_)
+            m2 = float(msfn(sinphi, cosphi, ell.es))
+            ml2 = float(qsfn(sinphi, ell.e, ell.one_es))
+            n = (m1 * m1 - m2 * m2) / (ml2 - ml1)
+        ec = 1.0 - 0.5 * ell.one_es * np.log((1.0 - ell.e) / (1.0 + ell.e)) / ell.e
+        c = m1 * m1 + n * ml1
+        dd = 1.0 / n
+        rho0 = dd * np.sqrt(c - n * qsfn(np.sin(phi0), ell.e, ell.one_es))
+        qp = float(qsfn(np.float64(1.0), ell.e, ell.one_es))
+        return AeaConsts(n=n, c=float(c), rho0=float(rho0), ec=float(ec),
+                         e=ell.e, es=ell.es, one_es=ell.one_es,
+                         dd=float(dd), n2=n + n, spherical=False,
+                         apa=_authset(ell.es), qp=qp)
+    else:
+        if secant:
+            n = 0.5 * (n + np.sin(phi2_))
+        n2 = n + n
+        c = cosphi * cosphi + n2 * sinphi
+        dd = 1.0 / n
+        rho0 = dd * np.sqrt(c - n2 * np.sin(phi0))
+        return AeaConsts(n=float(n), c=float(c), rho0=float(rho0), ec=0.0,
+                         e=0.0, es=0.0, one_es=1.0, dd=float(dd),
+                         n2=float(n2), spherical=True, apa=None, qp=2.0)
+
+
+def aea_fwd(lam, phi, C: AeaConsts):
+    """aea.cpp e_forward/s_forward."""
+    if C.spherical:
+        rho = C.dd * np.sqrt(C.c - C.n2 * np.sin(phi))
+    else:
+        rho = C.dd * np.sqrt(C.c - C.n * qsfn(np.sin(phi), C.e, C.one_es))
+    lamn = lam * C.n
+    x = rho * np.sin(lamn)
+    y = C.rho0 - rho * np.cos(lamn)
+    return x, y
+
+
+def aea_inv(x, y, C: AeaConsts):
+    yy = C.rho0 - y
+    rho = np.hypot(x, yy)
+    xx, yv = x, yy
+    if C.n < 0:
+        rho = -rho
+        xx = -x
+        yv = -yy
+    lam = np.arctan2(xx, yv) / C.n
+    if C.spherical:
+        s = np.clip((C.c - (rho / C.dd) ** 2) / C.n2, -1.0, 1.0)
+        phi = np.arcsin(s)
+    else:
+        q = (C.c - (rho / C.dd) ** 2) / C.n
+        beta = np.arcsin(np.clip(q / C.qp, -1.0, 1.0))
+        phi = _authlat(beta, C.apa)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- laea
+
+@dataclass(frozen=True)
+class LaeaConsts:
+    mode: str  # equit|obliq|n_pole|s_pole
+    phi0: float
+    sinb1: float
+    cosb1: float
+    qp: float
+    rq: float
+    dd: float
+    xmf: float
+    ymf: float
+    e: float
+    one_es: float
+    spherical: bool
+    apa: tuple | None
+
+
+def laea_setup(params: dict, ell: Ellipsoid, phi0: float) -> LaeaConsts:
+    """Lambert azimuthal equal-area (src/projections/laea.cpp)."""
+    t = abs(phi0)
+    if abs(t - HALFPI) < EPS10:
+        mode = "n_pole" if phi0 > 0 else "s_pole"
+    elif t < EPS10:
+        mode = "equit"
+    else:
+        mode = "obliq"
+    if ell.es == 0.0:
+        sinb1 = np.sin(phi0)
+        return LaeaConsts(mode=mode, phi0=phi0, sinb1=float(np.sin(phi0)),
+                          cosb1=float(np.cos(phi0)), qp=2.0, rq=1.0,
+                          dd=1.0, xmf=1.0, ymf=1.0, e=0.0, one_es=1.0,
+                          spherical=True, apa=None)
+    qp = float(qsfn(np.float64(1.0), ell.e, ell.one_es))
+    rq = float(np.sqrt(0.5 * qp))
+    apa = _authset(ell.es)
+    sinb1 = float(qsfn(np.sin(phi0), ell.e, ell.one_es)) / qp
+    cosb1 = float(np.sqrt(1.0 - sinb1 * sinb1))
+    if mode == "obliq":
+        dd = float(np.cos(phi0) / (np.sqrt(1.0 - ell.es * np.sin(phi0) ** 2)
+                                   * rq * cosb1))
+        xmf = rq * dd
+        ymf = rq / dd
+    else:
+        dd, xmf, ymf = 1.0, rq, rq
+    return LaeaConsts(mode=mode, phi0=phi0, sinb1=sinb1, cosb1=cosb1,
+                      qp=qp, rq=rq, dd=dd, xmf=float(xmf), ymf=float(ymf),
+                      e=ell.e, one_es=ell.one_es, spherical=False, apa=apa)
+
+
+def laea_fwd(lam, phi, C: LaeaConsts):
+    coslam = np.cos(lam)
+    sinlam = np.sin(lam)
+    if C.spherical:
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if C.mode == "equit":
+            yv = 1.0 + cosphi * coslam
+            yv = np.where(yv <= EPS10, np.nan, yv)
+            yv = np.sqrt(2.0 / yv)
+            x = yv * cosphi * sinlam
+            y = yv * sinphi
+        elif C.mode == "obliq":
+            yv = 1.0 + C.sinb1 * sinphi + C.cosb1 * cosphi * coslam
+            yv = np.where(yv <= EPS10, np.nan, yv)
+            yv = np.sqrt(2.0 / yv)
+            x = yv * cosphi * sinlam
+            y = yv * (C.cosb1 * sinphi - C.sinb1 * cosphi * coslam)
+        else:
+            s = 1.0 if C.mode == "s_pole" else -1.0
+            yv = np.abs(2.0 * np.cos(FORTPI - s * 0.5 * phi))  # placeholder
+            # classic polar form: rho = 2 sin(pi/4 -+ phi/2)
+            if C.mode == "n_pole":
+                rho = 2.0 * np.sin(FORTPI - 0.5 * phi)
+                y = -rho * coslam
+            else:
+                rho = 2.0 * np.sin(FORTPI + 0.5 * phi)
+                y = rho * coslam
+            x = rho * sinlam
+        return x, y
+    # ellipsoidal
+    sinb = qsfn(np.sin(phi), C.e, C.one_es) / C.qp
+    cosb2 = 1.0 - sinb * sinb
+    cosb = np.sqrt(np.clip(cosb2, 0.0, None))
+    if C.mode == "obliq":
+        b = 1.0 + C.sinb1 * sinb + C.cosb1 * cosb * coslam
+        b = np.where(b < EPS10, np.nan, b)
+        b = np.sqrt(2.0 / b)
+        x = C.xmf * b * cosb * sinlam
+        y = C.ymf * b * (C.cosb1 * sinb - C.sinb1 * cosb * coslam)
+    elif C.mode == "equit":
+        b = 1.0 + cosb * coslam
+        b = np.where(b < EPS10, np.nan, b)
+        b = np.sqrt(2.0 / b)
+        x = C.xmf * b * cosb * sinlam
+        y = C.ymf * 0.5 * b * sinb
+    elif C.mode == "n_pole":
+        b = np.sqrt(np.clip(C.qp - qsfn(np.sin(phi), C.e, C.one_es),
+                            0.0, None))
+        x = b * sinlam
+        y = -b * coslam
+    else:
+        b = np.sqrt(np.clip(C.qp + qsfn(np.sin(phi), C.e, C.one_es),
+                            0.0, None))
+        x = b * sinlam
+        y = b * coslam
+    return x, y
+
+
+# ---------------------------------------------------------------- stere
+
+@dataclass(frozen=True)
+class StereConsts:
+    mode: str
+    phi0: float
+    sinX1: float
+    cosX1: float
+    akm1: float
+    e: float
+    k0: float
+    spherical: bool
+
+
+def stere_setup(params: dict, ell: Ellipsoid, k0: float, phi0: float,
+                proj_id: str = "stere") -> StereConsts:
+    """Stereographic (src/projections/stere.cpp setup :282-360).
+    ups: forced polar with k0=0.994, lat_0=+-90."""
+    if proj_id == "ups":
+        phi0 = HALFPI if "south" not in params else -HALFPI
+        k0 = 0.994
+    phits = (abs(float(params["lat_ts"]) * DEG_TO_RAD)
+             if "lat_ts" in params else HALFPI)
+    t = abs(phi0)
+    if abs(t - HALFPI) < EPS10:
+        mode = "n_pole" if phi0 > 0 else "s_pole"
+    elif t < EPS10:
+        mode = "equit"
+    else:
+        mode = "obliq"
+    if ell.es == 0.0:
+        if mode in ("n_pole", "s_pole"):
+            akm1 = (2.0 * k0 if abs(phits - HALFPI) < EPS10
+                    else np.cos(phits) / np.tan(FORTPI - 0.5 * phits))
+        else:
+            akm1 = 2.0 * k0
+        return StereConsts(mode=mode, phi0=phi0, sinX1=float(np.sin(phi0)),
+                           cosX1=float(np.cos(phi0)), akm1=float(akm1),
+                           e=0.0, k0=k0, spherical=True)
+    e = ell.e
+    if mode in ("n_pole", "s_pole"):
+        if abs(phits - HALFPI) < EPS10:
+            akm1 = 2.0 * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        else:
+            sp = np.sin(phits)
+            akm1 = np.cos(phits) / tsfn(np.float64(phits), np.float64(sp), e)
+            sp *= e
+            akm1 /= np.sqrt(1.0 - sp * sp)
+    else:
+        # conformal sphere reference latitude
+        sp = np.sin(phi0)
+        X = 2.0 * np.arctan(_ssfn(phi0, sp, e)) - HALFPI
+        sp *= e
+        akm1 = 2.0 * k0 * np.cos(phi0) / np.sqrt(1.0 - sp * sp)
+        return StereConsts(mode=mode, phi0=phi0, sinX1=float(np.sin(X)),
+                           cosX1=float(np.cos(X)), akm1=float(akm1),
+                           e=e, k0=k0, spherical=False)
+    return StereConsts(mode=mode, phi0=phi0, sinX1=0.0, cosX1=1.0,
+                       akm1=float(akm1), e=e, k0=k0, spherical=False)
+
+
+def _ssfn(phit, sinphi, eccen):
+    """ssfn (stere.cpp:42-47)."""
+    sinphi = sinphi * eccen
+    return np.tan(0.5 * (HALFPI + phit)) * ((1.0 - sinphi) / (1.0 + sinphi)) ** (0.5 * eccen)
+
+
+def stere_fwd(lam, phi, C: StereConsts):
+    coslam = np.cos(lam)
+    sinlam = np.sin(lam)
+    sinphi = np.sin(phi)
+    if C.spherical:
+        cosphi = np.cos(phi)
+        if C.mode in ("equit", "obliq"):
+            if C.mode == "equit":
+                yv = 1.0 + cosphi * coslam
+            else:
+                yv = 1.0 + C.sinX1 * sinphi + C.cosX1 * cosphi * coslam
+            yv = np.where(yv <= EPS10, np.nan, yv)
+            yv = C.akm1 / yv
+            x = yv * cosphi * sinlam
+            if C.mode == "equit":
+                y = yv * sinphi
+            else:
+                y = yv * (C.cosX1 * sinphi - C.sinX1 * cosphi * coslam)
+        else:
+            if C.mode == "n_pole":
+                coslam = -coslam
+                phiv = -phi
+            else:
+                phiv = phi
+            x = C.akm1 * np.tan(FORTPI + 0.5 * phiv) * sinlam
+            y = x / sinlam * coslam  # = akm1 tan(..) coslam
+            x = C.akm1 * np.tan(FORTPI + 0.5 * phiv) * sinlam
+            y = C.akm1 * np.tan(FORTPI + 0.5 * phiv) * coslam
+        return x, y
+    # ellipsoidal (stere.cpp e_forward :60-105)
+    if C.mode in ("obliq", "equit"):
+        X = 2.0 * np.arctan(_ssfn(phi, sinphi, C.e)) - HALFPI
+        sinX = np.sin(X)
+        cosX = np.cos(X)
+        A = C.akm1 / (C.cosX1 * (1.0 + C.sinX1 * sinX
+                                 + C.cosX1 * cosX * coslam))
+        y = A * (C.cosX1 * sinX - C.sinX1 * cosX * coslam)
+        x = A * cosX * sinlam
+    else:
+        if C.mode == "s_pole":
+            phiv = -phi
+            coslamv = coslam
+            sinphiv = -sinphi
+            yv_sign = 1.0
+        else:
+            phiv = phi
+            coslamv = -coslam
+            sinphiv = sinphi
+            yv_sign = 1.0
+        x = C.akm1 * tsfn(phiv, sinphiv, C.e)
+        y = x * coslamv
+        x = x * sinlam
+    return x, y
+
+
+# ---------------------------------------------------------------- moll
+
+@dataclass(frozen=True)
+class MollConsts:
+    C_x: float
+    C_y: float
+    C_p: float
+
+
+def moll_setup(p: float = HALFPI) -> MollConsts:
+    """Mollweide family general setup (src/projections/moll.cpp:116-133)
+    with p=pi/2 (moll), p=pi/3 (wag4), p=pi/2? (wag5 uses fixed)."""
+    p2 = p + p
+    sp = np.sin(p)
+    r = np.sqrt(2.0 * np.pi * sp / (p2 + np.sin(p2)))
+    C_x = 2.0 * r / np.pi
+    C_y = r / sp
+    C_p = p2 + np.sin(p2)
+    return MollConsts(C_x=float(C_x), C_y=float(C_y), C_p=float(C_p))
+
+
+def moll_fwd(lam, phi, C: MollConsts, max_iter: int = 10, tol: float = 1e-7):
+    """moll.cpp forward: Newton for theta."""
+    k = C.C_p * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(max_iter):
+        V = (theta + np.sin(theta)) - k
+        dV = 1.0 + np.cos(theta)
+        delta = np.where(dV != 0, V / dV, 0.0)
+        theta = theta - delta
+        if np.all(np.abs(delta) < tol):
+            break
+    theta = np.where(np.abs(dV := 1.0 + np.cos(theta)) == 0,
+                     np.where(phi < 0.0, -HALFPI, HALFPI), theta)
+    theta *= 0.5
+    x = C.C_x * lam * np.cos(theta)
+    y = C.C_y * np.sin(theta)
+    return x, y
+
+
+def moll_inv(x, y, C: MollConsts):
+    theta = np.arcsin(np.clip(y / C.C_y, -1.0, 1.0))
+    lam = x / (C.C_x * np.cos(theta))
+    theta2 = theta + theta
+    phi = np.arcsin(np.clip((theta2 + np.sin(theta2)) / C.C_p, -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------- sinu
+
+def sinu_setup(ell: Ellipsoid):
+    """Sinusoidal (src/projections/sinu.cpp): ellipsoidal uses mlfn."""
+    if ell.es != 0.0:
+        return enfn(ell.n)
+    return None
+
+
+def sinu_fwd(lam, phi, en, es: float):
+    if en is not None:
+        sphi = np.sin(phi)
+        cphi = np.cos(phi)
+        x = lam * cphi / np.sqrt(1.0 - es * sphi * sphi)
+        y = mlfn(phi, sphi, cphi, en)
+    else:
+        x = lam * np.cos(phi)
+        y = phi
+    return x, y
+
+
+def sinu_inv(x, y, en, es: float):
+    if en is not None:
+        phi = inv_mlfn(y, en)
+        sphi = np.sin(phi)
+        lam = x * np.sqrt(1.0 - es * sphi * sphi) / np.cos(phi)
+    else:
+        phi = y
+        lam = x / np.cos(phi)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- misc sphericals
+
+def gall_fwd(lam, phi, _=None):
+    """Gall stereographic (src/projections/gall.cpp):
+    x = lam/sqrt(2), y = (1+sqrt(2)/2) tan(phi/2)."""
+    YF = 1.0 + np.sqrt(2.0) / 2.0
+    XF = 1.0 / np.sqrt(2.0)
+    return XF * lam, YF * np.tan(0.5 * phi)
+
+
+def gall_inv(x, y, _=None):
+    YF = 1.0 + np.sqrt(2.0) / 2.0
+    XF = 1.0 / np.sqrt(2.0)
+    return x / XF, 2.0 * np.arctan(y / YF)
+
+
+def mill_fwd(lam, phi, _=None):
+    """Miller cylindrical (src/projections/mill.cpp):
+    y = log(tan(pi/4 + 0.4 phi)) * 1.25."""
+    return lam, np.log(np.tan(FORTPI + 0.4 * phi)) * 1.25
+
+
+def mill_inv(x, y, _=None):
+    return x, 2.5 * (np.arctan(np.exp(0.8 * y)) - FORTPI)
+
+
+def eck4_fwd(lam, phi, max_iter: int = 6):
+    """Eckert IV (src/projections/eck4... via moll-style Newton):
+    2θ + sinθcosθ + 2sinθ = (2 + π/2) sinφ."""
+    C_x = 0.42223820031577120149
+    C_y = 1.32650042817700232218
+    C_p = 3.57079632679489661922
+    k = C_p * np.sin(phi)
+    theta = phi * 0.895168 * (1.0 + 0.0218849 * phi * phi
+                              + 0.00826809 * phi ** 4)  # good seed
+    for _ in range(max_iter):
+        c = np.cos(theta)
+        s = np.sin(theta)
+        V = theta + s * c + 2.0 * s - k
+        dV = 1.0 + c * c - s * s + 2.0 * c
+        theta = theta - np.where(dV != 0, V / dV, 0.0)
+    x = C_x * lam * (1.0 + np.cos(theta))
+    y = C_y * np.sin(theta)
+    return x, y
+
+
+def robin_fwd(lam, phi, _=None):
+    """Robinson (src/projections/robin.cpp) — cubic-spline table from
+    the reference's coefficient table, simplified to the published
+    5-degree control points with linear interpolation between them
+    (documented deviation: PROJ uses cubic; we mark this kernel
+    approximate and exclude it from gie parity)."""
+    PHI_DEG = np.abs(phi) / DEG_TO_RAD
+    X_TAB = np.array([1.0, 0.9986, 0.9954, 0.99, 0.9822, 0.973, 0.96,
+                      0.9427, 0.9216, 0.8962, 0.8679, 0.835, 0.7986,
+                      0.7597, 0.7186, 0.6732, 0.6213, 0.5722, 0.5322])
+    Y_TAB = np.array([0.0, 0.062, 0.124, 0.186, 0.248, 0.31, 0.372,
+                      0.434, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346,
+                      0.7903, 0.8435, 0.8936, 0.9394, 0.9761, 1.0])
+    idx = np.clip((PHI_DEG / 5.0).astype(np.int64), 0, 17)
+    frac = PHI_DEG / 5.0 - idx
+    xs = X_TAB[idx] + (X_TAB[np.minimum(idx + 1, 18)] - X_TAB[idx]) * frac
+    ys = Y_TAB[idx] + (Y_TAB[np.minimum(idx + 1, 18)] - Y_TAB[idx]) * frac
+    x = 0.8487 * xs * lam
+    y = 1.3523 * np.sign(phi) * ys
+    return x, y

@@ -1,0 +1,68 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns; decode / feature-extract
+/ resize / frame-sample run as Arrow-batched `mapInPandas` stages.
+The actual codec calls are STUBBED (no imaging/audio libs in this
+environment) behind `_decode_stub`, which produces deterministic fake
+dimensions from the byte length — the Spark-side plumbing (schema,
+batch iteration, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+META_SCHEMA = "doc_id long, n_bytes long, width long, height long"
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: dims derived from byte length.
+
+    Replace with PIL/libvips/ffmpeg probing on a real cluster:
+        raise NotImplementedError("image decode requires PIL")
+    """
+    n = len(payload)
+    return n % 640, (n * 7) % 480
+
+
+def extract_meta(blobs: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """mapInPandas metadata extraction over binary payloads."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf[payload_col].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_bytes": lens.astype("int64"),
+                "width": (lens % 640).astype("int64"),
+                "height": ((lens * 7) % 480).astype("int64"),
+            })
+
+    return blobs.mapInPandas(_extract, META_SCHEMA)
+
+
+def frame_sample(blobs: DataFrame, every_n: int = 10,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Video frame-sampling plumbing: emits (doc_id, frame_idx,
+    frame_bytes) rows; frame extraction itself is the stub (slices of
+    the payload stand in for decoded frames)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = max(1, len(payload) // max(1, every_n))
+                for k in range(min(every_n, len(payload))):
+                    ids.append(did)
+                    idxs.append(k)
+                    frames.append(bytes(payload[k * n:(k + 1) * n]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_bytes": frames})
+
+    return blobs.mapInPandas(_sample,
+                             "doc_id long, frame_idx int, frame_bytes binary")

@@ -1,0 +1,79 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Pure Catalyst expressions (JVM-side) throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# tiny deterministic marker-word lists per language (self-authored)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "die", "ist"),
+    "fr": ("le", "et", "la", "est"),
+    "es": ("el", "y", "la", "es"),
+    "pt": ("o", "e", "a", "em"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def marker_count(text: Column, words: tuple[str, ...]) -> Column:
+    w = tokens(text)
+    c = F.lit(0)
+    for m in words:
+        c = c + F.size(F.filter(w, lambda t: t == F.lit(m)))
+    return c
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over marker counts; tie-break by language code order
+    ('und' when no markers hit)."""
+    w = tokens(text)
+    counts = {lang: marker_count(text, ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # later wins only on strict >
+        n = counts[lang]
+        take = n > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    return best
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = tokens(text)
+    stop = F.lit(0)
+    for m in STOPWORDS:
+        stop = stop + F.size(F.filter(w, lambda t: t == F.lit(m)))
+    return stop.cast("double") / F.size(w).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4·min(tokens/100,1) + 0.4·min(stopword_ratio·5,1)
+    + 0.2·(mean token length in [3,8])."""
+    w = tokens(text)
+    n = F.size(w).cast("double")
+    tl = F.aggregate(w, F.lit(0).cast("double"),
+                     lambda a, t: a + F.length(t).cast("double")) / n
+    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
+    s2 = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    s3 = F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: md5 of the normalized
+    (whitespace-collapsed, lowercased) text."""
+    norm = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    return F.md5(norm)

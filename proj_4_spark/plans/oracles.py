@@ -1,0 +1,273 @@
+"""ANSI-SQL oracle generators (DuckDB dialect-compatible).
+
+Each function emits a SQL expression/CTE mirroring one engine kernel,
+with all projection constants computed by the *same* driver-side setup
+code the engine uses (``compile_projstring``) and embedded as full-
+precision double literals (``repr`` round-trips exactly).  Outputs are
+rounded (default 1e-6, micrometer) in BOTH engines so last-ulp libm
+differences between NumPy and DuckDB cannot flip the comparison.
+
+These oracles exist to make every operator independently checkable by
+the driver's DuckDB-vs-Spark harness; they are NOT the engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..proj import compile_projstring
+from ..sources.coords import lonlat_sql
+
+
+def L(v: float) -> str:
+    """Full-precision double literal."""
+    r = repr(float(v))
+    return r if ("e" in r or "." in r or "inf" in r or "nan" in r) else r + ".0"
+
+
+# ----------------------------------------------------------------- helpers
+
+def coords_cte(limit: int | None = None) -> str:
+    lon, lat = lonlat_sql("doc_id")
+    q = f"SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents"
+    if limit:
+        q += f" ORDER BY doc_id LIMIT {limit}"
+    return q
+
+
+def clenshaw_sin2k_ctes(prefix: str, s: str, c: str, coeffs) -> tuple[list[str], str]:
+    """Chained-CTE unroll of ``_clenshaw_sin2k`` (mlfn.cpp:21-31):
+    sum(c[k] sin((2k+2)ζ)).  Returns (extra column defs, final expr).
+
+    Emitted as lateral column aliases: X, u0_k, u1_k, result.
+    """
+    cols = [f"(2.0*(({c})-({s}))*(({c})+({s}))) AS {prefix}_X"]
+    u0, u1 = None, None
+    n = len(coeffs)
+    for step, k in enumerate(range(n - 1, -1, -1)):
+        if u0 is None:
+            t = L(coeffs[k])
+        else:
+            t = f"{prefix}_X*{u0} - {u1} + {L(coeffs[k])}"
+        u1 = u0 if u0 is not None else "0.0"
+        u0 = f"{prefix}_u{step}"
+        cols.append(f"({t}) AS {u0}")
+    expr = f"(2.0*({s})*({c})*{u0})"
+    return cols, expr
+
+
+# ------------------------------------------------------------ projections
+
+def webmerc_xy(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Spherical web-mercator (merc.cpp:76-84): R=6378137, k0=1."""
+    a = 6378137.0
+    x = f"({L(a)} * radians({lon}))"
+    t = f"tan(radians({lat}))"
+    y = f"({L(a)} * ln({t} + sqrt({t}*{t} + 1.0)))"
+    return x, y
+
+
+def merc_ell_xy(projstr: str = "+proj=merc +ellps=GRS80",
+                lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Ellipsoidal Mercator fwd (merc.cpp:13-43):
+    y = k0·(asinh(tanφ) − e·atanh(e·sinφ)), scaled by a."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a, k0, e = op.ell.a, C.k0, C.e
+    rl = f"radians({lat})"
+    s, c = f"sin({rl})", f"cos({rl})"
+    tphi = f"({s}/{c})"
+    asinh_t = f"ln({tphi} + sqrt({tphi}*{tphi} + 1.0))"
+    atanh_es = f"(0.5*ln((1.0+{L(e)}*{s})/(1.0-{L(e)}*{s})))"
+    x = f"({L(a)} * ({L(k0)} * radians({lon})))"
+    y = f"({L(a)} * ({L(k0)} * ({asinh_t} - {L(e)}*{atanh_es})))"
+    return x, y
+
+
+def lcc_xy(projstr: str, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """LCC ellipsoidal fwd (lcc.cpp:22-42) with driver-computed n/c/rho0."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a, lam0 = op.ell.a, op.lam0
+    rl = f"radians({lat})"
+    s = f"sin({rl})"
+    # tsfn (tsfn.cpp:6-29 via kernels.common.tsfn): for phi>0 use
+    # cos/(1+sin), else (1-sin)/cos
+    base = (f"(CASE WHEN {s} > 0 THEN cos({rl})/(1.0+{s}) "
+            f"ELSE (1.0-{s})/cos({rl}) END)")
+    ts = f"(exp({L(C.e)}*0.5*ln((1.0+{L(C.e)}*{s})/(1.0-{L(C.e)}*{s}))) * {base})"
+    rho = f"({L(C.c)} * pow({ts}, {L(C.n)}))"
+    # adjlon wrap of (lam - lam0) into (-pi, pi] (adjlon.cpp:7-28)
+    raw = f"(radians({lon}) - {L(lam0)})"
+    lam_w = f"({raw} - 2.0*pi()*floor(({raw} + pi())/(2.0*pi())))"
+    lamn = f"({lam_w} * {L(C.n)})"
+    x = f"({L(a)} * ({L(C.k0)} * ({rho} * sin({lamn}))))"
+    y = f"({L(a)} * ({L(C.k0)} * ({L(C.rho0)} - {rho} * cos({lamn}))))"
+    return x, y
+
+
+def cart_xyz(projstr: str = "+proj=cart +ellps=GRS80", lon: str = "lon",
+             lat: str = "lat", h: str = "0.0") -> tuple[str, str, str]:
+    """Geodetic→geocentric fwd (cart.cpp:139-153)."""
+    tr = compile_projstring(projstr)
+    C = tr.ops[0].consts
+    rl, rlam = f"radians({lat})", f"radians({lon})"
+    s, c = f"sin({rl})", f"cos({rl})"
+    N = f"({L(C.a)}/sqrt(1.0 - {L(C.es)}*{s}*{s}))"
+    X = f"(({N} + {h})*{c}*cos({rlam}))"
+    Y = f"(({N} + {h})*{c}*sin({rlam}))"
+    Z = f"(({N}*(1.0-{L(C.es)}) + {h})*{s})"
+    return X, Y, Z
+
+
+def helmert_xyz(params: dict, x: str, y: str, z: str) -> tuple[str, str, str]:
+    """7-param Helmert fwd, position-vector small-angle convention
+    (helmert.cpp:161+,438-456): X' = scale·(R·X) + T."""
+    from ..kernels import helmert as k_helmert
+
+    C = k_helmert.setup(params)
+    T, opk, scale_ppm, _ = k_helmert._params_at(C, C.t_epoch)
+    R = k_helmert._rot_matrix(C, opk)
+    scale = 1.0 + scale_ppm * 1e-6
+
+    def row(i):
+        return (f"({L(scale)}*({L(R[i][0])}*{x} + {L(R[i][1])}*{y} "
+                f"+ {L(R[i][2])}*{z}) + {L(T[i])})")
+
+    return row(0), row(1), row(2)
+
+
+def mlfn_cols(prefix: str, rl: str, en) -> tuple[list[str], str]:
+    """mlfn(φ) = en0·(φ + clenshaw(sinφ,cosφ,en[1..6]))."""
+    cols = [f"sin({rl}) AS {prefix}_s", f"cos({rl}) AS {prefix}_c"]
+    ccols, cexpr = clenshaw_sin2k_ctes(prefix, f"{prefix}_s", f"{prefix}_c",
+                                      list(en[1:7]))
+    cols += ccols
+    return cols, f"({L(en[0])}*(({rl}) + {cexpr}))"
+
+
+def utm_snyder_sql(round_to: int = 6) -> str:
+    """Full oracle query: per-doc UTM (Evenden/Snyder TM, auto zone,
+    GRS80, k0=0.9996, x0=500km, southern false northing 10^7 m).
+
+    Mirrors approx_e_fwd (tmerc.cpp:71-116) + utm zone logic
+    (tmerc.cpp:737-779) as chained CTEs.
+    """
+    tr = compile_projstring("+proj=tmerc +ellps=GRS80 +approx +k=0.9996")
+    op = tr.ops[0]
+    Q = op.consts.approx
+    a = op.ell.a
+    en = list(Q.en)
+    FC1, FC2, FC3 = 1.0, 0.5, 0.16666666666666666666
+    FC4, FC5, FC6 = 0.08333333333333333333, 0.05, 0.03333333333333333333
+    FC7, FC8 = 0.02380952380952380952, 0.01785714285714285714
+
+    mcols, mexpr = mlfn_cols("ml", "rphi", en)
+    mcols_s = ",\n    ".join(mcols)
+    return f"""
+WITH coords AS ({coords_cte()}),
+zoned AS (
+  SELECT doc_id, lon, lat,
+         (CAST(floor((lon + 180.0)/6.0) AS INTEGER) % 60 + 1) AS zone
+  FROM coords
+),
+prep AS (
+  SELECT doc_id, lon, lat, zone,
+         radians(lat) AS rphi,
+         (radians(lon) - radians(CAST(zone*6 - 183 AS DOUBLE))) AS lam
+  FROM zoned
+),
+m AS (
+  SELECT doc_id, lon, lat, zone, rphi, lam,
+    {mcols_s}
+  FROM prep
+),
+tm AS (
+  SELECT doc_id, zone, lat, lam,
+    ml_s AS sinphi, ml_c AS cosphi,
+    (CASE WHEN abs(ml_c) > 1e-10 THEN ml_s/ml_c ELSE 0.0 END)
+      * (CASE WHEN abs(ml_c) > 1e-10 THEN ml_s/ml_c ELSE 0.0 END) AS t,
+    (ml_c*lam)*(ml_c*lam) AS als,
+    (ml_c*lam)/sqrt(1.0 - {L(Q.es)}*ml_s*ml_s) AS al,
+    {L(Q.esp)}*ml_c*ml_c AS nn,
+    {mexpr} AS ml
+  FROM m
+),
+xy AS (
+  SELECT doc_id, zone,
+    {L(Q.k0)}*al*({L(FC1)} + {L(FC3)}*als*(1.0 - t + nn + {L(FC5)}*als*(
+        5.0 + t*(t - 18.0) + nn*(14.0 - 58.0*t)
+        + {L(FC7)}*als*(61.0 + t*(t*(179.0 - t) - 479.0))))) AS xk,
+    {L(Q.k0)}*(ml - {L(Q.ml0)}
+      + sinphi*al*lam*{L(FC2)}*(
+          1.0 + {L(FC4)}*als*(5.0 - t + nn*(9.0 + 4.0*nn) + {L(FC6)}*als*(
+              61.0 + t*(t - 58.0) + nn*(270.0 - 330.0*t)
+              + {L(FC8)}*als*(1385.0 + t*(t*(543.0 - t) - 3111.0)))))) AS yk,
+    lat
+  FROM tm
+)
+SELECT doc_id, zone,
+       round({L(a)}*xk + 500000.0, {round_to}) AS easting,
+       round({L(a)}*yk + (CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END),
+             {round_to}) AS northing
+FROM xy
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------- S2
+
+def s2_face_ij_sql(level: int) -> str:
+    """Oracle for the S2 tile assignment (face, i, j) at ``level``.
+
+    Face selection + quadratic ST↔UV per the reference s2.cpp:126-253;
+    the (face,i,j) triple is bijective with the Hilbert cell id, so an
+    exact match here IS an exact tile-assignment match.
+    """
+    shift = 30 - level
+    return f"""
+WITH coords AS ({coords_cte()}),
+xyz AS (
+  SELECT doc_id,
+    cos(radians(lat))*cos(radians(lon)) AS x,
+    cos(radians(lat))*sin(radians(lon)) AS y,
+    sin(radians(lat)) AS z
+  FROM coords
+),
+f0 AS (
+  SELECT doc_id, x, y, z,
+    (CASE WHEN abs(x) > abs(y)
+          THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+          ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END) AS f
+  FROM xyz
+),
+fc AS (
+  SELECT doc_id, x, y, z,
+    (CASE WHEN (CASE f WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+          THEN f + 3 ELSE f END) AS face
+  FROM f0
+),
+uv AS (
+  SELECT doc_id, face,
+    (CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+               WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END) AS u,
+    (CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+               WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END) AS v
+  FROM fc
+),
+st AS (
+  SELECT doc_id, face,
+    (CASE WHEN u >= 0 THEN 0.5*sqrt(1.0+3.0*u) ELSE 1.0-0.5*sqrt(1.0-3.0*u) END) AS s,
+    (CASE WHEN v >= 0 THEN 0.5*sqrt(1.0+3.0*v) ELSE 1.0-0.5*sqrt(1.0-3.0*v) END) AS t
+  FROM uv
+)
+SELECT doc_id, face,
+  CAST(floor(least(greatest(floor(s*1073741824.0), 0.0), 1073741823.0))
+       AS BIGINT) // {1 << shift} AS i,
+  CAST(floor(least(greatest(floor(t*1073741824.0), 0.0), 1073741823.0))
+       AS BIGINT) // {1 << shift} AS j
+FROM st
+ORDER BY doc_id
+"""

@@ -1,0 +1,812 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Column names are aliased identically on both sides; float outputs are
+rounded identically on both sides (micrometer precision for meters)
+so cross-engine libm ulp differences cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import geo as G
+from .plans import oracles as O
+from .sources.coords import coords_df, lonlat_sql
+
+QUERIES: dict[str, Callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coords_df(spark, sf_dir)
+
+
+_COORDS_CTE = O.coords_cte()
+
+
+# =====================================================================
+# Projection core (north-star kernels, SURVEY.md §2.1)
+# =====================================================================
+
+@register("utm_zone_counts", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT (CAST(floor((lon + 180.0)/6.0) AS INTEGER) % 60 + 1) AS zone,
+       count(*) AS n_docs
+FROM coords GROUP BY 1 ORDER BY zone
+""")
+def q_utm_zone_counts(spark, sf_dir):
+    """Per-UTM-zone document counts — zone logic of tmerc.cpp:737-779
+    as a pure Catalyst integer expression (no Python)."""
+    return (_coords(spark, sf_dir)
+            .groupBy(G.utm_zone(F.col("lon")).alias("zone"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("zone"))
+
+
+_wx, _wy = O.webmerc_xy()
+
+
+@register("webmerc_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_wx}, 2) AS x_m, round({_wy}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_webmerc_fwd(spark, sf_dir):
+    """Spherical web-mercator forward (merc.cpp:76-84) via the fused
+    projection pandas UDF."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=webmerc")
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+_mx, _my = O.merc_ell_xy("+proj=merc +ellps=GRS80")
+
+
+@register("merc_ell_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_mx}, 2) AS x_m, round({_my}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_merc_ell_fwd(spark, sf_dir):
+    """Ellipsoidal Mercator forward (merc.cpp:13-43), GRS80."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=merc +ellps=GRS80")
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+_LCC = "+proj=lcc +ellps=GRS80 +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
+_lx, _ly = O.lcc_xy(_LCC)
+
+
+@register("lcc_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_lx}, 2) AS x_m, round({_ly}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_lcc_fwd(spark, sf_dir):
+    """Lambert Conformal Conic 2SP forward (lcc.cpp:22-42),
+    CONUS-style parameters."""
+    df = G.with_projected(_coords(spark, sf_dir), _LCC)
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+@register("utm_snyder_fwd", O.utm_snyder_sql(round_to=2))
+def q_utm_snyder_fwd(spark, sf_dir):
+    """Auto-zone UTM via the Evenden/Snyder TM series
+    (tmerc.cpp:71-116 + 737-779); per-point central meridian handled
+    vectorized (the Spark restatement of per-point op selection)."""
+    df = _coords(spark, sf_dir)
+    u = G.utm_all_zones_udf(approx=True)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_u", st)
+              .select("doc_id", F.col("_u.zone").alias("zone"),
+                      F.round("_u.easting", 2).alias("easting"),
+                      F.round("_u.northing", 2).alias("northing"))
+              .orderBy("doc_id"))
+
+
+_cx, _cy, _cz = O.cart_xyz("+proj=cart +ellps=GRS80")
+
+
+@register("cart_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_cx}, 2) AS gx, round({_cy}, 2) AS gy,
+       round({_cz}, 2) AS gz
+FROM coords ORDER BY doc_id
+""")
+def q_cart_fwd(spark, sf_dir):
+    """Geodetic -> geocentric cartesian (cart.cpp:139-153)."""
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=cart +ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_c", st)
+              .select("doc_id", F.round("_c.x", 2).alias("gx"),
+                      F.round("_c.y", 2).alias("gy"),
+                      F.round("_c.z", 2).alias("gz"))
+              .orderBy("doc_id"))
+
+
+# 7-param Helmert (ED87 -> ED50 style arc-second rotations)
+_HELM = dict(x=-82.981, y=-99.719, z=-110.709,
+             rx=-0.5076, ry=0.1503, rz=0.3898, s=-0.3143)
+_HELM_STR = ("+proj=helmert +convention=position_vector "
+             + " ".join(f"+{k}={v}" for k, v in _HELM.items()))
+_hx, _hy, _hz = O.helmert_xyz(
+    {**{k: str(v) for k, v in _HELM.items()},
+     "convention": "position_vector"}, "gx", "gy", "gz")
+
+
+@register("cart_helmert_pipeline", f"""
+WITH coords AS ({_COORDS_CTE}),
+geocent AS (
+  SELECT doc_id, {_cx} AS gx, {_cy} AS gy, {_cz} AS gz FROM coords
+)
+SELECT doc_id, round({_hx}, 2) AS hx, round({_hy}, 2) AS hy,
+       round({_hz}, 2) AS hz
+FROM geocent ORDER BY doc_id
+""")
+def q_cart_helmert_pipeline(spark, sf_dir):
+    """Fused pipeline: cart -> 7-param Helmert (helmert.cpp:161-456),
+    one pandas-UDF invocation for the whole step list (operator fusion
+    — the Spark analogue of src/pipeline.cpp:163-193)."""
+    df = _coords(spark, sf_dir)
+    pstr = ("+proj=pipeline +step +proj=cart +ellps=GRS80 +step "
+            + _HELM_STR.replace("+proj=helmert", "+proj=helmert"))
+    u = G.project_udf(pstr)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_h", st)
+              .select("doc_id", F.round("_h.x", 2).alias("hx"),
+                      F.round("_h.y", 2).alias("hy"),
+                      F.round("_h.z", 2).alias("hz"))
+              .orderBy("doc_id"))
+
+
+# =====================================================================
+# S2 tiling (SURVEY.md §2.2; s2.cpp:126-253 + public Hilbert layout)
+# =====================================================================
+
+@register("s2_face_ij_l12", O.s2_face_ij_sql(12))
+def q_s2_face_ij(spark, sf_dir):
+    """Exact tile assignment at S2 level 12 as (face, i, j) — the
+    SQL-checkable bijection of the Hilbert cell id."""
+    df = _coords(spark, sf_dir)
+    u = G.s2_face_ij_udf(12)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_s", st)
+              .select("doc_id", F.col("_s.face").alias("face"),
+                      F.col("_s.i").alias("i"), F.col("_s.j").alias("j"))
+              .orderBy("doc_id"))
+
+
+@register("s2_cell_counts_l8", f"""
+WITH fij AS ({O.s2_face_ij_sql(8)})
+SELECT face, i, j, count(*) AS n_docs
+FROM fij GROUP BY face, i, j ORDER BY face, i, j
+""")
+def q_s2_cell_counts(spark, sf_dir):
+    """Raster-style cell aggregation at level 8: encode to the Hilbert
+    cell id, groupBy cell (hash agg, map-side partial), then decode the
+    cell id back to (face,i,j) — exercising encode AND decode."""
+    df = _coords(spark, sf_dir)
+    cell = G.s2_cell_udf(8)(F.col("lon"), F.col("lat")).alias("cell")
+    agg = df.select(cell).groupBy("cell").agg(F.count("*").alias("n_docs"))
+    fij = G.s2_cell_to_face_ij_udf(8)(F.col("cell"))
+    return (agg.withColumn("_f", fij)
+               .select(F.col("_f.face").alias("face"),
+                       F.col("_f.i").alias("i"), F.col("_f.j").alias("j"),
+                       "n_docs")
+               .orderBy("face", "i", "j"))
+
+
+@register("haversine_to_tokyo", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id,
+  round(2.0*6371008.8*asin(sqrt(
+    sin(radians(35.6895 - lat)/2)*sin(radians(35.6895 - lat)/2)
+    + cos(radians(lat))*cos(radians(35.6895))
+      *sin(radians(139.6917 - lon)/2)*sin(radians(139.6917 - lon)/2)
+  )), 2) AS dist_m
+FROM coords ORDER BY doc_id
+""")
+def q_haversine_to_tokyo(spark, sf_dir):
+    """Great-circle distance to the Tokyo center — pure Catalyst
+    (WholeStageCodegen) trigonometry, no Python."""
+    df = _coords(spark, sf_dir)
+    d = G.haversine_m(F.col("lat"), F.col("lon"),
+                      F.lit(35.6895), F.lit(139.6917))
+    return df.select("doc_id", F.round(d, 2).alias("dist_m")).orderBy("doc_id")
+
+
+@register("geodesic_to_tokyo")  # Karney iterative solver — no SQL oracle
+def q_geodesic_to_tokyo(spark, sf_dir):
+    """Karney geodesic inverse (geodesic.c:1080) distance+azimuth to
+    Tokyo; validated against GeographicLib hard cases in pytest
+    (tests/test_geodesic.py) — non-SQL-expressible (iterative Newton).
+    """
+    df = _coords(spark, sf_dir)
+    u = G.geodesic_inverse_udf()
+    st = u(F.col("lat"), F.col("lon"), F.lit(35.6895), F.lit(139.6917))
+    return (df.withColumn("_g", st)
+              .select("doc_id", F.round("_g.s12", 2).alias("s12_m"),
+                      F.round("_g.azi1", 9).alias("azi1_deg"))
+              .orderBy("doc_id"))
+
+
+@register("etmerc_fwd")  # Poder/Engsager complex Clenshaw — no SQL oracle
+def q_etmerc_fwd(spark, sf_dir):
+    """Exact TM (Poder/Engsager 6th-order complex Clenshaw,
+    tmerc.cpp:328-596); gie-golden-validated in tests/test_kernels.py.
+    Clipped to |lon-lon0|<50° (the series' validity domain)."""
+    df = _coords(spark, sf_dir).where(
+        (F.col("lon") > 59.0) & (F.col("lon") < 159.0))
+    u = G.project_udf("+proj=etmerc +ellps=GRS80 +lon_0=109")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_e", st)
+              .select("doc_id", F.round("_e.x", 2).alias("x_m"),
+                      F.round("_e.y", 2).alias("y_m"))
+              .orderBy("doc_id"))
+
+
+# =====================================================================
+# Spatial join / kNN / raster (SURVEY.md §2.5, M3-M4)
+# =====================================================================
+
+from .operators import knn as KNN  # noqa: E402
+from .operators import raster as RAS  # noqa: E402
+from .operators import spatial_join as SJ  # noqa: E402
+from .sources import polygons as P  # noqa: E402
+
+_POLY_ROWS = P.polygon_rows()
+
+
+@register("pip_join", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT c.doc_id, polys.polygon_id
+FROM coords c CROSS JOIN {P.polygons_values_sql()}
+WHERE {P.convex_inside_sql("c.lon", "c.lat")}
+ORDER BY c.doc_id, polys.polygon_id
+""")
+def q_pip_join(spark, sf_dir):
+    """Point-in-polygon join: S2 cell-cover candidate generation
+    (broadcast) + exact ray casting.  Oracle: unrolled convex
+    cross-product containment over the same literal vertices."""
+    pts = _coords(spark, sf_dir)
+    out = SJ.pip_join(pts, _POLY_ROWS, level=8)
+    return out.select("doc_id", "polygon_id").orderBy("doc_id", "polygon_id")
+
+
+@register("pip_polygon_counts", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT polys.polygon_id, count(*) AS n_docs
+FROM coords c CROSS JOIN {P.polygons_values_sql()}
+WHERE {P.convex_inside_sql("c.lon", "c.lat")}
+GROUP BY polys.polygon_id ORDER BY polys.polygon_id
+""")
+def q_pip_polygon_counts(spark, sf_dir):
+    """Per-polygon document counts over the PIP join (the hot-cell
+    aggregation — map-side partial agg keeps the Zipf head cheap)."""
+    pts = _coords(spark, sf_dir)
+    out = SJ.pip_join(pts, _POLY_ROWS, level=8)
+    return (out.groupBy("polygon_id").agg(F.count("*").alias("n_docs"))
+               .orderBy("polygon_id"))
+
+
+_KNN_QUERIES = [(i, c[1] + 0.251, c[2] - 0.157)
+                for i, c in enumerate(__import__(
+                    "proj_4_spark.sources.coords", fromlist=["CITIES"]
+                ).CITIES[:10])]
+_KNN_VALUES = ", ".join(f"({i}, {repr(qlon)}, {repr(qlat)})"
+                        for i, qlon, qlat in _KNN_QUERIES)
+
+
+@register("knn_top5", f"""
+WITH coords AS ({_COORDS_CTE}),
+q(query_id, q_lon, q_lat) AS (VALUES {_KNN_VALUES}),
+pairs AS (
+  SELECT q.query_id, c.doc_id,
+         (c.lon - q.q_lon)*(c.lon - q.q_lon)
+         + (c.lat - q.q_lat)*(c.lat - q.q_lat) AS dist2
+  FROM coords c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, doc_id, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, doc_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, doc_id, dist2 FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+""")
+def q_knn_top5(spark, sf_dir):
+    """Exact kNN (k=5) for 10 city-offset query points: broadcast the
+    queries, Catalyst distance, windowed top-k (rank-filter windows
+    are executed as per-partition TopK, not full sorts)."""
+    pts = _coords(spark, sf_dir)
+    qdf = spark.createDataFrame(_KNN_QUERIES,
+                                "query_id long, q_lon double, q_lat double")
+    out = KNN.knn_broadcast(pts, qdf, k=5)
+    return (out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                       "doc_id", "dist2")
+               .orderBy("query_id", "rank"))
+
+
+@register("raster_hist", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT CAST(floor((lon + 180.0)/1.0) AS BIGINT) AS ix,
+       CAST(floor((lat + 90.0)/1.0) AS BIGINT) AS iy,
+       count(*) AS n_pts
+FROM coords GROUP BY 1, 2 ORDER BY ix, iy
+""")
+def q_raster_hist(spark, sf_dir):
+    """Vector -> raster: 1-degree grid histogram (hash aggregation,
+    map-side combine — Catalyst native)."""
+    return (RAS.rasterize(_coords(spark, sf_dir))
+               .orderBy("ix", "iy"))
+
+
+@register("bilinear_sample", f"""
+WITH coords AS ({_COORDS_CTE}),
+f AS (
+  SELECT doc_id, (lon + 180.0)/1.0 AS fx, (lat + 90.0)/1.0 AS fy FROM coords
+),
+i AS (
+  SELECT doc_id, fx, fy,
+    least(greatest(CAST(floor(fx) AS BIGINT), 0), 358) AS ix,
+    least(greatest(CAST(floor(fy) AS BIGINT), 0), 178) AS iy
+  FROM f
+)
+SELECT doc_id, round(
+   (1.0-(fx-ix))*(1.0-(fy-iy))*(sin(0.7*ix)*cos(0.3*iy))
+ + (fx-ix)*(1.0-(fy-iy))*(sin(0.7*(ix+1))*cos(0.3*iy))
+ + (1.0-(fx-ix))*(fy-iy)*(sin(0.7*ix)*cos(0.3*(iy+1)))
+ + (fx-ix)*(fy-iy)*(sin(0.7*(ix+1))*cos(0.3*(iy+1))), 9) AS val
+FROM i ORDER BY doc_id
+""")
+def q_bilinear_sample(spark, sf_dir):
+    """Raster -> vector: bilinear sampling of a broadcast analytic
+    grid (grids.cpp:3322-3393 4-corner weights), vectorized."""
+    g = RAS.analytic_grid()
+    u = RAS.bilinear_udf(g)
+    df = _coords(spark, sf_dir)
+    return (df.select("doc_id",
+                      F.round(u(F.col("lon"), F.col("lat")), 9).alias("val"))
+              .orderBy("doc_id"))
+
+
+# =====================================================================
+# Dedup / text analysis / similarity (training-data pipeline ops)
+# =====================================================================
+
+from .operators import dedup as DD  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import textstats as TS  # noqa: E402
+
+# shared SQL fragments (DuckDB dialect) mirroring operators/dedup.py
+_SH_SQL = ("list_distinct(list_transform("
+           "range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1), "
+           "i -> array_to_string((string_split(text,' '))[i:i+2], '_')))")
+_H60 = "('0x'||substr(md5({s}),1,15))::BIGINT"
+
+
+@register("dedup_exact", """
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS keeper_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) hash-groupBy; emits duplicate groups
+    with the kept (min) doc_id.  Pure Catalyst."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.min("doc_id").alias("keeper_doc"))
+             .where(F.col("n_docs") > 1)
+             .orderBy("text_hash"))
+
+
+@register("minhash_signatures", f"""
+WITH sh AS (
+  SELECT doc_id, {_SH_SQL} AS sh FROM documents
+)
+SELECT doc_id, p AS perm,
+  list_min(list_transform(sh, s -> {_H60.format(s="p::VARCHAR||'_'||s")}))
+    AS minhash
+FROM sh, range(0, 8) t(p) WHERE len(sh) > 0 ORDER BY doc_id, perm
+""")
+def q_minhash_signatures(spark, sf_dir):
+    """8-permutation MinHash signatures over 3-word shingles (keyed
+    md5 permutations — identical in both engines), one row per
+    (doc, permutation)."""
+    d = _docs(spark, sf_dir)
+    sh = DD.doc_shingle_table(d)
+    sig = sh.select("doc_id", DD.minhash_signature(F.col("sh"), 8).alias("sig"))
+    return (sig.select("doc_id", F.posexplode("sig").alias("perm", "minhash"))
+               .select("doc_id", F.col("perm").cast("long").alias("perm"),
+                       "minhash")
+               .orderBy("doc_id", "perm"))
+
+
+@register("lsh_candidate_pairs", f"""
+WITH sh AS (
+  SELECT doc_id, {_SH_SQL} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 8), p -> list_min(list_transform(sh,
+        s -> {_H60.format(s="p::VARCHAR||'_'||s")}))) AS sig
+  FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sig[b*2+1]::VARCHAR||'_'||sig[b*2+2]::VARCHAR) AS bh
+  FROM sig, range(0, 4) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                         AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""")
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 4 bands × 2 rows; equi-join on
+    the band hash (shuffle keyed on the band — the scalable web-dedup
+    join)."""
+    d = _docs(spark, sf_dir)
+    return (DD.lsh_candidate_pairs(d).orderBy("doc_a", "doc_b"))
+
+
+@register("ngram_jaccard_pairs", f"""
+WITH sh AS (
+  SELECT d.doc_id, d.source, d.lang, {_SH_SQL} AS sh
+  FROM documents d
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           AS DOUBLE), 6) AS jacc
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           AS DOUBLE) >= 0.03
+ORDER BY doc_a, doc_b
+""")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard over blocked candidate pairs (blocking on
+    (source, lang) — the co-partitioned equi-join; Jaccard is an
+    integer-ratio, bit-exact cross-engine)."""
+    d = _docs(spark, sf_dir)
+    sh = (d.select("doc_id", "source", "lang",
+                   DD.shingles(F.col("text")).alias("sh"))
+           .where(F.size("sh") > 0))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = DD.jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .where(jac >= 0.03)
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round(jac, 6).alias("jacc"))
+             .orderBy("doc_a", "doc_b"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _H60.format(s="t")
+    terms = []
+    for k in range(bits):
+        bs = (f"list_sum(list_transform(toks, t -> "
+              f"CASE WHEN ({h} & {1 << k}) != 0 THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {bs} > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register("simhash16", f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT doc_id, CAST({_simhash_sql(16)} AS BIGINT) AS simhash
+FROM toks ORDER BY doc_id
+""")
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash fingerprint from keyed 60-bit token hashes."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     DD.simhash(F.col("text"), 16).cast("long")
+                       .alias("simhash"))
+             .orderBy("doc_id"))
+
+
+@register("text_quality", """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in')))
+      AS n_stop,
+    list_sum(list_transform(toks, t -> len(t))) AS total_len
+  FROM w
+)
+SELECT doc_id, lang, n_tokens,
+  round(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+  round(0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+      + 0.4*least(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*5.0, 1.0)
+      + 0.2*(CASE WHEN CAST(total_len AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+                       BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM m ORDER BY doc_id
+""")
+def q_text_quality(spark, sf_dir):
+    """Token count, stopword ratio, quality score — Catalyst only."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return (d.select("doc_id", "lang",
+                     TS.token_count(t).alias("n_tokens"),
+                     F.round(TS.stopword_ratio(t), 6).alias("stop_ratio"),
+                     F.round(TS.quality_score(t), 6).alias("quality"))
+             .orderBy("doc_id"))
+
+
+@register("doc_fingerprints", """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       AS fp
+FROM documents ORDER BY doc_id
+""")
+def q_doc_fingerprints(spark, sf_dir):
+    """Normalized-text md5 fingerprint per document."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+             .orderBy("doc_id"))
+
+
+@register("lang_marker_guess", """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS c_en,
+    len(list_filter(toks, t -> t IN ('der','und','die','ist'))) AS c_de,
+    len(list_filter(toks, t -> t IN ('le','et','la','est'))) AS c_fr,
+    len(list_filter(toks, t -> t IN ('el','y','la','es'))) AS c_es,
+    len(list_filter(toks, t -> t IN ('o','e','a','em'))) AS c_pt
+  FROM w
+)
+SELECT doc_id, lang AS lang_tagged,
+  CASE
+    WHEN greatest(c_en, c_de, c_fr, c_es, c_pt) = 0 THEN 'und'
+    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_pt
+      THEN 'de'
+    WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_pt THEN 'en'
+    WHEN c_es >= c_fr AND c_es >= c_pt THEN 'es'
+    WHEN c_fr >= c_pt THEN 'fr'
+    ELSE 'pt' END AS lang_guess
+FROM c ORDER BY doc_id
+""")
+def q_lang_marker_guess(spark, sf_dir):
+    """Marker-word language-ID heuristic: first language (in
+    de<en<es<fr<pt code order) achieving the max marker count;
+    'und' when no markers hit — mirrored as an oracle CASE ladder."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", F.col("lang").alias("lang_tagged"),
+                     TS.lang_guess(F.col("text")).alias("lang_guess"))
+             .orderBy("doc_id"))
+
+
+# =====================================================================
+# Embedding similarity / relational / events / multimodal
+# =====================================================================
+
+_DOT = ("list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))")
+_NORM = "sqrt(list_sum(list_transform({v}, x -> x*x)))"
+
+
+@register("embed_cosine_top5", f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+    round({_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="CAST(q.qe AS DOUBLE[])")}
+      / ({_NORM.format(v="CAST(e.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(q.qe AS DOUBLE[])")}), 9) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+""")
+def q_embed_cosine_top5(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors: one BLAS
+    matmul per Arrow batch against the broadcast query matrix, ranked
+    on ROUNDED similarity (summation-order invariant)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (SIM.cosine_topk(e, list(range(10)), 5)
+               .orderBy("query_id", "rank"))
+
+
+_PLANES = SIM.hyperplanes()
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for k, w in enumerate(_PLANES):
+        arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        d = _DOT.format(a=vec, b=arr)
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << k} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("embed_neardup_pairs", f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
+    / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
+    9) AS sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
+    / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
+    9) >= 0.6
+ORDER BY vec_a, vec_b
+""")
+def q_embed_neardup_pairs(spark, sf_dir):
+    """Embedding near-dup: 8 sign-hyperplane LSH buckets (Catalyst
+    expression) for candidates, exact cosine verify >= 0.6."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (SIM.neardup_pairs(e, threshold=0.6, planes=_PLANES)
+               .orderBy("vec_a", "vec_b"))
+
+
+@register("events_hourly", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""")
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream (batch
+    view; the same logic runs under Structured Streaming in
+    streaming/events.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .orderBy("hour", "event_type"))
+
+
+@register("tpch_q1_pricing", """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — proves the relational layer
+    (scan -> filter pushdown -> partial+final hash agg)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("sum_disc_price"),
+                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                  F.count("*").alias("count_order"))
+             .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("orders_by_nation", """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+""")
+def q_orders_by_nation(spark, sf_dir):
+    """Broadcast-join enrichment: orders -> customer -> nation with
+    the small dims broadcast (no shuffle of the fact table)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+             .orderBy("nation"))
+
+
+@register("multimodal_meta", """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 AS width,
+       (octet_length(encode(text)) * 7) % 480 AS height
+FROM documents ORDER BY doc_id
+""")
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: text -> opaque binary column ->
+    mapInPandas metadata extraction (byte length + deterministic fake
+    decode dims).  Real image/audio decode is stubbed (libs absent);
+    the Spark-side schema/batching/partitioning is real — see
+    operators/multimodal.py."""
+    from .operators import multimodal as MM
+
+    d = _docs(spark, sf_dir)
+    blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return MM.extract_meta(blobs).orderBy("doc_id")
+
+
+@register("hex_cell_counts_r5")  # no canonical-h3 oracle in sandbox
+def q_hex_cell_counts(spark, sf_dir):
+    """Aperture-7 hex DGGS (H3-style, index/hexdggs.py) cell counts at
+    res 5 — invariants validated in tests/test_hexdggs.py; rows-only
+    driver check (the bit-exact production index is S2)."""
+    df = _coords(spark, sf_dir)
+    cell = G.hex_cell_udf(5)(F.col("lon"), F.col("lat")).alias("hex_cell")
+    return (df.select(cell).groupBy("hex_cell")
+              .agg(F.count("*").alias("n_docs"))
+              .orderBy("hex_cell"))
+
+
+_lon_r, _lat_r = lonlat_sql("doc_id")
+
+
+@register("mined_coords", f"""
+SELECT doc_id, CAST(printf('%.6f', {_lat_r}) AS DOUBLE) AS lat,
+       CAST(printf('%.6f', {_lon_r}) AS DOUBLE) AS lon
+FROM documents ORDER BY doc_id
+""")
+def q_mined_coords(spark, sf_dir):
+    """End-to-end miner check: synthesize pages (text + embedded
+    'located at lat, lon' mention), run the vectorized regex miner
+    (sources/pages.py mapInPandas), return what it extracted — must
+    equal the deterministic coordinates the generator embedded."""
+    from .sources.pages import mine_coords, synthesize_pages
+
+    p = synthesize_pages(spark, sf_dir)
+    return (mine_coords(p).select("doc_id", "lat", "lon")
+            .orderBy("doc_id"))
+
+
+def queries() -> dict[str, Callable]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
