@@ -253,6 +253,9 @@ def laea_setup(params: dict, ell: Ellipsoid, phi0: float) -> LaeaConsts:
                                    * rq * cosb1))
         xmf = rq * dd
         ymf = rq / dd
+    elif mode == "equit":
+        # laea.cpp:280-283: dd = 1/rq, xmf = 1, ymf = qp/2
+        dd, xmf, ymf = 1.0 / rq, 1.0, 0.5 * qp
     else:
         dd, xmf, ymf = 1.0, rq, rq
     return LaeaConsts(mode=mode, phi0=phi0, sinb1=sinb1, cosb1=cosb1,
@@ -305,7 +308,7 @@ def laea_fwd(lam, phi, C: LaeaConsts):
         b = np.where(b < EPS10, np.nan, b)
         b = np.sqrt(2.0 / b)
         x = C.xmf * b * cosb * sinlam
-        y = C.ymf * 0.5 * b * sinb
+        y = C.ymf * b * sinb
     elif C.mode == "n_pole":
         b = np.sqrt(np.clip(C.qp - qsfn(np.sin(phi), C.e, C.one_es),
                             0.0, None))
@@ -567,23 +570,72 @@ def eck4_fwd(lam, phi, max_iter: int = 6):
     return x, y
 
 
+# Robinson cubic interpolation tables (published Robinson 1974 node
+# values with the cubic-spline coefficients used by the reference,
+# src/projections/robin.cpp:27-70; stored as float32 exactly as the
+# reference declares them `float`)
+_ROBIN_X = np.array([
+    [1.0, 2.2199e-17, -7.15515e-05, 3.1103e-06],
+    [0.9986, -0.000482243, -2.4897e-05, -1.3309e-06],
+    [0.9954, -0.00083103, -4.48605e-05, -9.86701e-07],
+    [0.99, -0.00135364, -5.9661e-05, 3.6777e-06],
+    [0.9822, -0.00167442, -4.49547e-06, -5.72411e-06],
+    [0.973, -0.00214868, -9.03571e-05, 1.8736e-08],
+    [0.96, -0.00305085, -9.00761e-05, 1.64917e-06],
+    [0.9427, -0.00382792, -6.53386e-05, -2.6154e-06],
+    [0.9216, -0.00467746, -0.00010457, 4.81243e-06],
+    [0.8962, -0.00536223, -3.23831e-05, -5.43432e-06],
+    [0.8679, -0.00609363, -0.000113898, 3.32484e-06],
+    [0.835, -0.00698325, -6.40253e-05, 9.34959e-07],
+    [0.7986, -0.00755338, -5.00009e-05, 9.35324e-07],
+    [0.7597, -0.00798324, -3.5971e-05, -2.27626e-06],
+    [0.7186, -0.00851367, -7.01149e-05, -8.6303e-06],
+    [0.6732, -0.00986209, -0.000199569, 1.91974e-05],
+    [0.6213, -0.010418, 8.83923e-05, 6.24051e-06],
+    [0.5722, -0.00906601, 0.000182, 6.24051e-06],
+    [0.5322, -0.00677797, 0.000275608, 6.24051e-06],
+], dtype=np.float32).astype(np.float64)
+
+_ROBIN_Y = np.array([
+    [-5.20417e-18, 0.0124, 1.21431e-18, -8.45284e-11],
+    [0.062, 0.0124, -1.26793e-09, 4.22642e-10],
+    [0.124, 0.0124, 5.07171e-09, -1.60604e-09],
+    [0.186, 0.0123999, -1.90189e-08, 6.00152e-09],
+    [0.248, 0.0124002, 7.10039e-08, -2.24e-08],
+    [0.31, 0.0123992, -2.64997e-07, 8.35986e-08],
+    [0.372, 0.0124029, 9.88983e-07, -3.11994e-07],
+    [0.434, 0.0123893, -3.69093e-06, -4.35621e-07],
+    [0.4958, 0.0123198, -1.02252e-05, -3.45523e-07],
+    [0.5571, 0.0121916, -1.54081e-05, -5.82288e-07],
+    [0.6176, 0.0119938, -2.41424e-05, -5.25327e-07],
+    [0.6769, 0.011713, -3.20223e-05, -5.16405e-07],
+    [0.7346, 0.0113541, -3.97684e-05, -6.09052e-07],
+    [0.7903, 0.0109107, -4.89042e-05, -1.04739e-06],
+    [0.8435, 0.0103431, -6.4615e-05, -1.40374e-09],
+    [0.8936, 0.00969686, -6.4636e-05, -8.547e-06],
+    [0.9394, 0.00840947, -0.000192841, -4.2106e-06],
+    [0.9761, 0.00616527, -0.000256, -4.2106e-06],
+    [1.0, 0.00328947, -0.000319159, -4.2106e-06],
+], dtype=np.float32).astype(np.float64)
+
+_ROBIN_FXC = 0.8487
+_ROBIN_FYC = 1.3523
+_ROBIN_C1 = 11.45915590261646417544  # nodes per radian (1/5deg)
+_ROBIN_RC1 = 0.08726646259971647884  # 5 degrees in radians
+_ROBIN_NODES = 18
+
+
 def robin_fwd(lam, phi, _=None):
-    """Robinson (src/projections/robin.cpp) — cubic-spline table from
-    the reference's coefficient table, simplified to the published
-    5-degree control points with linear interpolation between them
-    (documented deviation: PROJ uses cubic; we mark this kernel
-    approximate and exclude it from gie parity)."""
-    PHI_DEG = np.abs(phi) / DEG_TO_RAD
-    X_TAB = np.array([1.0, 0.9986, 0.9954, 0.99, 0.9822, 0.973, 0.96,
-                      0.9427, 0.9216, 0.8962, 0.8679, 0.835, 0.7986,
-                      0.7597, 0.7186, 0.6732, 0.6213, 0.5722, 0.5322])
-    Y_TAB = np.array([0.0, 0.062, 0.124, 0.186, 0.248, 0.31, 0.372,
-                      0.434, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346,
-                      0.7903, 0.8435, 0.8936, 0.9394, 0.9761, 1.0])
-    idx = np.clip((PHI_DEG / 5.0).astype(np.int64), 0, 17)
-    frac = PHI_DEG / 5.0 - idx
-    xs = X_TAB[idx] + (X_TAB[np.minimum(idx + 1, 18)] - X_TAB[idx]) * frac
-    ys = Y_TAB[idx] + (Y_TAB[np.minimum(idx + 1, 18)] - Y_TAB[idx]) * frac
-    x = 0.8487 * xs * lam
-    y = 1.3523 * np.sign(phi) * ys
+    """Robinson (robin.cpp s_forward): per-5-degree-node cubic
+    V(C, dphi_deg) with the reference's coefficient tables."""
+    dphi = np.abs(phi)
+    i = np.floor(dphi * _ROBIN_C1 + 1e-15).astype(np.int64)
+    i = np.clip(i, 0, _ROBIN_NODES)
+    z = (dphi - _ROBIN_RC1 * i) / DEG_TO_RAD  # degrees past the node
+    cx = _ROBIN_X[i]
+    cy = _ROBIN_Y[i]
+    vx = cx[:, 0] + z * (cx[:, 1] + z * (cx[:, 2] + z * cx[:, 3]))
+    vy = cy[:, 0] + z * (cy[:, 1] + z * (cy[:, 2] + z * cy[:, 3]))
+    x = vx * _ROBIN_FXC * lam
+    y = np.where(phi < 0.0, -vy, vy) * _ROBIN_FYC
     return x, y

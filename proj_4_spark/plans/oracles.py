@@ -217,6 +217,66 @@ ORDER BY doc_id
 """
 
 
+def _wrap(raw: str) -> str:
+    """adjlon wrap into (-pi, pi]."""
+    return f"({raw} - 2.0*pi()*floor(({raw} + pi())/(2.0*pi())))"
+
+
+def _qsfn_sql(s: str, e: float, one_es: float) -> str:
+    """qsfn (src/qsfn.cpp:6-18) as SQL."""
+    con = f"({L(e)}*{s})"
+    return (f"({L(one_es)}*({s}/(1.0 - {con}*{con})"
+            f" - (0.5/{L(e)})*ln((1.0 - {con})/(1.0 + {con}))))")
+
+
+def eqc_xy(projstr: str = "+proj=eqc +ellps=GRS80", lon: str = "lon",
+           lat: str = "lat") -> tuple[str, str]:
+    """Equidistant cylindrical: x = a·rc·λ, y = a·(φ - φ0)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    rc = op.consts.rc
+    a = op.ell.a
+    lam = _wrap(f"(radians({lon}) - {L(op.lam0)})")
+    return (f"({L(a)} * ({L(rc)} * {lam}))",
+            f"({L(a)} * (radians({lat}) - {L(op.consts.phi0)}))")
+
+
+def aea_xy(projstr: str, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Albers equal-area conic fwd (aea.cpp e_forward) with the
+    driver-computed n/c/rho0/dd constants."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a = op.ell.a
+    s = f"sin(radians({lat}))"
+    q = _qsfn_sql(s, C.e, C.one_es)
+    rho = f"({L(C.dd)} * sqrt({L(C.c)} - {L(C.n)}*{q}))"
+    lam = _wrap(f"(radians({lon}) - {L(op.lam0)})")
+    lamn = f"({lam} * {L(C.n)})"
+    return (f"({L(a)} * ({rho} * sin({lamn})))",
+            f"({L(a)} * ({L(C.rho0)} - {rho} * cos({lamn})))")
+
+
+def laea_xy(projstr: str, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Lambert azimuthal equal-area fwd, oblique ellipsoidal branch
+    (laea.cpp e_forward)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert C.mode == "obliq" and not C.spherical
+    a = op.ell.a
+    lam = _wrap(f"(radians({lon}) - {L(op.lam0)})")
+    s = f"sin(radians({lat}))"
+    sinb = f"({_qsfn_sql(s, C.e, C.one_es)} / {L(C.qp)})"
+    cosb = f"sqrt(1.0 - {sinb}*{sinb})"
+    b = (f"sqrt(2.0/(1.0 + {L(C.sinb1)}*{sinb}"
+         f" + {L(C.cosb1)}*{cosb}*cos({lam})))")
+    x = f"({L(a)} * ({L(C.xmf)} * {b} * {cosb} * sin({lam})))"
+    y = (f"({L(a)} * ({L(C.ymf)} * {b} * ({L(C.cosb1)}*{sinb}"
+         f" - {L(C.sinb1)}*{cosb}*cos({lam}))))")
+    return x, y
+
+
 # ------------------------------------------------------------------- S2
 
 def s2_face_ij_sql(level: int) -> str:

@@ -392,8 +392,148 @@ def compile_operation(params: dict) -> Operation:
         op.left, op.right = WHATEVER, WHATEVER
         op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
     else:
-        raise NotImplementedError(f"+proj={proj_id} not implemented")
+        _init_misc()
+        mk = _MISC_REGISTRY.get(proj_id)
+        if mk is None:
+            raise NotImplementedError(f"+proj={proj_id} not implemented")
+        mk(op, params, ell, k0, phi0)
+    if op.inv_k is None and op.fwd_k is not None:
+        # numeric Newton inverse on the forward kernel
+        # (src/generic_inverse.cpp:33+)
+        from .kernels.generic_inverse import generic_inverse
+
+        fwdk = op.fwd_k
+
+        def _num_inv(x, y, z, t, _f=fwdk):
+            def f2(la, ph):
+                xx, yy, _ = _f(la, ph, np.zeros_like(la),
+                               np.full_like(la, np.inf))
+                return xx, yy
+
+            # seed away from the poles: the numeric Jacobian is
+            # singular at |phi| = pi/2 (cos phi = 0)
+            seed = min(max(op.phi0 or 1e-7, -1.4), 1.4)
+            la, ph = generic_inverse(f2, x, y, phi0=seed)
+            return la, ph, z
+
+        op.inv_k = _num_inv
     return op
+
+
+# --- long-tail projections (kernels/misc_proj.py; SURVEY.md §2.3) -------
+
+def _mk_eqc(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.eqc_setup(params, ell, k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.eqc_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.eqc_inv(x, y, C), z)
+
+
+def _mk_cea(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.cea_setup(params, ell, k0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.cea_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.cea_inv(x, y, C), z)
+
+
+def _mk_aea(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    phi1 = float(params.get("lat_1", 29.5)) * DEG_TO_RAD
+    phi2_ = float(params.get("lat_2", 45.5)) * DEG_TO_RAD
+    if op.proj_id == "leac":
+        # Lambert equal-area conic: lat_2 = +-90 (aea.cpp:165-175)
+        phi2_ = -HALFPI if "south" in params else HALFPI
+        phi1 = float(params.get("lat_1", 45.0)) * DEG_TO_RAD
+    C = M.aea_setup(params, ell, phi0, phi1, phi2_)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.aea_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.aea_inv(x, y, C), z)
+
+
+def _mk_laea(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.laea_setup(params, ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.laea_fwd(x, y, C), z)
+    op.inv_k = None  # inverse via generic Newton (future)
+
+
+def _mk_stere(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    if op.proj_id == "ups":
+        op.x0 = float(params.get("x_0", 2000000.0))
+        op.y0 = float(params.get("y_0", 2000000.0))
+    C = M.stere_setup(params, ell, op.k0, phi0, op.proj_id)
+    op.phi0 = C.phi0
+    # akm1 pre-folds k0 (stere.cpp); neutralize the generic k0 scaling
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.stere_fwd(x, y, C), z)
+    op.inv_k = None
+
+
+def _mk_sinu(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    en = M.sinu_setup(ell)
+    es = ell.es
+    op.consts = en
+    op.fwd_k = lambda x, y, z, t: (*M.sinu_fwd(x, y, en, es), z)
+    op.inv_k = lambda x, y, z, t: (*M.sinu_inv(x, y, en, es), z)
+
+
+def _mk_moll(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    p = {"moll": HALFPI, "wag4": math.pi / 3.0}[op.proj_id]
+    C = M.moll_setup(p)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.moll_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.moll_inv(x, y, C), z)
+
+
+def _mk_simple(fwd, inv):
+    def mk(op, params, ell, k0, phi0):
+        op.fwd_k = lambda x, y, z, t: (*fwd(x, y), z)
+        op.inv_k = (lambda x, y, z, t: (*inv(x, y), z)) if inv else None
+
+    return mk
+
+
+def _misc_registry():
+    from .kernels import misc_proj as M
+
+    return {
+        "eqc": _mk_eqc,
+        "cea": _mk_cea,
+        "aea": _mk_aea,
+        "leac": _mk_aea,
+        "laea": _mk_laea,
+        "stere": _mk_stere,
+        "ups": _mk_stere,
+        "sinu": _mk_sinu,
+        "moll": _mk_moll,
+        "wag4": _mk_moll,
+        "gall": _mk_simple(M.gall_fwd, M.gall_inv),
+        "mill": _mk_simple(M.mill_fwd, M.mill_inv),
+        "eck4": _mk_simple(M.eck4_fwd, None),
+        "robin": _mk_simple(M.robin_fwd, None),
+    }
+
+
+_MISC_REGISTRY = None
+
+
+def _init_misc():
+    global _MISC_REGISTRY
+    if _MISC_REGISTRY is None:
+        _MISC_REGISTRY = _misc_registry()
 
 
 # ------------------------- pipeline -------------------------------------

@@ -772,6 +772,55 @@ def q_multimodal_meta(spark, sf_dir):
     return MM.extract_meta(blobs).orderBy("doc_id")
 
 
+# ------- long-tail projections (kernels/misc_proj.py, SURVEY §2.3) ----
+
+_EQC = "+proj=eqc +ellps=GRS80 +lat_ts=30"
+_ex, _ey = O.eqc_xy(_EQC)
+_AEA = "+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96"
+_ax, _ay = O.aea_xy(_AEA)
+_LAEA = "+proj=laea +ellps=GRS80 +lat_0=45 +lon_0=10"
+_px, _py = O.laea_xy(_LAEA)
+
+
+@register("eqc_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_ex}, 2) AS x_m, round({_ey}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_eqc_fwd(spark, sf_dir):
+    """Equidistant cylindrical (eqc.cpp), lat_ts=30."""
+    df = G.with_projected(_coords(spark, sf_dir), _EQC)
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+@register("aea_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_ax}, 2) AS x_m, round({_ay}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_aea_fwd(spark, sf_dir):
+    """Albers equal-area conic (aea.cpp), CONUS parameters; the
+    equal-area property is differentially verified in
+    tests/test_misc_proj.py."""
+    df = G.with_projected(_coords(spark, sf_dir), _AEA)
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+@register("laea_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, round({_px}, 2) AS x_m, round({_py}, 2) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_laea_fwd(spark, sf_dir):
+    """Lambert azimuthal equal-area (laea.cpp), oblique Europe-style
+    parameters."""
+    df = G.with_projected(_coords(spark, sf_dir), _LAEA)
+    return df.select("doc_id", F.round("x", 2).alias("x_m"),
+                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
 @register("hex_cell_counts_r5")  # no canonical-h3 oracle in sandbox
 def q_hex_cell_counts(spark, sf_dir):
     """Aperture-7 hex DGGS (H3-style, index/hexdggs.py) cell counts at

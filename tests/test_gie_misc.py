@@ -1,0 +1,60 @@
+"""gie golden vectors for the long-tail projections.
+
+Values transcribed from /root/reference/test/gie/builtins.gie
+(tolerance 0.1 mm, the reference's own gate for these blocks).
+"""
+
+import numpy as np
+import pytest
+
+from proj_4_spark.proj import compile_projstring
+
+# (projstring, lon, lat, exp_x, exp_y, tol_m, gie line)
+CASES = [
+    ("+proj=aea +ellps=GRS80 +lat_1=0 +lat_2=2", 2, 1,
+     222571.608757106, 110653.326743030, 1e-4, "builtins.gie:36"),
+    ("+proj=leac +ellps=GRS80 +lat_1=0 +lat_2=2", 2, 1,
+     220685.140542979, 112983.500889396, 1e-4, "builtins.gie:3794"),
+    ("+proj=leac +ellps=GRS80 +lat_1=0 +lat_2=2", 2, -1,
+     224553.312279826, -108128.636744873, 1e-4, "builtins.gie:3799"),
+    ("+proj=stere +ellps=GRS80", 2, 1,
+     222644.854550117, 110610.883474174, 1e-4, "builtins.gie:6546"),
+    ("+proj=stere +R=6400000", 2, 1,
+     223407.810259507, 111737.938996443, 1e-4, "builtins.gie:6569"),
+    ("+proj=stere +ellps=GRS80 +lat_0=90 +lat_ts=70", 20, 70,
+     748315.3282, -2055979.4669, 1e-4, "builtins.gie:6593"),
+    ("+proj=stere +ellps=GRS80 +lat_0=90 +lat_ts=70", 0, 90,
+     0.0, 0.0, 1e-9, "builtins.gie:6596"),
+    ("+proj=ups +ellps=GRS80", 2, 1,
+     2433455.563438467, -10412543.301512826, 1e-4, "builtins.gie:7480"),
+    ("+proj=ups +ellps=GRS80", 2, -1,
+     2448749.118568199, -10850493.419804076, 1e-4, "builtins.gie:7485"),
+    ("+proj=eqc +a=6400000", 2, 1,
+     223402.144255274, 111701.072127637, 1e-4, "builtins.gie:1629"),
+    ("+proj=cea +ellps=GRS80", 2, 1,
+     222638.981586547, 110568.812396267, 1e-4, "builtins.gie:1008"),
+    ("+proj=laea +ellps=GRS80", 2, 1,
+     222602.471450095, 110589.827224410, 1e-4, "builtins.gie:3286"),
+    ("+proj=sinu +ellps=GRS80", 2, 1,
+     222605.299539466, 110574.388554153, 1e-4, "builtins.gie:6440"),
+    ("+proj=moll +a=6400000", 2, 1,
+     201113.698641813, 124066.283433860, 1e-4, "builtins.gie:4435"),
+    ("+proj=gall +a=6400000", 2, 1,
+     157969.171134520, 95345.249178386, 1e-4, "builtins.gie:1933"),
+    ("+proj=mill +a=6400000", 2, 1,
+     223402.144255274, 111704.701754394, 1e-4, "builtins.gie:4247"),
+    ("+proj=eck4 +a=6400000", 2, 1,
+     188646.389356416, 132268.540174065, 1e-4, "builtins.gie:1482"),
+    ("+proj=robin +a=6400000", 2, 1,
+     189588.423282508, 107318.530350703, 1e-4, "builtins.gie:6168"),
+]
+
+
+@pytest.mark.parametrize("ps,lon,lat,ex,ey,tol,src", CASES,
+                         ids=[f"{c[0].split()[0][6:]}:{c[6]}" for c in CASES])
+def test_gie_golden(ps, lon, lat, ex, ey, tol, src):
+    tr = compile_projstring(ps)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < tol, f"{src}: x {x[0]!r} != {ex!r}"
+    assert abs(y[0] - ey) < tol, f"{src}: y {y[0]!r} != {ey!r}"
