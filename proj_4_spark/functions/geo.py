@@ -23,6 +23,35 @@ from ..kernels import geodesic as k_geod
 from ..proj import Transform, compile_projstring
 
 
+CHUNK = 65536
+"""Rows per kernel invocation inside a UDF.  Arrow batches stay large
+(amortize JVM<->Python IPC) but the NumPy kernels run on cache-sized
+blocks: large temporaries cause mmap/page-fault churn that costs ~6x
+(measured: 4M-row S2 encode 4.4 s unchunked vs 0.7 s in 64k chunks)."""
+
+
+def run_chunked(kernel, *arrays):
+    """kernel(*arrays) -> tuple/list of result arrays, evaluated in
+    CHUNK-row blocks (dtypes inferred from the first block)."""
+    n = len(arrays[0])
+    first = kernel(*(a[:CHUNK] for a in arrays))
+    single = not isinstance(first, (tuple, list))
+    if single:
+        first = (first,)
+    if n <= CHUNK:
+        return first[0] if single else first
+    outs = [np.empty(n, dtype=np.asarray(r).dtype) for r in first]
+    for o, r in zip(outs, first):
+        o[:CHUNK] = r
+    for i in range(CHUNK, n, CHUNK):
+        res = kernel(*(a[i:i + CHUNK] for a in arrays))
+        if single:
+            res = (res,)
+        for o, r in zip(outs, res):
+            o[i:i + CHUNK] = r
+    return outs[0] if single else outs
+
+
 def project_udf(projstr_or_transform, direction: str = "fwd"):
     """pandas UDF (lon,lat[,z,t] degrees) -> struct<x,y,z double>.
 
@@ -33,9 +62,12 @@ def project_udf(projstr_or_transform, direction: str = "fwd"):
 
     @pandas_udf("struct<x: double, y: double, z: double>")
     def _project(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        x, y, z, _ = tr.transform_deg(a.to_numpy(np.float64),
-                                      b.to_numpy(np.float64),
-                                      direction=direction)
+        def k(aa, bb):
+            x, y, z, _ = tr.transform_deg(aa, bb, direction=direction)
+            return x, y, z
+
+        x, y, z = run_chunked(k, a.to_numpy(np.float64),
+                              b.to_numpy(np.float64))
         return pd.DataFrame({"x": x, "y": y, "z": z})
 
     return _project
@@ -58,8 +90,9 @@ def s2_cell_udf(level: int):
 
     @pandas_udf("long")
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(s2idx.cell_id(lon.to_numpy(np.float64),
-                                       lat.to_numpy(np.float64), level))
+        return pd.Series(run_chunked(
+            lambda a, b: s2idx.cell_id(a, b, level),
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
 
     return _cell
 
@@ -73,11 +106,14 @@ def s2_face_ij_udf(level: int):
 
     @pandas_udf("struct<face: int, i: long, j: long>")
     def _fij(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        cid = s2idx.cell_id(lon.to_numpy(np.float64),
-                            lat.to_numpy(np.float64), level)
-        face, i, j = s2idx.to_face_ij(cid)
-        return pd.DataFrame({"face": face.astype(np.int32),
-                             "i": i >> shift, "j": j >> shift})
+        def k(a, b):
+            cid = s2idx.cell_id(a, b, level)
+            face, i, j = s2idx.to_face_ij(cid)
+            return face.astype(np.int32), i >> shift, j >> shift
+
+        face, i, j = run_chunked(k, lon.to_numpy(np.float64),
+                                 lat.to_numpy(np.float64))
+        return pd.DataFrame({"face": face, "i": i, "j": j})
 
     return _fij
 
@@ -112,8 +148,9 @@ def hex_cell_udf(res: int):
 
     @pandas_udf("long")
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(hx.encode(lon.to_numpy(np.float64),
-                                   lat.to_numpy(np.float64), res))
+        return pd.Series(run_chunked(
+            lambda a, b: hx.encode(a, b, res),
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
 
     return _cell
 
@@ -129,10 +166,13 @@ def geodesic_inverse_udf(a: float | None = None, f: float | None = None):
     @pandas_udf("struct<s12: double, azi1: double, azi2: double>")
     def _inv(lat1: pd.Series, lon1: pd.Series,
              lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
-        s12, azi1, azi2, _ = k_geod.inverse(g, lat1.to_numpy(np.float64),
-                                            lon1.to_numpy(np.float64),
-                                            lat2.to_numpy(np.float64),
-                                            lon2.to_numpy(np.float64))
+        def k(a, b, c, d):
+            s12, azi1, azi2, _ = k_geod.inverse(g, a, b, c, d)
+            return s12, azi1, azi2
+
+        s12, azi1, azi2 = run_chunked(
+            k, lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64))
         return pd.DataFrame({"s12": s12, "azi1": azi1, "azi2": azi2})
 
     return _inv
@@ -202,15 +242,18 @@ def utm_all_zones_udf(approx: bool = True):
     def _utm(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
         lo = lon.to_numpy(np.float64)
         la = lat.to_numpy(np.float64)
-        zone = (np.floor((lo + 180.0) / 6.0).astype(np.int64) % 60 + 1)
-        lam0 = np.radians((zone * 6 - 183).astype(np.float64))
-        lam = np.radians(lo) - lam0
-        phi = np.radians(la)
-        xk, yk = k_tmerc.fwd(lam, phi, C)
-        e = a * xk + 500000.0
-        n = a * yk + np.where(la < 0, 1.0e7, 0.0)
-        return pd.DataFrame({"zone": zone.astype(np.int32),
-                             "easting": e, "northing": n})
+        def k(lo_c, la_c):
+            zone = (np.floor((lo_c + 180.0) / 6.0).astype(np.int64) % 60 + 1)
+            lam0 = np.radians((zone * 6 - 183).astype(np.float64))
+            lam = np.radians(lo_c) - lam0
+            phi = np.radians(la_c)
+            xk, yk = k_tmerc.fwd(lam, phi, C)
+            e = a * xk + 500000.0
+            n = a * yk + np.where(la_c < 0, 1.0e7, 0.0)
+            return zone.astype(np.int32), e, n
+
+        zone, e, n = run_chunked(k, lo, la)
+        return pd.DataFrame({"zone": zone, "easting": e, "northing": n})
 
     return _utm
 

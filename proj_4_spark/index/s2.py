@@ -64,14 +64,25 @@ def lonlat_to_xyz(lon_rad, lat_rad):
 
 
 def xyz_to_face_uv(x, y, z):
-    """GetFace + ValidFaceXYZtoUV (s2.cpp:226-253), vectorized."""
+    """GetFace + ValidFaceXYZtoUV (s2.cpp:226-253), vectorized.
+
+    Numerators/denominator are gathered per point instead of
+    evaluating all six ratios (6x less arithmetic + memory traffic —
+    this encoder is the hot loop of the tiling path)."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     pface = np.choose(face, [x, y, z])
     face = np.where(pface < 0, face + 3, face)
+    nx, ny, nz = -x, -y, -z
+    # u = [y/x, -x/y, -x/z, z/x, z/y, -y/z][face]
+    u_num = np.choose(face, [y, nx, nx, z, z, ny])
+    v_num = np.choose(face, [z, z, ny, y, nx, nx])
+    den = np.choose(face, [x, y, z, x, y, z])
     with np.errstate(invalid="ignore", divide="ignore"):
-        u = np.choose(face, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
-        v = np.choose(face, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
+        # true division (not reciprocal-multiply): bit-parity with the
+        # oracle's y/x etc. must hold
+        u = u_num / den
+        v = v_num / den
     return face, u, v
 
 

@@ -57,12 +57,25 @@ def ray_cast_udf(polygon_rows: list[dict]):
         px = lon.to_numpy(np.float64)
         py = lat.to_numpy(np.float64)
         ids = pid.to_numpy(np.int64)
-        out = np.zeros(len(px), dtype=bool)
-        for p in np.unique(ids):
-            m = ids == p
-            rx, ry = rings[int(p)]
-            x, y = px[m], py[m]
-            inside = np.zeros(x.shape, dtype=bool)
+        # group rows by polygon via one argsort, then test each
+        # contiguous slice — O(edges) passes over each row instead of
+        # O(polygons) full-batch masked passes (memory-bandwidth wins
+        # at scale)
+        order = np.argsort(ids, kind="stable")
+        sx = px[order]
+        sy = py[order]
+        sids = ids[order]
+        out_sorted = np.zeros(len(px), dtype=bool)
+        bounds = np.flatnonzero(np.diff(sids)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sids)]))
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            rx, ry = rings[int(sids[s])]
+            x = sx[s:e]
+            y = sy[s:e]
+            inside = np.zeros(e - s, dtype=bool)
             n = len(rx)
             for i in range(n):
                 j = (i + 1) % n
@@ -71,7 +84,9 @@ def ray_cast_udf(polygon_rows: list[dict]):
                 with np.errstate(invalid="ignore", divide="ignore"):
                     xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
                 inside ^= crosses & (x < xint)
-            out[m] = inside
+            out_sorted[s:e] = inside
+        out = np.zeros(len(px), dtype=bool)
+        out[order] = out_sorted
         return pd.Series(out)
 
     return _inside
@@ -83,11 +98,13 @@ def pip_join(points: DataFrame, polygon_rows: list[dict], level: int = 10,
     """points × polygons -> (points.*, polygon_id) for every polygon
     strictly containing the point."""
     spark = points.sparkSession
-    cover = polygon_cover_df(spark, polygon_rows, level)
+    cover = (polygon_cover_df(spark, polygon_rows, level)
+             .withColumnRenamed("cell", "_cover_cell"))
     cell = s2_cell_udf(level)(F.col(lon), F.col(lat)).alias("_cell")
     pts = points.withColumn("_cell", cell)
     cov = broadcast(cover) if broadcast_cover else cover
-    cand = pts.join(cov, pts["_cell"] == cov["cell"], "inner").drop("cell")
+    cand = (pts.join(cov, pts["_cell"] == cov["_cover_cell"], "inner")
+               .drop("_cover_cell"))
     inside = ray_cast_udf(polygon_rows)
     out = (cand.where(inside(F.col(lon), F.col(lat), F.col("polygon_id")))
                .drop("_cell"))

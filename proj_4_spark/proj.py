@@ -34,6 +34,10 @@ from .kernels.ellipsoid import Ellipsoid
 
 PJ_EPS_LAT = 1e-12
 
+# named correction grids (driver registers, executors get via the
+# broadcast UDF closure) — the analogue of PROJ's grid file catalog
+GRID_REGISTRY: dict[str, object] = {}
+
 # IO unit tags (src/proj_internal.h:192-200)
 WHATEVER = "whatever"
 CLASSIC = "classic"  # plane coords in units of the semimajor axis
@@ -132,6 +136,8 @@ class Operation:
     # kernels operate on (a, b[, z, t]) channel arrays
     fwd_k: Callable | None = None
     inv_k: Callable | None = None
+    t_fwd: Callable | None = None  # time-channel map (unitconvert)
+    t_inv: Callable | None = None
     inverse: bool = False  # +inv on this step
     omit_fwd: bool = False
     omit_inv: bool = False
@@ -192,6 +198,8 @@ class Operation:
             elif self.left == CARTESIAN:
                 x, y, z = self._prepare_in(x, y, z, self.left)
             x, y, z = self.fwd_k(x, y, z, t)
+            if self.t_fwd is not None:
+                t = self.t_fwd(t)
             x, y, z = self._finalize_out(x, y, z, self.right)
             if self.right == RADIANS:
                 z = self.vfr_meter * (z + self.z0)
@@ -199,6 +207,8 @@ class Operation:
             x, y, z = self._prepare_in(x, y, z, self.right)
             if self.right == RADIANS:
                 z = self.vto_meter * z - self.z0
+            if self.t_inv is not None:
+                t = self.t_inv(t)
             x, y, z = self.inv_k(x, y, z, t)
             if self.left == RADIANS:
                 x = x + self.lam0
@@ -355,6 +365,19 @@ def compile_operation(params: dict) -> Operation:
         op.fwd_k = _uc_fwd
         op.inv_k = _uc_inv
         op.consts = (fxy, fz)
+        t_in = params.get("t_in")
+        t_out = params.get("t_out")
+        if t_in or t_out:
+            # calendar conversions via the mjd pivot
+            # (src/conversions/unitconvert.cpp:149-270, :438+)
+            from .kernels import timeunits as TU
+
+            fin = TU.TO_MJD[t_in] if t_in else (lambda v: v)
+            fout = TU.FROM_MJD[t_out] if t_out else (lambda v: v)
+            rin = TU.FROM_MJD[t_in] if t_in else (lambda v: v)
+            rout = TU.TO_MJD[t_out] if t_out else (lambda v: v)
+            op.t_fwd = lambda t: fout(fin(t))
+            op.t_inv = lambda t: rin(rout(t))
     elif proj_id == "affine":
         # 4x4 affine transform (src/transformations/affine.cpp:30+)
         def gp(key, default):
@@ -391,6 +414,28 @@ def compile_operation(params: dict) -> Operation:
     elif proj_id in ("push", "pop"):
         op.left, op.right = WHATEVER, WHATEVER
         op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+    elif proj_id in ("hgridshift", "vgridshift"):
+        # grid-based datum shift; grids resolve through GRID_REGISTRY
+        # (the Spark deployment broadcasts the arrays; the reference
+        # lazily loads NTv2/GTX files — src/grids.cpp:200-310)
+        from .kernels import gridshift as k_grid
+
+        name = params.get("grids")
+        if not name:
+            raise ValueError(f"{proj_id}: missing +grids")
+        grid = GRID_REGISTRY.get(str(name))
+        if grid is None:
+            raise FileNotFoundError(
+                f"{proj_id}: grid '{name}' not in GRID_REGISTRY")
+        op.left, op.right = RADIANS, RADIANS
+        if proj_id == "hgridshift":
+            op.fwd_k = lambda x, y, z, t: (*k_grid.hgrid_fwd(grid, x, y), z)
+            op.inv_k = lambda x, y, z, t: (*k_grid.hgrid_inv(grid, x, y), z)
+        else:
+            op.fwd_k = lambda x, y, z, t: (
+                x, y, k_grid.vgrid_apply(grid, x, y, z, True))
+            op.inv_k = lambda x, y, z, t: (
+                x, y, k_grid.vgrid_apply(grid, x, y, z, False))
     else:
         _init_misc()
         mk = _MISC_REGISTRY.get(proj_id)
@@ -506,10 +551,54 @@ def _mk_simple(fwd, inv):
     return mk
 
 
+def _mk_aeqd(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    C = A.aeqd_setup(ell, phi0, op.lam0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*A.aeqd_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*A.aeqd_inv(x, y, C), z)
+
+
+def _mk_gnom(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    op.fwd_k = lambda x, y, z, t: (*A.gnom_fwd(x, y, phi0), z)
+    op.inv_k = None
+
+
+def _mk_ortho(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    op.fwd_k = lambda x, y, z, t: (*A.ortho_fwd(x, y, phi0), z)
+    op.inv_k = lambda x, y, z, t: (*A.ortho_inv(x, y, phi0), z)
+
+
+def _mk_eqearth(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    C = A.eqearth_setup(ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*A.eqearth_fwd(x, y, C), z)
+    op.inv_k = None
+
+
+def _mk_natearth(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    op.fwd_k = lambda x, y, z, t: (*A.natearth_fwd(x, y), z)
+    op.inv_k = lambda x, y, z, t: (*A.natearth_inv(x, y), z)
+
+
 def _misc_registry():
     from .kernels import misc_proj as M
 
     return {
+        "aeqd": _mk_aeqd,
+        "gnom": _mk_gnom,
+        "ortho": _mk_ortho,
+        "eqearth": _mk_eqearth,
+        "natearth": _mk_natearth,
         "eqc": _mk_eqc,
         "cea": _mk_cea,
         "aea": _mk_aea,
@@ -545,7 +634,8 @@ def _is_identity_step(op: Operation) -> bool:
     identity unitconvert, all-zero helmert, identity axisswap."""
     if op.proj_id == "noop":
         return True
-    if op.proj_id == "unitconvert" and op.consts == (1.0, 1.0):
+    if (op.proj_id == "unitconvert" and op.consts == (1.0, 1.0)
+            and op.t_fwd is None):
         return True
     if op.proj_id == "helmert":
         C = op.consts
@@ -670,6 +760,28 @@ def compile_projstring(s: str) -> Transform:
                     del ops[i : i + 2]
                     changed = True
                     break
+        return Transform(ops=ops, definition=s)
+    if "towgs84" in top:
+        # cs2cs-emulation expansion (src/proj_internal.h:591-596 +
+        # fwd_prepare/fwd_finalize): src-datum -> WGS84 via
+        # cart -> 3/7-param helmert (position vector) -> inv cart.
+        vals = [float(v) for v in str(top["towgs84"]).split(",")]
+        vals += [0.0] * (7 - len(vals))
+        ell_keys = ("ellps", "a", "b", "rf", "es", "f", "R")
+        src_ell = {k: top[k] for k in ell_keys if k in top}
+        helm = {"proj": "helmert",
+                "x": vals[0], "y": vals[1], "z": vals[2],
+                "rx": vals[3], "ry": vals[4], "rz": vals[5], "s": vals[6],
+                "convention": "position_vector"}
+        if top.get("proj") not in ("latlong", "longlat", "latlon", "lonlat"):
+            raise NotImplementedError(
+                "+towgs84 expansion implemented for angular CRS only")
+        # PROJ's fwd_prepare runs: cart_wgs84 FWD -> helmert INV ->
+        # cart(local) INV (src/fwd.cpp:92-100), i.e. the operation's
+        # forward maps WGS84 angular -> local-datum angular.
+        ops = [compile_operation({"proj": "cart", "ellps": "WGS84"}),
+               compile_operation({**helm, "inv": True}),
+               compile_operation({"proj": "cart", "inv": True, **src_ell})]
         return Transform(ops=ops, definition=s)
     op = compile_operation(top)
     return Transform(ops=[op], definition=s)

@@ -2,8 +2,12 @@
 (spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
 
 Column names are aliased identically on both sides; float outputs are
-rounded identically on both sides (micrometer precision for meters)
-so cross-engine libm ulp differences cannot flip the value hash.
+rounded identically on both sides (centimeter precision for
+meter-scale outputs — cross-engine libm differences are ~1 ulp,
+amplified to ~1e-8 m at 2e7 m magnitude, so cm rounding makes the
+value hash deterministic while still attesting 5e-10 relative parity;
+the micrometer/nanometer-level parity itself is proven by the gie
+golden fixtures in tests/).
 """
 
 from __future__ import annotations
@@ -819,6 +823,26 @@ def q_laea_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), _LAEA)
     return df.select("doc_id", F.round("x", 2).alias("x_m"),
                      F.round("y", 2).alias("y_m")).orderBy("doc_id")
+
+
+@register("hgridshift_pipeline")  # grid values not SQL-embeddable;
+def q_hgridshift_pipeline(spark, sf_dir):  # rows-only driver check
+    """hgridshift (synthetic correction grid, GRID_REGISTRY) fused
+    with webmerc in one pipeline UDF; kernel validated against the
+    reference's bilinear + iterative-inverse semantics in
+    tests/test_gridshift*.py."""
+    from . import proj as P
+    from .kernels.gridshift import synthetic_hgrid
+
+    P.GRID_REGISTRY.setdefault("bench_h", synthetic_hgrid())
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=pipeline +step +proj=hgridshift "
+                      "+grids=bench_h +step +proj=webmerc")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_g", st)
+              .select("doc_id", F.round("_g.x", 2).alias("x_m"),
+                      F.round("_g.y", 2).alias("y_m"))
+              .orderBy("doc_id"))
 
 
 @register("hex_cell_counts_r5")  # no canonical-h3 oracle in sandbox
