@@ -590,10 +590,63 @@ def _mk_natearth(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*A.natearth_inv(x, y), z)
 
 
+def _mk_pcyl(op, params, ell, k0, phi0):
+    from .kernels import pcyl as PC
+
+    pid = op.proj_id
+    if pid == "eck1":
+        fwd, inv = PC.eck1_fwd, PC.eck1_inv
+    elif pid == "eck2":
+        fwd, inv = PC.eck2_fwd, PC.eck2_inv
+    elif pid == "eck5":
+        fwd, inv = PC.eck5_fwd, PC.eck5_inv
+    elif pid == "wag2":
+        fwd, inv = PC.wag2_fwd, PC.wag2_inv
+    elif pid == "wag3":
+        ts = float(params.get("lat_ts", 0.0)) * DEG_TO_RAD
+        fwd = lambda a, b: PC.wag3_fwd(a, b, ts)  # noqa: E731
+        inv = lambda a, b: PC.wag3_inv(a, b, ts)  # noqa: E731
+    elif pid == "wag5":
+        fwd, inv = PC.wag5_fwd, None
+    elif pid in PC.ECK3_PARAMS:
+        C = PC.ECK3_PARAMS[pid]
+        fwd = lambda a, b: PC.eck3_fwd(a, b, C)  # noqa: E731
+        inv = lambda a, b: PC.eck3_inv(a, b, C)  # noqa: E731
+    elif pid in PC.STS_PARAMS:
+        p, q, tan_mode = PC.STS_PARAMS[pid]
+        fwd = lambda a, b: PC.sts_fwd(a, b, p, q, tan_mode)  # noqa: E731
+        inv = lambda a, b: PC.sts_inv(a, b, p, q, tan_mode)  # noqa: E731
+    elif pid in ("urmfps", "wag1"):
+        n = (PC.WAG1_N if pid == "wag1"
+             else float(params.get("n", 0.0)))
+        if not 0.0 < n <= 1.0:
+            raise ValueError("urmfps: n in ]0,1] required")
+        fwd = lambda a, b: PC.urmfps_fwd(a, b, n)  # noqa: E731
+        inv = lambda a, b: PC.urmfps_inv(a, b, n)  # noqa: E731
+    elif pid in ("gn_sinu", "eck6", "mbtfps"):
+        if pid == "gn_sinu":
+            m = float(params["m"])
+            n = float(params["n"])
+        else:
+            m, n = PC.GN_SINU_PARAMS[pid]
+        fwd = lambda a, b: PC.gn_sinu_fwd(a, b, m, n)  # noqa: E731
+        inv = lambda a, b: PC.gn_sinu_inv(a, b, m, n)  # noqa: E731
+    else:  # pragma: no cover
+        raise NotImplementedError(pid)
+    op.fwd_k = lambda x, y, z, t: (*fwd(x, y), z)
+    op.inv_k = (lambda x, y, z, t: (*inv(x, y), z)) if inv else None
+
+
+_PCYL_IDS = ("eck1", "eck2", "eck3", "eck5", "eck6", "kav5", "kav7",
+             "wag1", "wag2", "wag3", "wag5", "wag6", "putp1", "qua_aut",
+             "fouc", "mbt_s", "mbtfps", "urmfps", "gn_sinu")
+
+
 def _misc_registry():
     from .kernels import misc_proj as M
 
-    return {
+    reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
+    reg.update({
         "aeqd": _mk_aeqd,
         "gnom": _mk_gnom,
         "ortho": _mk_ortho,
@@ -613,7 +666,8 @@ def _misc_registry():
         "mill": _mk_simple(M.mill_fwd, M.mill_inv),
         "eck4": _mk_simple(M.eck4_fwd, None),
         "robin": _mk_simple(M.robin_fwd, None),
-    }
+    })
+    return reg
 
 
 _MISC_REGISTRY = None
