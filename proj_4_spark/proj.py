@@ -590,6 +590,73 @@ def _mk_natearth(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*A.natearth_inv(x, y), z)
 
 
+def _mk_ob_tran(op, params, ell, k0, phi0):
+    """Oblique wrapper (src/projections/ob_tran.cpp): rotate the
+    sphere so a chosen pole (o_lat_p, o_lon_p) becomes the north pole
+    (Snyder 5-7/5-8b), then apply the linked +o_proj projection.
+    Registered o_proj kernels compose directly (one fused step)."""
+    o_proj = params.get("o_proj")
+    if not o_proj or o_proj is True:
+        raise ValueError("ob_tran: missing +o_proj")
+    if "o_alpha" in params or "o_lon_1" in params:
+        raise NotImplementedError("ob_tran: only o_lat_p/o_lon_p spec")
+    lamp = float(params.get("o_lon_p", 0.0)) * DEG_TO_RAD
+    phip = float(params.get("o_lat_p", 90.0)) * DEG_TO_RAD
+    ell_keys = ("ellps", "a", "b", "rf", "es", "f", "R")
+    link_params = {"proj": str(o_proj),
+                   **{k: params[k] for k in ell_keys if k in params}}
+    link = compile_operation(link_params)
+    oblique = abs(phip) > 1e-10
+    sphip, cphip = math.sin(phip), math.cos(phip)
+
+    def _rot_fwd(lam, phi):
+        coslam = np.cos(lam)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if oblique:  # o_forward (ob_tran.cpp:27-43)
+            lam2 = adjlon(np.arctan2(
+                cosphi * np.sin(lam),
+                sphip * cosphi * coslam + cphip * sinphi) + lamp)
+            phi2 = np.arcsin(np.clip(
+                sphip * sinphi - cphip * cosphi * coslam, -1.0, 1.0))
+        else:  # t_forward (ob_tran.cpp:45-56)
+            lam2 = adjlon(np.arctan2(cosphi * np.sin(lam), sinphi) + lamp)
+            phi2 = np.arcsin(np.clip(-cosphi * coslam, -1.0, 1.0))
+        return lam2, phi2
+
+    def _rot_inv(lam, phi):
+        lam = lam - lamp
+        coslam = np.cos(lam)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if oblique:  # o_inverse (ob_tran.cpp:59-79)
+            phi2 = np.arcsin(np.clip(
+                sphip * sinphi + cphip * cosphi * coslam, -1.0, 1.0))
+            lam2 = np.arctan2(cosphi * np.sin(lam),
+                              sphip * cosphi * coslam - cphip * sinphi)
+        else:  # t_inverse (ob_tran.cpp:81-95)
+            lam2 = np.arctan2(cosphi * np.sin(lam), -sinphi)
+            phi2 = np.arcsin(np.clip(cosphi * coslam, -1.0, 1.0))
+        return lam2, phi2
+
+    def _fwd(x, y, z, t):
+        lam2, phi2 = _rot_fwd(x, y)
+        return link.fwd_k(lam2, phi2, z, t)
+
+    op.fwd_k = _fwd
+    if link.inv_k is not None:
+        def _inv(x, y, z, t):
+            lam2, phi2, z2 = link.inv_k(x, y, z, t)
+            lam3, phi3 = _rot_inv(lam2, phi2)
+            return lam3, phi3, z2
+
+        op.inv_k = _inv
+    if str(o_proj) in ("latlong", "longlat", "latlon", "lonlat"):
+        # speculative rotated-latlong case: emit raw rotated radians,
+        # no earth-radius scaling (ob_tran.cpp:290-300)
+        op.right = PROJECTED
+
+
 def _mk_pcyl(op, params, ell, k0, phi0):
     from .kernels import pcyl as PC
 
@@ -647,6 +714,7 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "ob_tran": _mk_ob_tran,
         "aeqd": _mk_aeqd,
         "gnom": _mk_gnom,
         "ortho": _mk_ortho,
