@@ -15,12 +15,24 @@ import numpy as np
 
 
 def generic_inverse(fwd, x, y, lam0=None, phi0=None, max_iter: int = 15,
-                    tol: float = 1e-12, h: float = 1e-8):
-    """Vectorized Newton: returns (lam, phi); NaN where diverged."""
+                    tol: float = 1e-12, h: float = 1e-8,
+                    seed_from_xy: bool = True):
+    """Vectorized Newton: returns (lam, phi); NaN where diverged.
+
+    With ``seed_from_xy`` the iteration starts from the scaled
+    projected coordinates (inputs are in semimajor-axis units, so
+    x ~ lam and y ~ phi to first order for most projections) blended
+    with the provided center seeds — much larger convergence basin
+    than a fixed center start."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     lam = np.zeros_like(x) if lam0 is None else np.full_like(x, lam0)
     phi = np.zeros_like(x) if phi0 is None else np.full_like(x, phi0)
+    if seed_from_xy:
+        lam = np.clip(np.where(np.isfinite(x), 0.9 * x + lam, lam),
+                      -3.1, 3.1)
+        phi = np.clip(np.where(np.isfinite(y), 0.9 * y + phi, phi),
+                      -1.45, 1.45)
     active = np.isfinite(x) & np.isfinite(y)
     for _ in range(max_iter):
         if not active.any():

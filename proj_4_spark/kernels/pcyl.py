@@ -224,3 +224,37 @@ def wag5_fwd(lam, phi, max_iter: int = 10, tol: float = 1e-7):
             break
     theta = theta * 0.5
     return C_x * lam * np.cos(theta), C_y * np.sin(theta)
+
+
+# --- vandg (van der Grinten I) ------------------------------------------
+
+def vandg_fwd(lam, phi):
+    """van der Grinten I (vandg.cpp:16-80; Snyder 1987 29-1..29-6),
+    vectorized with the same branch structure."""
+    TOL = 1e-10
+    p2 = np.abs(phi / (np.pi / 2.0))
+    p2 = np.minimum(p2, 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        al = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        al2 = al * al
+        g = np.sqrt(np.clip(1.0 - p2 * p2, 0.0, None))
+        g = g / (p2 + g - 1.0)
+        g2 = g * g
+        P = g * (2.0 / p2 - 1.0)
+        P2 = P * P
+        xg = g - P2
+        gg = P2 + al2
+        x = (np.pi * np.abs(al * xg + np.sqrt(np.clip(
+            al2 * xg * xg - gg * (g2 - P2), 0.0, None))) / gg)
+        x = np.where(lam < 0, -x, x)
+        yy = np.abs(x / np.pi)
+        yy = 1.0 - yy * (yy + 2.0 * al)
+        y = np.sqrt(np.clip(yy, 0.0, None)) * np.where(phi < 0, -np.pi, np.pi)
+    # special branches (vandg.cpp:30-38)
+    eq = np.abs(phi) <= TOL
+    meridian = (np.abs(lam) <= TOL) | (np.abs(p2 - 1.0) < TOL)
+    y_pole = np.pi * np.tan(0.5 * np.arcsin(p2))
+    y_pole = np.where(phi < 0, -y_pole, y_pole)
+    x = np.where(eq, lam, np.where(meridian, 0.0, x))
+    y = np.where(eq, 0.0, np.where(meridian, y_pole, y))
+    return x, y

@@ -661,7 +661,9 @@ def _mk_pcyl(op, params, ell, k0, phi0):
     from .kernels import pcyl as PC
 
     pid = op.proj_id
-    if pid == "eck1":
+    if pid == "vandg":
+        fwd, inv = PC.vandg_fwd, None
+    elif pid == "eck1":
         fwd, inv = PC.eck1_fwd, PC.eck1_inv
     elif pid == "eck2":
         fwd, inv = PC.eck2_fwd, PC.eck2_inv
@@ -704,7 +706,7 @@ def _mk_pcyl(op, params, ell, k0, phi0):
     op.inv_k = (lambda x, y, z, t: (*inv(x, y), z)) if inv else None
 
 
-_PCYL_IDS = ("eck1", "eck2", "eck3", "eck5", "eck6", "kav5", "kav7",
+_PCYL_IDS = ("vandg", "eck1", "eck2", "eck3", "eck5", "eck6", "kav5", "kav7",
              "wag1", "wag2", "wag3", "wag5", "wag6", "putp1", "qua_aut",
              "fouc", "mbt_s", "mbtfps", "urmfps", "gn_sinu")
 

@@ -49,3 +49,18 @@ def test_roundtrip(ps):
     assert ok.mean() > 0.97
     assert np.nanmax(np.abs(lon2[ok] - lon[ok])) < 1e-6
     assert np.nanmax(np.abs(lat2[ok] - lat[ok])) < 1e-6
+
+
+def test_vandg_golden_and_roundtrip():
+    """van der Grinten I: builtins.gie:7619 (tolerance 0.25 mm) +
+    Newton-inverse roundtrip."""
+    tr = compile_projstring("+proj=vandg +a=6400000")
+    x, y, _, _ = tr.transform_deg(np.array([2.0]), np.array([1.0]))
+    assert abs(x[0] - 223395.249543407) < 2.5e-4
+    assert abs(y[0] - 111704.596633675) < 2.5e-4
+    lon = np.array([2.0, 100.0, -140.0, 30.0])
+    lat = np.array([-1.0, 60.0, -45.0, 0.5])
+    xx, yy, _, _ = tr.transform_deg(lon, lat)
+    lon2, lat2, _, _ = tr.transform_deg(xx, yy, direction="inv")
+    assert np.nanmax(np.abs(lon2 - lon)) < 1e-6
+    assert np.nanmax(np.abs(lat2 - lat)) < 1e-6
