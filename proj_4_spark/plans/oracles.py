@@ -209,9 +209,9 @@ xy AS (
   FROM tm
 )
 SELECT doc_id, zone,
-       round({L(a)}*xk + 500000.0, {round_to}) AS easting,
-       round({L(a)}*yk + (CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END),
-             {round_to}) AS northing
+       (round({L(a)}*xk + 500000.0, {round_to}) + 0.0) AS easting,
+       (round({L(a)}*yk + (CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END),
+             {round_to}) + 0.0) AS northing
 FROM xy
 ORDER BY doc_id
 """

@@ -44,7 +44,10 @@ def compare(spark_df, oracle_df, float_rtol: float = 0.0) -> list[str]:
             ov = ov.astype(np.float64)
             both_nan = np.isnan(sv) & np.isnan(ov)
             if float_rtol == 0.0:
-                ok = (sv == ov) | both_nan
+                # driver hashes the byte/string representation, so -0.0
+                # vs 0.0 is a mismatch there — be equally strict here
+                ok = (sv == ov) & (np.signbit(sv) == np.signbit(ov))
+                ok |= both_nan
             else:
                 ok = np.isclose(sv, ov, rtol=float_rtol, atol=0.0) | both_nan
             if not ok.all():

@@ -71,15 +71,15 @@ _wx, _wy = O.webmerc_xy()
 
 @register("webmerc_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_wx}, 2) AS x_m, round({_wy}, 2) AS y_m
+SELECT doc_id, (round({_wx}, 2) + 0.0) AS x_m, (round({_wy}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_webmerc_fwd(spark, sf_dir):
     """Spherical web-mercator forward (merc.cpp:76-84) via the fused
     projection pandas UDF."""
     df = G.with_projected(_coords(spark, sf_dir), "+proj=webmerc")
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 _mx, _my = O.merc_ell_xy("+proj=merc +ellps=GRS80")
@@ -87,14 +87,14 @@ _mx, _my = O.merc_ell_xy("+proj=merc +ellps=GRS80")
 
 @register("merc_ell_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_mx}, 2) AS x_m, round({_my}, 2) AS y_m
+SELECT doc_id, (round({_mx}, 2) + 0.0) AS x_m, (round({_my}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_merc_ell_fwd(spark, sf_dir):
     """Ellipsoidal Mercator forward (merc.cpp:13-43), GRS80."""
     df = G.with_projected(_coords(spark, sf_dir), "+proj=merc +ellps=GRS80")
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 _LCC = "+proj=lcc +ellps=GRS80 +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
@@ -103,15 +103,15 @@ _lx, _ly = O.lcc_xy(_LCC)
 
 @register("lcc_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_lx}, 2) AS x_m, round({_ly}, 2) AS y_m
+SELECT doc_id, (round({_lx}, 2) + 0.0) AS x_m, (round({_ly}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_lcc_fwd(spark, sf_dir):
     """Lambert Conformal Conic 2SP forward (lcc.cpp:22-42),
     CONUS-style parameters."""
     df = G.with_projected(_coords(spark, sf_dir), _LCC)
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 @register("utm_snyder_fwd", O.utm_snyder_sql(round_to=2))
@@ -124,8 +124,8 @@ def q_utm_snyder_fwd(spark, sf_dir):
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_u", st)
               .select("doc_id", F.col("_u.zone").alias("zone"),
-                      F.round("_u.easting", 2).alias("easting"),
-                      F.round("_u.northing", 2).alias("northing"))
+                      (F.round("_u.easting", 2) + 0.0).alias("easting"),
+                      (F.round("_u.northing", 2) + 0.0).alias("northing"))
               .orderBy("doc_id"))
 
 
@@ -134,8 +134,8 @@ _cx, _cy, _cz = O.cart_xyz("+proj=cart +ellps=GRS80")
 
 @register("cart_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_cx}, 2) AS gx, round({_cy}, 2) AS gy,
-       round({_cz}, 2) AS gz
+SELECT doc_id, (round({_cx}, 2) + 0.0) AS gx, (round({_cy}, 2) + 0.0) AS gy,
+       (round({_cz}, 2) + 0.0) AS gz
 FROM coords ORDER BY doc_id
 """)
 def q_cart_fwd(spark, sf_dir):
@@ -144,9 +144,9 @@ def q_cart_fwd(spark, sf_dir):
     u = G.project_udf("+proj=cart +ellps=GRS80")
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_c", st)
-              .select("doc_id", F.round("_c.x", 2).alias("gx"),
-                      F.round("_c.y", 2).alias("gy"),
-                      F.round("_c.z", 2).alias("gz"))
+              .select("doc_id", (F.round("_c.x", 2) + 0.0).alias("gx"),
+                      (F.round("_c.y", 2) + 0.0).alias("gy"),
+                      (F.round("_c.z", 2) + 0.0).alias("gz"))
               .orderBy("doc_id"))
 
 
@@ -165,8 +165,8 @@ WITH coords AS ({_COORDS_CTE}),
 geocent AS (
   SELECT doc_id, {_cx} AS gx, {_cy} AS gy, {_cz} AS gz FROM coords
 )
-SELECT doc_id, round({_hx}, 2) AS hx, round({_hy}, 2) AS hy,
-       round({_hz}, 2) AS hz
+SELECT doc_id, (round({_hx}, 2) + 0.0) AS hx, (round({_hy}, 2) + 0.0) AS hy,
+       (round({_hz}, 2) + 0.0) AS hz
 FROM geocent ORDER BY doc_id
 """)
 def q_cart_helmert_pipeline(spark, sf_dir):
@@ -179,9 +179,9 @@ def q_cart_helmert_pipeline(spark, sf_dir):
     u = G.project_udf(pstr)
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_h", st)
-              .select("doc_id", F.round("_h.x", 2).alias("hx"),
-                      F.round("_h.y", 2).alias("hy"),
-                      F.round("_h.z", 2).alias("hz"))
+              .select("doc_id", (F.round("_h.x", 2) + 0.0).alias("hx"),
+                      (F.round("_h.y", 2) + 0.0).alias("hy"),
+                      (F.round("_h.z", 2) + 0.0).alias("hz"))
               .orderBy("doc_id"))
 
 
@@ -225,11 +225,11 @@ def q_s2_cell_counts(spark, sf_dir):
 @register("haversine_to_tokyo", f"""
 WITH coords AS ({_COORDS_CTE})
 SELECT doc_id,
-  round(2.0*6371008.8*asin(sqrt(
+  (round(2.0*6371008.8*asin(sqrt(
     sin(radians(35.6895 - lat)/2)*sin(radians(35.6895 - lat)/2)
     + cos(radians(lat))*cos(radians(35.6895))
       *sin(radians(139.6917 - lon)/2)*sin(radians(139.6917 - lon)/2)
-  )), 2) AS dist_m
+  )), 2) + 0.0) AS dist_m
 FROM coords ORDER BY doc_id
 """)
 def q_haversine_to_tokyo(spark, sf_dir):
@@ -238,7 +238,7 @@ def q_haversine_to_tokyo(spark, sf_dir):
     df = _coords(spark, sf_dir)
     d = G.haversine_m(F.col("lat"), F.col("lon"),
                       F.lit(35.6895), F.lit(139.6917))
-    return df.select("doc_id", F.round(d, 2).alias("dist_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round(d, 2) + 0.0).alias("dist_m")).orderBy("doc_id")
 
 
 @register("geodesic_to_tokyo")  # Karney iterative solver — no SQL oracle
@@ -251,8 +251,8 @@ def q_geodesic_to_tokyo(spark, sf_dir):
     u = G.geodesic_inverse_udf()
     st = u(F.col("lat"), F.col("lon"), F.lit(35.6895), F.lit(139.6917))
     return (df.withColumn("_g", st)
-              .select("doc_id", F.round("_g.s12", 2).alias("s12_m"),
-                      F.round("_g.azi1", 9).alias("azi1_deg"))
+              .select("doc_id", (F.round("_g.s12", 2) + 0.0).alias("s12_m"),
+                      (F.round("_g.azi1", 9) + 0.0).alias("azi1_deg"))
               .orderBy("doc_id"))
 
 
@@ -266,8 +266,8 @@ def q_etmerc_fwd(spark, sf_dir):
     u = G.project_udf("+proj=etmerc +ellps=GRS80 +lon_0=109")
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_e", st)
-              .select("doc_id", F.round("_e.x", 2).alias("x_m"),
-                      F.round("_e.y", 2).alias("y_m"))
+              .select("doc_id", (F.round("_e.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_e.y", 2) + 0.0).alias("y_m"))
               .orderBy("doc_id"))
 
 
@@ -379,11 +379,11 @@ i AS (
     least(greatest(CAST(floor(fy) AS BIGINT), 0), 178) AS iy
   FROM f
 )
-SELECT doc_id, round(
+SELECT doc_id, (round(
    (1.0-(fx-ix))*(1.0-(fy-iy))*(sin(0.7*ix)*cos(0.3*iy))
  + (fx-ix)*(1.0-(fy-iy))*(sin(0.7*(ix+1))*cos(0.3*iy))
  + (1.0-(fx-ix))*(fy-iy)*(sin(0.7*ix)*cos(0.3*(iy+1)))
- + (fx-ix)*(fy-iy)*(sin(0.7*(ix+1))*cos(0.3*(iy+1))), 9) AS val
+ + (fx-ix)*(fy-iy)*(sin(0.7*(ix+1))*cos(0.3*(iy+1))), 9) + 0.0) AS val
 FROM i ORDER BY doc_id
 """)
 def q_bilinear_sample(spark, sf_dir):
@@ -393,7 +393,7 @@ def q_bilinear_sample(spark, sf_dir):
     u = RAS.bilinear_udf(g)
     df = _coords(spark, sf_dir)
     return (df.select("doc_id",
-                      F.round(u(F.col("lon"), F.col("lat")), 9).alias("val"))
+                      (F.round(u(F.col("lon"), F.col("lat")), 9) + 0.0).alias("val"))
               .orderBy("doc_id"))
 
 
@@ -484,9 +484,9 @@ WITH sh AS (
   FROM documents d
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+  (round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-           AS DOUBLE), 6) AS jacc
+           AS DOUBLE), 6) + 0.0) AS jacc
 FROM sh a JOIN sh b
   ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE len(a.sh) > 0 AND len(b.sh) > 0
@@ -511,7 +511,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
              .where(jac >= 0.03)
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
-                     F.round(jac, 6).alias("jacc"))
+                     (F.round(jac, 6) + 0.0).alias("jacc"))
              .orderBy("doc_a", "doc_b"))
 
 
@@ -554,12 +554,12 @@ m AS (
   FROM w
 )
 SELECT doc_id, lang, n_tokens,
-  round(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-  round(0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+  (round(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) + 0.0) AS stop_ratio,
+  (round(0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
       + 0.4*least(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*5.0, 1.0)
       + 0.2*(CASE WHEN CAST(total_len AS DOUBLE)/CAST(n_tokens AS DOUBLE)
                        BETWEEN 3.0 AND 8.0
-                  THEN 1.0 ELSE 0.0 END), 6) AS quality
+                  THEN 1.0 ELSE 0.0 END), 6) + 0.0) AS quality
 FROM m ORDER BY doc_id
 """)
 def q_text_quality(spark, sf_dir):
@@ -568,8 +568,8 @@ def q_text_quality(spark, sf_dir):
     t = F.col("text")
     return (d.select("doc_id", "lang",
                      TS.token_count(t).alias("n_tokens"),
-                     F.round(TS.stopword_ratio(t), 6).alias("stop_ratio"),
-                     F.round(TS.quality_score(t), 6).alias("quality"))
+                     (F.round(TS.stopword_ratio(t), 6) + 0.0).alias("stop_ratio"),
+                     (F.round(TS.quality_score(t), 6) + 0.0).alias("quality"))
              .orderBy("doc_id"))
 
 
@@ -633,8 +633,8 @@ WITH q AS (
 ),
 pairs AS (
   SELECT q.query_id, e.vec_id,
-    round({_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="CAST(q.qe AS DOUBLE[])")}
-      / ({_NORM.format(v="CAST(e.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(q.qe AS DOUBLE[])")}), 9) AS sim
+    (round({_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="CAST(q.qe AS DOUBLE[])")}
+      / ({_NORM.format(v="CAST(e.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(q.qe AS DOUBLE[])")}), 9) + 0.0) AS sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
 ),
 r AS (
@@ -673,13 +673,13 @@ WITH b AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
+  (round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
     / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
-    9) AS sim
+    9) + 0.0) AS sim
 FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
+WHERE (round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
     / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
-    9) >= 0.6
+    9) + 0.0) >= 0.6
 ORDER BY vec_a, vec_b
 """)
 def q_embed_neardup_pairs(spark, sf_dir):
@@ -692,7 +692,7 @@ def q_embed_neardup_pairs(spark, sf_dir):
 
 @register("events_hourly", """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """)
 def q_events_hourly(spark, sf_dir):
@@ -703,16 +703,16 @@ def q_events_hourly(spark, sf_dir):
     return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                       "event_type")
              .agg(F.count("*").alias("n_events"),
-                  F.round(F.sum("value"), 4).alias("sum_value"))
+                  (F.round(F.sum("value"), 4) + 0.0).alias("sum_value"))
              .orderBy("hour", "event_type"))
 
 
 @register("tpch_q1_pricing", """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  (round(sum(l_quantity), 2) + 0.0) AS sum_qty,
+  (round(sum(l_extendedprice), 2) + 0.0) AS sum_base_price,
+  (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0) AS sum_disc_price,
+  (round(avg(l_discount), 6) + 0.0) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -725,19 +725,19 @@ def q_tpch_q1_pricing(spark, sf_dir):
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
              .groupBy("l_returnflag", "l_linestatus")
-             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                  F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2)
+             .agg((F.round(F.sum("l_quantity"), 2) + 0.0).alias("sum_qty"),
+                  (F.round(F.sum("l_extendedprice"), 2) + 0.0).alias("sum_base_price"),
+                  (F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2) + 0.0)
                    .alias("sum_disc_price"),
-                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                  (F.round(F.avg("l_discount"), 6) + 0.0).alias("avg_disc"),
                   F.count("*").alias("count_order"))
              .orderBy("l_returnflag", "l_linestatus"))
 
 
 @register("orders_by_nation", """
 SELECT n.n_name AS nation, count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       (round(sum(o.o_totalprice), 2) + 0.0) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -753,7 +753,7 @@ def q_orders_by_nation(spark, sf_dir):
              .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
              .groupBy(F.col("n_name").alias("nation"))
              .agg(F.count("*").alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+                  (F.round(F.sum("o_totalprice"), 2) + 0.0).alias("total_price"))
              .orderBy("nation"))
 
 
@@ -788,19 +788,19 @@ _px, _py = O.laea_xy(_LAEA)
 
 @register("eqc_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_ex}, 2) AS x_m, round({_ey}, 2) AS y_m
+SELECT doc_id, (round({_ex}, 2) + 0.0) AS x_m, (round({_ey}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_eqc_fwd(spark, sf_dir):
     """Equidistant cylindrical (eqc.cpp), lat_ts=30."""
     df = G.with_projected(_coords(spark, sf_dir), _EQC)
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 @register("aea_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_ax}, 2) AS x_m, round({_ay}, 2) AS y_m
+SELECT doc_id, (round({_ax}, 2) + 0.0) AS x_m, (round({_ay}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_aea_fwd(spark, sf_dir):
@@ -808,21 +808,21 @@ def q_aea_fwd(spark, sf_dir):
     equal-area property is differentially verified in
     tests/test_misc_proj.py."""
     df = G.with_projected(_coords(spark, sf_dir), _AEA)
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 @register("laea_fwd", f"""
 WITH coords AS ({_COORDS_CTE})
-SELECT doc_id, round({_px}, 2) AS x_m, round({_py}, 2) AS y_m
+SELECT doc_id, (round({_px}, 2) + 0.0) AS x_m, (round({_py}, 2) + 0.0) AS y_m
 FROM coords ORDER BY doc_id
 """)
 def q_laea_fwd(spark, sf_dir):
     """Lambert azimuthal equal-area (laea.cpp), oblique Europe-style
     parameters."""
     df = G.with_projected(_coords(spark, sf_dir), _LAEA)
-    return df.select("doc_id", F.round("x", 2).alias("x_m"),
-                     F.round("y", 2).alias("y_m")).orderBy("doc_id")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
 @register("hgridshift_pipeline")  # grid values not SQL-embeddable;
@@ -840,8 +840,8 @@ def q_hgridshift_pipeline(spark, sf_dir):  # rows-only driver check
                       "+grids=bench_h +step +proj=webmerc")
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_g", st)
-              .select("doc_id", F.round("_g.x", 2).alias("x_m"),
-                      F.round("_g.y", 2).alias("y_m"))
+              .select("doc_id", (F.round("_g.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_g.y", 2) + 0.0).alias("y_m"))
               .orderBy("doc_id"))
 
 
