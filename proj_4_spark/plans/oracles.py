@@ -331,3 +331,183 @@ SELECT doc_id, face,
 FROM st
 ORDER BY doc_id
 """
+
+# ----------------------------------------------------- etmerc (exact TM)
+
+def _gatg_cols(prefix: str, B: str, cos2B: str, sin2B: str, p) -> tuple[list[str], str]:
+    """Unroll gatg (tmerc.cpp:263-276) as lateral column aliases."""
+    cols = [f"(2.0*({cos2B})) AS {prefix}_tc"]
+    h2, h1 = "0.0", L(p[-1])
+    for step, k in enumerate(range(len(p) - 2, -1, -1)):
+        h = f"(-({h2}) + {prefix}_tc*({h1}) + {L(p[k])})"
+        name = f"{prefix}_h{step}"
+        cols.append(f"{h} AS {name}")
+        h2, h1 = h1, name
+    return cols, f"(({B}) + {h1}*({sin2B}))"
+
+
+def _clenS_cols(prefix: str, a, sr: str, cr: str, shi: str,
+                chi: str) -> tuple[list[str], str, str]:
+    """Unroll the complex Clenshaw clenS (tmerc.cpp:279-306) as lateral
+    column aliases; returns (cols, R_expr, I_expr)."""
+    cols = [f"(2.0*({cr})*({chi})) AS {prefix}_r",
+            f"(-2.0*({sr})*({shi})) AS {prefix}_i"]
+    hr1 = hi1 = "0.0"
+    hr, hi = L(a[-1]), "0.0"
+    for step, k in enumerate(range(len(a) - 2, -1, -1)):
+        hr2, hi2 = hr1, hi1
+        hr1, hi1 = hr, hi
+        nr, ni = f"{prefix}_hr{step}", f"{prefix}_hi{step}"
+        cols.append(f"(-({hr2}) + {prefix}_r*({hr1}) - {prefix}_i*({hi1})"
+                    f" + {L(a[k])}) AS {nr}")
+        cols.append(f"(-({hi2}) + {prefix}_i*({hr1}) + {prefix}_r*({hi1}))"
+                    f" AS {ni}")
+        hr, hi = nr, ni
+    R = f"(({sr})*({chi})*{hr} - ({cr})*({shi})*{hi})"
+    I = f"(({sr})*({chi})*{hi} + ({cr})*({shi})*{hr})"  # noqa: E741
+    return cols, R, I
+
+
+def etmerc_sql(projstr: str = "+proj=etmerc +ellps=GRS80 +lon_0=109",
+               lon_lo: float = 59.0, lon_hi: float = 159.0,
+               round_to: int = 2) -> str:
+    """Full oracle for the Poder/Engsager exact TM forward
+    (tmerc.cpp:328-412): Gauss latitude via gatg, complex Clenshaw
+    correction via clenS, unrolled as chained CTEs with lateral column
+    aliases.  Constants computed by the engine's own setup
+    (tmerc.cpp:487-596) and embedded as full-precision literals."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    Q = op.consts.exact
+    a, lam0 = op.ell.a, op.lam0
+    gcols, cn0 = _gatg_cols("gb", "phi", "c2", "s2", list(Q.cbg))
+    gcols_s = ",\n    ".join(gcols)
+    ccols, R, I = _clenS_cols("cl", list(Q.gtu), "sar", "car", "shi", "chi")
+    ccols_s = ",\n    ".join(ccols)
+    return f"""
+WITH coords AS ({coords_cte()}),
+fil AS (
+  SELECT doc_id, lon, lat FROM coords
+  WHERE lon > {L(lon_lo)} AND lon < {L(lon_hi)}
+),
+prep AS (
+  SELECT doc_id, (radians(lon) - {L(lam0)}) AS lam, radians(lat) AS phi
+  FROM fil
+),
+g AS (
+  SELECT doc_id, lam, phi, sin(2.0*phi) AS s2, cos(2.0*phi) AS c2,
+    {gcols_s},
+    {cn0} AS Cn0
+  FROM prep
+),
+t AS (
+  SELECT doc_id, lam, sin(Cn0) AS sCn, cos(Cn0) AS cCn,
+         sin(lam) AS sCe, cos(lam) AS cCe
+  FROM g
+),
+u AS (
+  SELECT doc_id, sCn, cCn, sCe, (cCn*cCe) AS ccc,
+    atan2(sCn, cCn*cCe) AS Cn1,
+    (1.0/sqrt(sCn*sCn + (cCn*cCe)*(cCn*cCe))) AS invd
+  FROM t
+),
+v AS (
+  SELECT doc_id, Cn1, sCn, ccc,
+    (sCe*cCn*invd) AS tanCe,
+    (2.0*invd) AS two_inv,
+    (2.0*invd*invd) AS two_inv_sq
+  FROM u
+),
+w AS (
+  SELECT doc_id, Cn1,
+    ln(tanCe + sqrt(tanCe*tanCe + 1.0)) AS Ce0,
+    (sCn*(ccc*two_inv_sq)) AS sar,
+    (ccc*(ccc*two_inv_sq) - 1.0) AS car,
+    (tanCe*two_inv) AS shi,
+    (two_inv_sq - 1.0) AS chi
+  FROM v
+),
+c AS (
+  SELECT doc_id, Cn1, Ce0, sar, car, shi, chi,
+    {ccols_s}
+  FROM w
+)
+SELECT doc_id,
+  (round({L(a)}*({L(Q.Qn)}*(Ce0 + {I})), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*({L(Q.Qn)}*(Cn1 + {R}) + {L(Q.Zb)}), {round_to}) + 0.0) AS y_m
+FROM c ORDER BY doc_id
+"""
+
+
+# --------------------------------------------- hgridshift + webmerc pipeline
+
+def hgridshift_webmerc_sql(round_to: int = 2) -> str:
+    """Oracle for the hgridshift(bench_h)+webmerc pipeline: the
+    synthetic grid's node values are the analytic field
+    amp*sin(3λ)cos(2φ) / amp*cos(2λ)sin(3φ) evaluated at the node
+    coordinates, so the 4-corner bilinear sample (grids.cpp:3322-3393)
+    is closed-form SQL; outside the grid extent the shift is zero."""
+    from ..kernels.gridshift import synthetic_hgrid
+
+    g = synthetic_hgrid()
+    h, w = g.values.shape[:2]
+    amp = 1e-5
+    lon_max = g.lon0 + (w - 1) * g.dlon
+    lat_max = g.lat0 + (h - 1) * g.dlat
+    a = 6378137.0
+
+    def node(base, idx, step):
+        return f"({L(base)} + ({idx})*{L(step)})"
+
+    nx0, nx1 = node(g.lon0, "ix", g.dlon), node(g.lon0, "ix+1", g.dlon)
+    ny0, ny1 = node(g.lat0, "iy", g.dlat), node(g.lat0, "iy+1", g.dlat)
+
+    def dl(nx, ny):
+        return f"({L(amp)}*sin(3.0*{nx})*cos(2.0*{ny}))"
+
+    def dp(nx, ny):
+        return f"({L(amp)}*cos(2.0*{nx})*sin(3.0*{ny}))"
+
+    def bilin(f00, f10, f01, f11):
+        return (f"((1.0-tx)*(1.0-ty)*{f00} + tx*(1.0-ty)*{f10}"
+                f" + (1.0-tx)*ty*{f01} + tx*ty*{f11})")
+
+    return f"""
+WITH coords AS ({coords_cte()}),
+r AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM coords
+),
+f AS (
+  SELECT doc_id, lam, phi,
+    ((lam - {L(g.lon0)})/{L(g.dlon)}) AS fx,
+    ((phi - {L(g.lat0)})/{L(g.dlat)}) AS fy,
+    (lam >= {L(g.lon0)} AND lam <= {L(lon_max)}
+     AND phi >= {L(g.lat0)} AND phi <= {L(lat_max)}) AS ing
+  FROM r
+),
+i AS (
+  SELECT doc_id, lam, phi, fx, fy, ing,
+    least(greatest(CAST(floor(fx) AS BIGINT), 0), {w - 2}) AS ix,
+    least(greatest(CAST(floor(fy) AS BIGINT), 0), {h - 2}) AS iy
+  FROM f
+),
+n AS (
+  SELECT doc_id, lam, phi, ing, (fx - ix) AS tx, (fy - iy) AS ty, ix, iy
+  FROM i
+),
+s AS (
+  SELECT doc_id,
+    (lam + CASE WHEN ing THEN {bilin(dl(nx0, ny0), dl(nx1, ny0),
+                                     dl(nx0, ny1), dl(nx1, ny1))}
+                ELSE 0.0 END) AS lam_s,
+    (phi + CASE WHEN ing THEN {bilin(dp(nx0, ny0), dp(nx1, ny0),
+                                     dp(nx0, ny1), dp(nx1, ny1))}
+                ELSE 0.0 END) AS phi_s
+  FROM n
+)
+SELECT doc_id,
+  (round({L(a)}*lam_s, {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*ln(tan(phi_s) + sqrt(tan(phi_s)*tan(phi_s) + 1.0)),
+         {round_to}) + 0.0) AS y_m
+FROM s ORDER BY doc_id
+"""

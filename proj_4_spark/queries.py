@@ -256,11 +256,13 @@ def q_geodesic_to_tokyo(spark, sf_dir):
               .orderBy("doc_id"))
 
 
-@register("etmerc_fwd")  # Poder/Engsager complex Clenshaw — no SQL oracle
+@register("etmerc_fwd", O.etmerc_sql())
 def q_etmerc_fwd(spark, sf_dir):
     """Exact TM (Poder/Engsager 6th-order complex Clenshaw,
     tmerc.cpp:328-596); gie-golden-validated in tests/test_kernels.py.
-    Clipped to |lon-lon0|<50° (the series' validity domain)."""
+    Clipped to |lon-lon0|<50° (the series' validity domain).  Oracle:
+    gatg + complex Clenshaw unrolled as chained CTEs
+    (plans/oracles.py::etmerc_sql)."""
     df = _coords(spark, sf_dir).where(
         (F.col("lon") > 59.0) & (F.col("lon") < 159.0))
     u = G.project_udf("+proj=etmerc +ellps=GRS80 +lon_0=109")
@@ -825,12 +827,14 @@ def q_laea_fwd(spark, sf_dir):
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
-@register("hgridshift_pipeline")  # grid values not SQL-embeddable;
-def q_hgridshift_pipeline(spark, sf_dir):  # rows-only driver check
+@register("hgridshift_pipeline", O.hgridshift_webmerc_sql())
+def q_hgridshift_pipeline(spark, sf_dir):
     """hgridshift (synthetic correction grid, GRID_REGISTRY) fused
     with webmerc in one pipeline UDF; kernel validated against the
     reference's bilinear + iterative-inverse semantics in
-    tests/test_gridshift*.py."""
+    tests/test_gridshift*.py.  Oracle: the analytic grid's node values
+    are closed-form, so the 4-corner bilinear shift is expressed
+    directly in SQL (plans/oracles.py::hgridshift_webmerc_sql)."""
     from . import proj as P
     from .kernels.gridshift import synthetic_hgrid
 
