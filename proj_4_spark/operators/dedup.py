@@ -42,14 +42,36 @@ def _h60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+# Fixed universal-hash permutation constants (a_p*h + b_p) mod MH_P.
+# MH_P is the largest 32-bit prime; a_p < 2^30 keeps a_p*h < 2^62 so
+# the arithmetic never overflows a 64-bit signed int in either engine
+# (DuckDB raises on BIGINT overflow rather than wrapping).
+MH_P = 4294967291
+MH_A = (595295516, 216409609, 789869988, 631602233,
+        662898964, 958699916, 603497325, 503065403)
+MH_B = (275066853, 427954577, 2332920686, 3459618001,
+        4114409705, 2530509838, 336367087, 685714874)
+
+
 def minhash_signature(sh: Column, k: int = 8) -> Column:
-    """K-permutation MinHash signature: perm p = min over shingles of
-    h60(p || '_' || shingle)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda p: F.array_min(
-            F.transform(sh, lambda s: _h60(F.concat_ws("_", p.cast("string"), s)))),
-    )
+    """K-permutation MinHash signature.
+
+    Each shingle is hashed ONCE (md5 -> 60-bit int -> mod MH_P), then
+    the k permutations are derived arithmetically as
+    (a_p*h + b_p) mod MH_P — ~k x fewer md5 calls than hashing per
+    permutation, with algebra that DuckDB mirrors exactly.  The hashed
+    array is bound through a single-element transform lambda so
+    Catalyst evaluates the md5 pass exactly once per row."""
+    hashed = F.transform(sh, lambda s: _h60(s) % F.lit(MH_P))
+    perms = list(zip(MH_A[:k], MH_B[:k]))
+    return F.element_at(
+        F.transform(
+            F.array(hashed),
+            lambda hs: F.array(*[
+                F.array_min(F.transform(
+                    hs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MH_P)))
+                for a, b in perms])),
+        1)
 
 
 def band_hashes(sig: Column, bands: int = 4, rows: int = 2) -> Column:
@@ -71,12 +93,25 @@ def doc_shingle_table(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3, k: int = 8,
-                        bands: int = 4, rows: int = 2) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 LSH band."""
+                        bands: int = 4, rows: int = 2,
+                        max_bucket: int = 2000) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    Buckets with more than ``max_bucket`` members are dropped before
+    the self-join: a boilerplate band bucket with m docs would emit
+    m^2/2 pairs, so without the cap one hot bucket (cookie banners,
+    parked domains) degenerates the join to quadratic at web scale.
+    The windowed count shuffles on the same (band, bh) key the
+    self-join needs, so the cap adds no extra shuffle stage."""
+    from pyspark.sql import Window
+
     sh = doc_shingle_table(docs, text_col, id_col, n)
     sig = sh.select(id_col, minhash_signature(F.col("sh"), k).alias("sig"))
     b = (sig.select(id_col, F.posexplode(band_hashes(F.col("sig"), bands, rows))
                     .alias("band", "bh")))
+    bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
+    b = (b.withColumn("_bn", bucket_n)
+          .where(F.col("_bn") <= max_bucket).drop("_bn"))
     # materialize before the self-join: otherwise both join sides
     # recompute the full shingle->minhash lineage (2x the dominant cost)
     b = b.persist()

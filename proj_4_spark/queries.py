@@ -412,6 +412,13 @@ _SH_SQL = ("list_distinct(list_transform("
            "range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1), "
            "i -> array_to_string((string_split(text,' '))[i:i+2], '_')))")
 _H60 = "('0x'||substr(md5({s}),1,15))::BIGINT"
+# arithmetic minhash permutations mirroring operators/dedup.py
+_MH_P = DD.MH_P
+_MH_A_SQL = "[" + ", ".join(str(a) for a in DD.MH_A) + "]"
+_MH_B_SQL = "[" + ", ".join(str(b) for b in DD.MH_B) + "]"
+_HS_SQL = f"list_transform(sh, s -> {_H60.format(s='s')} % {_MH_P})"
+_PERM_SQL = (f"list_min(list_transform(hs, h -> "
+             f"(h * ({_MH_A_SQL})[p+1] + ({_MH_B_SQL})[p+1]) % {_MH_P}))")
 
 
 @register("dedup_exact", """
@@ -433,16 +440,18 @@ def q_dedup_exact(spark, sf_dir):
 @register("minhash_signatures", f"""
 WITH sh AS (
   SELECT doc_id, {_SH_SQL} AS sh FROM documents
+),
+h AS (
+  SELECT doc_id, {_HS_SQL} AS hs FROM sh WHERE len(sh) > 0
 )
-SELECT doc_id, p AS perm,
-  list_min(list_transform(sh, s -> {_H60.format(s="p::VARCHAR||'_'||s")}))
-    AS minhash
-FROM sh, range(0, 8) t(p) WHERE len(sh) > 0 ORDER BY doc_id, perm
+SELECT doc_id, p AS perm, {_PERM_SQL} AS minhash
+FROM h, range(0, 8) t(p) ORDER BY doc_id, perm
 """)
 def q_minhash_signatures(spark, sf_dir):
-    """8-permutation MinHash signatures over 3-word shingles (keyed
-    md5 permutations — identical in both engines), one row per
-    (doc, permutation)."""
+    """8-permutation MinHash signatures over 3-word shingles: each
+    shingle md5-hashed once, permutations derived arithmetically as
+    (a_p*h + b_p) mod P — identical algebra in both engines; one row
+    per (doc, permutation)."""
     d = _docs(spark, sf_dir)
     sh = DD.doc_shingle_table(d)
     sig = sh.select("doc_id", DD.minhash_signature(F.col("sh"), 8).alias("sig"))
@@ -456,26 +465,32 @@ def q_minhash_signatures(spark, sf_dir):
 WITH sh AS (
   SELECT doc_id, {_SH_SQL} AS sh FROM documents
 ),
+h AS (
+  SELECT doc_id, {_HS_SQL} AS hs FROM sh WHERE len(sh) > 0
+),
 sig AS (
-  SELECT doc_id,
-    list_transform(range(0, 8), p -> list_min(list_transform(sh,
-        s -> {_H60.format(s="p::VARCHAR||'_'||s")}))) AS sig
-  FROM sh WHERE len(sh) > 0
+  SELECT doc_id, list_transform(range(0, 8), p -> {_PERM_SQL}) AS sig
+  FROM h
 ),
 bands AS (
   SELECT doc_id, b,
          md5(sig[b*2+1]::VARCHAR||'_'||sig[b*2+2]::VARCHAR) AS bh
   FROM sig, range(0, 4) t(b)
+),
+capped AS (
+  SELECT doc_id, b, bh FROM bands
+  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 2000
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
-                         AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.b = b.b AND a.bh = b.bh
+                           AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """)
 def q_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates: 4 bands × 2 rows; equi-join on
     the band hash (shuffle keyed on the band — the scalable web-dedup
-    join)."""
+    join).  Hot buckets above max_bucket=2000 members are dropped on
+    both sides before the join (the web-dedup boilerplate guard)."""
     d = _docs(spark, sf_dir)
     return (DD.lsh_candidate_pairs(d).orderBy("doc_a", "doc_b"))
 

@@ -106,3 +106,24 @@ def test_knn_cell_pruned_recall(spark, sf_dir):
     # points and the pruned result matches the exact one
     hits = sum(1 for k in ex if pr.get(k) == ex[k])
     assert hits >= int(0.8 * len(ex))
+
+
+def test_lsh_hot_bucket_capped(spark):
+    """A boilerplate bucket above max_bucket contributes no pairs; the
+    remaining near-dup group is still found."""
+    from proj_4_spark.operators.dedup import lsh_candidate_pairs
+
+    boiler = "cookie banner accept all cookies to continue to this site"
+    near_a = "the quick brown fox jumps over the lazy dog tonight"
+    near_b = "the quick brown fox jumps over the lazy dog today"
+    rows = [(i, boiler) for i in range(20)]
+    rows += [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = lsh_candidate_pairs(docs, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # every boilerplate bucket has 20 > 10 members -> dropped entirely
+    assert all(a >= 100 for a, b in got), got
+    assert (100, 101) in got
+    uncapped = lsh_candidate_pairs(docs, max_bucket=1000)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 20 * 19 // 2  # boilerplate pairs present
