@@ -262,3 +262,43 @@ def utm_zone(lon: Column) -> Column:
     """UTM zone number from longitude — integer Catalyst expression
     (zone logic of /root/reference/src/projections/tmerc.cpp:737-779)."""
     return (F.floor((lon + F.lit(180.0)) / F.lit(6.0)).cast("int") % 60 + 1)
+
+
+def factors_udf(projstr_or_transform):
+    """pandas UDF (lon, lat degrees) -> struct<h, k, s double>:
+    meridional/parallel/areal scale via proj_factors semantics
+    (src/factors.cpp:111-240 central differences)."""
+    from ..kernels.factors import factors as k_factors
+    from ..proj import Transform, compile_projstring
+
+    tr = (projstr_or_transform if isinstance(projstr_or_transform, Transform)
+          else compile_projstring(projstr_or_transform))
+
+    @pandas_udf("struct<h: double, k: double, s: double>")
+    def _factors(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        def k(lo, la):
+            f = k_factors(tr, lo, la)
+            return f["h"], f["k"], f["s"]
+
+        h, kk, s = run_chunked(k, lon.to_numpy(np.float64),
+                               lat.to_numpy(np.float64))
+        return pd.DataFrame({"h": h, "k": kk, "s": s})
+
+    return _factors
+
+
+def unitconvert_time_udf(t_in: str, t_out: str):
+    """pandas UDF over the time channel of +proj=unitconvert
+    (src/conversions/unitconvert.cpp time units: mjd, decimalyear,
+    gps_week, yyyymmdd)."""
+    from ..proj import compile_projstring
+
+    tr = compile_projstring(f"+proj=unitconvert +t_in={t_in} +t_out={t_out}")
+    t_fwd = tr.ops[0].t_fwd
+
+    @pandas_udf("double")
+    def _conv(t: pd.Series) -> pd.Series:
+        out = run_chunked(lambda a: t_fwd(a), t.to_numpy(np.float64))
+        return pd.Series(out)
+
+    return _conv

@@ -511,3 +511,179 @@ SELECT doc_id,
          {round_to}) + 0.0) AS y_m
 FROM s ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- tsfn + polar stere
+
+def _tsfn_sql(rl: str, s: str, e: float) -> str:
+    """pj_tsfn (tsfn.cpp:6-29): exp(e*atanh(e*sin)) * base with the
+    sign-split base used by kernels.common.tsfn."""
+    base = (f"(CASE WHEN {s} > 0 THEN cos({rl})/(1.0+{s}) "
+            f"ELSE (1.0-{s})/cos({rl}) END)")
+    return (f"(exp({L(e)}*0.5*ln((1.0+{L(e)}*{s})/(1.0-{L(e)}*{s})))"
+            f" * {base})")
+
+
+def stere_polar_xy(projstr: str, lon: str = "lon",
+                   lat: str = "lat") -> tuple[str, str]:
+    """Polar ellipsoidal stereographic forward (stere.cpp e_forward
+    N_POLE/S_POLE branches) with the engine's akm1 (k0 pre-folded)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert C.mode in ("n_pole", "s_pole") and not C.spherical
+    a = op.ell.a
+    raw = f"(radians({lon}) - {L(op.lam0)})"
+    lam = _wrap(raw)
+    rl = f"radians({lat})"
+    if C.mode == "n_pole":
+        ts = _tsfn_sql(rl, f"sin({rl})", C.e)
+        coslamv = f"(-cos({lam}))"
+    else:
+        ts = _tsfn_sql(f"(-{rl})", f"(-sin({rl}))", C.e)
+        coslamv = f"cos({lam})"
+    r = f"({L(C.akm1)} * {ts})"
+    return (f"({L(a)} * ({r} * sin({lam})))",
+            f"({L(a)} * ({r} * {coslamv}))")
+
+
+def aeqd_sph_xy(projstr: str, lon: str = "lon",
+                lat: str = "lat") -> tuple[str, str]:
+    """Spherical azimuthal equidistant forward (aeqd.cpp spherical
+    branch as re-derived in kernels/azimuthal.py::aeqd_fwd)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert C.spherical
+    a = op.ell.a
+    p0 = C.phi0
+    raw = f"(radians({lon}) - {L(op.lam0)})"
+    lam = _wrap(raw)
+    rl = f"radians({lat})"
+    cosc = (f"least(greatest({L(math.sin(p0))}*sin({rl})"
+            f" + {L(math.cos(p0))}*cos({rl})*cos({lam}), -1.0), 1.0)")
+    c = f"acos({cosc})"
+    az = (f"atan2(cos({rl})*sin({lam}), "
+          f"{L(math.cos(p0))}*sin({rl})"
+          f" - {L(math.sin(p0))}*cos({rl})*cos({lam}))")
+    return (f"({L(a)} * ({c} * sin({az})))",
+            f"({L(a)} * ({c} * cos({az})))")
+
+
+def sinu_sql(projstr: str = "+proj=sinu +ellps=GRS80",
+             round_to: int = 2) -> str:
+    """Ellipsoidal sinusoidal forward (sinu.cpp e_forward): y = mlfn
+    (Clenshaw unrolled), x = lam*cos(phi)/sqrt(1 - es sin^2 phi)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    from ..kernels.misc_proj import sinu_setup
+
+    en = sinu_setup(op.ell)
+    a, es = op.ell.a, op.ell.es
+    mcols, mexpr = mlfn_cols("ml", "rphi", en)
+    mcols_s = ",\n    ".join(mcols)
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS rphi FROM coords
+),
+m AS (
+  SELECT doc_id, lam, rphi,
+    {mcols_s}
+  FROM p
+)
+SELECT doc_id,
+  (round({L(a)}*(lam*ml_c/sqrt(1.0 - {L(es)}*ml_s*ml_s)), {round_to}) + 0.0)
+    AS x_m,
+  (round({L(a)}*{mexpr}, {round_to}) + 0.0) AS y_m
+FROM m ORDER BY doc_id
+"""
+
+
+def moll_sql(projstr: str = "+proj=moll +ellps=GRS80",
+             round_to: int = 2, n_iter: int = 10) -> str:
+    """Mollweide forward (moll.cpp): theta Newton solve unrolled a
+    fixed n_iter times (the engine's early-break leaves theta within
+    ~1e-14 of the fixed-iteration value — far below cm rounding).
+
+    One CTE per Newton step: a lateral-alias chain would make DuckDB
+    inline the recurrence textually (~4^n expression nodes)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a = op.ell.a
+    ctes = []
+    th = "rphi"
+    for i in range(n_iter):
+        nxt = f"th{i}"
+        ctes.append(
+            f"n{i} AS (\n  SELECT doc_id, lam, rphi, kk,\n"
+            f"    ({th} - (CASE WHEN (1.0 + cos({th})) != 0.0 "
+            f"THEN (({th} + sin({th})) - kk)/(1.0 + cos({th})) "
+            f"ELSE 0.0 END)) AS {nxt}\n"
+            f"  FROM {'p' if i == 0 else f'n{i-1}'}\n)")
+        th = nxt
+    ctes_s = ",\n".join(ctes)
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS rphi,
+         {L(C.C_p)}*sin(radians(lat)) AS kk
+  FROM coords
+),
+{ctes_s},
+t AS (
+  SELECT doc_id, lam,
+    0.5*(CASE WHEN (1.0 + cos({th})) = 0.0
+              THEN (CASE WHEN rphi < 0.0 THEN -pi()/2 ELSE pi()/2 END)
+              ELSE {th} END) AS theta
+  FROM n{n_iter - 1}
+)
+SELECT doc_id,
+  (round({L(a)}*({L(C.C_x)}*lam*cos(theta)), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*({L(C.C_y)}*sin(theta)), {round_to}) + 0.0) AS y_m
+FROM t ORDER BY doc_id
+"""
+
+
+def factors_sql(projstr: str, round_to: int = 4) -> str:
+    """proj_factors h/k/s oracle (factors.cpp:111-240): central
+    differences of the closed-form LCC forward at +-1e-7 rad, scaled
+    by the ellipsoidal curvature radii."""
+    import numpy as np
+
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    a, es = op.ell.a, op.ell.es
+    H = 1e-7
+    hdeg = float(np.degrees(H))
+    xe, ye = lcc_xy(projstr, lon=f"(lon + {L(hdeg)})", lat="lat")
+    xw, yw = lcc_xy(projstr, lon=f"(lon - {L(hdeg)})", lat="lat")
+    xn, yn = lcc_xy(projstr, lon="lon", lat=f"(lat + {L(hdeg)})")
+    xs, ys = lcc_xy(projstr, lon="lon", lat=f"(lat - {L(hdeg)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+d AS (
+  SELECT doc_id,
+    ({xe} - {xw})/{L(2 * H)} AS dxdl,
+    ({ye} - {yw})/{L(2 * H)} AS dydl,
+    ({xn} - {xs})/{L(2 * H)} AS dxdp,
+    ({yn} - {ys})/{L(2 * H)} AS dydp,
+    sin(radians(lat)) AS s, cos(radians(lat)) AS c
+  FROM coords
+),
+r AS (
+  SELECT doc_id, dxdl, dydl, dxdp, dydp,
+    (1.0 - {L(es)}*s*s) AS t, c
+  FROM d
+)
+SELECT doc_id,
+  (round(sqrt(dxdp*dxdp + dydp*dydp)
+         / ({L(a * (1.0 - es))}*pow(t, -1.5)), {round_to}) + 0.0) AS h,
+  (round(sqrt(dxdl*dxdl + dydl*dydl)
+         / ({L(a)}*c/sqrt(t)), {round_to}) + 0.0) AS k,
+  (round((dxdl*dydp - dxdp*dydl)
+         / (({L(a * (1.0 - es))}*pow(t, -1.5)) * ({L(a)}*c/sqrt(t))),
+         {round_to}) + 0.0) AS s_areal
+FROM r ORDER BY doc_id
+"""

@@ -902,3 +902,134 @@ def queries() -> dict[str, Callable]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# =====================================================================
+# Round-2 driver coverage: azimuthal/pseudocylindrical families,
+# axisswap/unitconvert (+time), proj_factors
+# =====================================================================
+
+_STERE = "+proj=stere +ellps=GRS80 +lat_0=90 +lat_ts=70 +lon_0=-45"
+_sx, _sy = O.stere_polar_xy(_STERE)
+
+
+@register("stere_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, (round({_sx}, 2) + 0.0) AS x_m, (round({_sy}, 2) + 0.0) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_stere_fwd(spark, sf_dir):
+    """Polar ellipsoidal stereographic (stere.cpp e_forward N_POLE),
+    EPSG:3413-style parameters (lat_ts=70, lon_0=-45)."""
+    df = G.with_projected(_coords(spark, sf_dir), _STERE)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_AEQD = "+proj=aeqd +R=6371000 +lat_0=40 +lon_0=-100"
+_qx, _qy = O.aeqd_sph_xy(_AEQD)
+
+
+@register("aeqd_fwd", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, (round({_qx}, 2) + 0.0) AS x_m, (round({_qy}, 2) + 0.0) AS y_m
+FROM coords ORDER BY doc_id
+""")
+def q_aeqd_fwd(spark, sf_dir):
+    """Spherical azimuthal equidistant (aeqd.cpp s_forward),
+    North-America-centered."""
+    df = G.with_projected(_coords(spark, sf_dir), _AEQD)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("sinu_fwd", O.sinu_sql())
+def q_sinu_fwd(spark, sf_dir):
+    """Ellipsoidal sinusoidal (sinu.cpp e_forward): equal-area
+    pseudocylindrical via the meridional-arc series (mlfn)."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=sinu +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("moll_fwd", O.moll_sql())
+def q_moll_fwd(spark, sf_dir):
+    """Mollweide (moll.cpp): Newton solve for theta; the oracle
+    unrolls a fixed 10 Newton steps (sub-nm from the engine's
+    early-break iterate)."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=moll +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_USFT = 1.0 / (1200.0 / 3937.0)  # m -> US survey feet
+
+
+@register("axisswap_unitconvert", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id,
+  (round(({_wy}) * {O.L(_USFT)}, 2) + 0.0) AS x_usft,
+  (round(({_wx}) * {O.L(_USFT)}, 2) + 0.0) AS y_usft
+FROM coords ORDER BY doc_id
+""")
+def q_axisswap_unitconvert(spark, sf_dir):
+    """Pipeline webmerc -> axisswap order=2,1 -> unitconvert
+    xy_out=us-ft (axisswap.cpp, unitconvert.cpp linear units), fused
+    into one pandas-UDF step list."""
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=pipeline +step +proj=webmerc "
+                      "+step +proj=axisswap +order=2,1 "
+                      "+step +proj=unitconvert +xy_in=m +xy_out=us-ft")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_u", st)
+              .select("doc_id", (F.round("_u.x", 2) + 0.0).alias("x_usft"),
+                      (F.round("_u.y", 2) + 0.0).alias("y_usft"))
+              .orderBy("doc_id"))
+
+
+@register("unitconvert_time", """
+WITH m AS (
+  SELECT doc_id, 51544.0 + doc_id*3.25 AS mjd FROM documents
+),
+d AS (
+  SELECT doc_id, mjd,
+    year(DATE '1858-11-17' + CAST(floor(mjd) AS INTEGER)) AS y
+  FROM m
+)
+SELECT doc_id,
+  (round(y + (mjd - (make_date(y, 1, 1) - DATE '1858-11-17'))
+           / (make_date(y + 1, 1, 1) - make_date(y, 1, 1)), 9) + 0.0)
+    AS decy,
+  (round((mjd - 44244.0)/7.0, 9) + 0.0) AS gps_week
+FROM d ORDER BY doc_id
+""")
+def q_unitconvert_time(spark, sf_dir):
+    """Time-channel unitconvert (unitconvert.cpp:149-270): mjd ->
+    decimalyear and mjd -> gps_week over a synthetic mjd ladder that
+    crosses year and leap boundaries.  Oracle: calendar arithmetic on
+    the mjd epoch date (1858-11-17)."""
+    d = _docs(spark, sf_dir)
+    mjd = (F.col("doc_id") * 3.25 + 51544.0).alias("mjd")
+    decy = G.unitconvert_time_udf("mjd", "decimalyear")
+    gpsw = G.unitconvert_time_udf("mjd", "gps_week")
+    return (d.select("doc_id", mjd)
+             .select("doc_id",
+                     (F.round(decy(F.col("mjd")), 9) + 0.0).alias("decy"),
+                     (F.round(gpsw(F.col("mjd")), 9) + 0.0).alias("gps_week"))
+             .orderBy("doc_id"))
+
+
+@register("factors_lcc", O.factors_sql(_LCC))
+def q_factors_lcc(spark, sf_dir):
+    """proj_factors (factors.cpp:111-240) over the CONUS LCC:
+    meridional scale h, parallel scale k, areal scale s via central
+    differences — for the 2SP secant cone h=k~1 on the standard
+    parallels and s=h*k (conformal)."""
+    df = _coords(spark, sf_dir)
+    u = G.factors_udf(_LCC)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_f", st)
+              .select("doc_id", (F.round("_f.h", 4) + 0.0).alias("h"),
+                      (F.round("_f.k", 4) + 0.0).alias("k"),
+                      (F.round("_f.s", 4) + 0.0).alias("s_areal"))
+              .orderBy("doc_id"))
