@@ -687,3 +687,133 @@ SELECT doc_id,
          {round_to}) + 0.0) AS s_areal
 FROM r ORDER BY doc_id
 """
+
+
+# --------------------------------------------- national grids (natgrid.py)
+
+def sterea_sql(projstr: str, round_to: int = 2) -> str:
+    """Oblique stereographic alternative forward (sterea.cpp:44-63 on
+    the Gauss conformal sphere, gauss.cpp:89-99) — fully closed-form."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    en = C.en
+    a = op.ell.a
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+g AS (
+  SELECT doc_id,
+    (2.0*atan({L(en.K)}
+       * pow(tan(0.5*radians(lat) + pi()/4), {L(en.C)})
+       * pow((1.0 - {L(en.e)}*sin(radians(lat)))
+             /(1.0 + {L(en.e)}*sin(radians(lat))), {L(en.ratexp)}))
+     - pi()/2) AS sphi,
+    ({L(en.C)} * {lam}) AS slam
+  FROM coords
+),
+k AS (
+  SELECT doc_id, sphi, slam,
+    ({L(C.k0)} * {L(C.R2)}
+     / (1.0 + {L(C.sinc0)}*sin(sphi)
+        + {L(C.cosc0)}*cos(sphi)*cos(slam))) AS kk
+  FROM g
+)
+SELECT doc_id,
+  (round({L(a)}*(kk*cos(sphi)*sin(slam)) + {L(op.x0)}, {round_to}) + 0.0)
+    AS x_m,
+  (round({L(a)}*(kk*({L(C.cosc0)}*sin(sphi)
+                     - {L(C.sinc0)}*cos(sphi)*cos(slam))) + {L(op.y0)},
+         {round_to}) + 0.0) AS y_m
+FROM k ORDER BY doc_id
+"""
+
+
+def krovak_sql(projstr: str = "+proj=krovak +ellps=GRS80",
+               round_to: int = 2) -> str:
+    """Krovak forward (krovak.cpp:145-206) — closed-form conic on the
+    conformal sphere with the hardcoded pseudo-standard parallel."""
+    from ..kernels.natgrid import S0
+
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a = op.ell.a
+    assert C.easting_northing and not C.modified
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    rl = "radians(lat)"
+    half_ae = C.alpha * C.e / 2.0
+    return f"""
+WITH coords AS ({coords_cte()}),
+u AS (
+  SELECT doc_id,
+    (2.0*(atan({L(C.k)} * pow(tan({rl}/2.0 + pi()/4), {L(C.alpha)})
+               / pow((1.0 + {L(C.e)}*sin({rl}))
+                     /(1.0 - {L(C.e)}*sin({rl})), {L(half_ae)}))
+          - pi()/4)) AS uu,
+    (-({lam}) * {L(C.alpha)}) AS dv
+  FROM coords
+),
+s AS (
+  SELECT doc_id, uu, dv,
+    asin(least(greatest({L(math.cos(C.ad))}*sin(uu)
+               + {L(math.sin(C.ad))}*cos(uu)*cos(dv), -1.0), 1.0)) AS ss
+  FROM u
+),
+d AS (
+  SELECT doc_id, ss,
+    asin(least(greatest(cos(uu)*sin(dv)/cos(ss), -1.0), 1.0)) AS dd
+  FROM s
+),
+r AS (
+  SELECT doc_id, ({L(C.n)} * dd) AS eps,
+    ({L(C.rho0 * math.tan(S0 / 2.0 + math.pi / 4) ** C.n)}
+     / pow(tan(ss/2.0 + pi()/4), {L(C.n)})) AS rho
+  FROM d
+)
+SELECT doc_id,
+  (round({L(a)}*(-(rho*sin(eps)) - {L(2.0 * C.x0 / C.a)}) + {L(op.x0)},
+         {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*(-(rho*cos(eps)) - {L(2.0 * C.y0 / C.a)}) + {L(op.y0)},
+         {round_to}) + 0.0) AS y_m
+FROM r ORDER BY doc_id
+"""
+
+
+def somerc_sql(projstr: str, round_to: int = 2) -> str:
+    """Swiss oblique Mercator forward (somerc.cpp:35-52) —
+    closed-form."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    a = op.ell.a
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    rl = "radians(lat)"
+    sp = f"({L(C.e)}*sin({rl}))"
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id,
+    (2.0*atan(exp({L(C.c)}*(ln(tan(pi()/4 + 0.5*{rl}))
+                  - {L(C.hlf_e)}*ln((1.0 + {sp})/(1.0 - {sp})))
+                  + {L(C.K)})) - pi()/2) AS phip,
+    ({L(C.c)} * {lam}) AS lamp
+  FROM coords
+),
+q AS (
+  SELECT doc_id, phip, lamp,
+    asin(least(greatest({L(C.cosp0)}*sin(phip)
+               - {L(C.sinp0)}*cos(phip)*cos(lamp), -1.0), 1.0)) AS phipp
+  FROM p
+),
+r AS (
+  SELECT doc_id, phipp,
+    asin(least(greatest(cos(phip)*sin(lamp)/cos(phipp), -1.0), 1.0)) AS lampp
+  FROM q
+)
+SELECT doc_id,
+  (round({L(a)}*({L(C.kR)}*lampp) + {L(op.x0)}, {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*({L(C.kR)}*ln(tan(pi()/4 + 0.5*phipp))) + {L(op.y0)},
+         {round_to}) + 0.0) AS y_m
+FROM r ORDER BY doc_id
+"""

@@ -46,6 +46,24 @@ CARTESIAN = "cartesian"
 RADIANS = "radians"
 DEGREES = "degrees"
 
+# named prime meridians, degrees east of Greenwich
+# (/root/reference/src/datums.cpp:73-88 pj_prime_meridians)
+PRIME_MERIDIANS: dict[str, float] = {
+    "greenwich": 0.0,
+    "lisbon": -(9 + 7 / 60.0 + 54.862 / 3600.0),
+    "paris": 2 + 20 / 60.0 + 14.025 / 3600.0,
+    "bogota": -(74 + 4 / 60.0 + 51.3 / 3600.0),
+    "madrid": -(3 + 41 / 60.0 + 16.58 / 3600.0),
+    "rome": 12 + 27 / 60.0 + 8.4 / 3600.0,
+    "bern": 7 + 26 / 60.0 + 22.5 / 3600.0,
+    "jakarta": 106 + 48 / 60.0 + 27.79 / 3600.0,
+    "ferro": -(17 + 40 / 60.0),
+    "brussels": 4 + 22 / 60.0 + 4.71 / 3600.0,
+    "stockholm": 18 + 3 / 60.0 + 29.8 / 3600.0,
+    "athens": 23 + 42 / 60.0 + 58.815 / 3600.0,
+    "oslo": 10 + 43 / 60.0 + 22.5 / 3600.0,
+}
+
 # linear units (subset of /root/reference/src/units.cpp)
 UNITS: dict[str, float] = {
     "m": 1.0,
@@ -130,6 +148,7 @@ class Operation:
     vto_meter: float = 1.0
     vfr_meter: float = 1.0
     over: bool = False
+    from_greenwich: float = 0.0  # +pm (fwd.cpp:108, inv.cpp:113)
     left: str = RADIANS
     right: str = CLASSIC
     consts: object = None
@@ -150,7 +169,7 @@ class Operation:
         y = np.clip(y, -HALFPI, HALFPI)
         if not self.over:
             x = adjlon(x)
-        x = x - self.lam0
+        x = (x - self.from_greenwich) - self.lam0
         if not self.over:
             x = adjlon(x)
         return x, y, err
@@ -211,7 +230,7 @@ class Operation:
                 t = self.t_inv(t)
             x, y, z = self.inv_k(x, y, z, t)
             if self.left == RADIANS:
-                x = x + self.lam0
+                x = x + self.from_greenwich + self.lam0
                 if not self.over:
                     x = adjlon(x)
             elif self.left == CARTESIAN:
@@ -250,11 +269,18 @@ def compile_operation(params: dict) -> Operation:
     units = params.get("units")
     to_meter = float(params["to_meter"]) if "to_meter" in params else (UNITS[units] if units else 1.0)
     over = "over" in params
+    pm = params.get("pm")
+    if pm is None:
+        from_greenwich = 0.0
+    elif pm in PRIME_MERIDIANS:
+        from_greenwich = PRIME_MERIDIANS[pm] * DEG_TO_RAD
+    else:
+        from_greenwich = float(pm) * DEG_TO_RAD
 
     op = Operation(
         proj_id=proj_id, params=params, ell=ell, lam0=lam0, phi0=phi0,
         x0=x0, y0=y0, k0=k0, to_meter=to_meter, fr_meter=1.0 / to_meter,
-        over=over, inverse="inv" in params,
+        over=over, from_greenwich=from_greenwich, inverse="inv" in params,
         omit_fwd="omit_fwd" in params, omit_inv="omit_inv" in params,
     )
 
@@ -590,6 +616,54 @@ def _mk_natearth(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*A.natearth_inv(x, y), z)
 
 
+def _mk_sterea(op, params, ell, k0, phi0):
+    from .kernels import natgrid as NG
+
+    C = NG.sterea_setup(ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*NG.sterea_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*NG.sterea_inv(x, y, C), z)
+
+
+def _mk_krovak(op, params, ell, k0, phi0):
+    from .kernels import natgrid as NG
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    # Bessel is forced regardless of +ellps (krovak.cpp:287-289)
+    op.ell = _E.from_a_es(NG.KROVAK_A, NG.KROVAK_ES)
+    if "lat_0" not in params:
+        op.phi0 = 0.863937979737193  # 49d30'N (krovak.cpp:292-293)
+    if "lon_0" not in params:
+        # 42d30'E of Ferro relative to Greenwich (krovak.cpp:296-299)
+        op.lam0 = 0.7417649320975901 - 0.308341501185665
+    if "k" not in params and "k_0" not in params:
+        op.k0 = 0.9999
+    C = NG.krovak_setup(params, op.phi0, op.k0, op.x0, op.y0,
+                        modified=op.proj_id == "mod_krovak")
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*NG.krovak_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*NG.krovak_inv(x, y, C), z)
+
+
+def _mk_somerc(op, params, ell, k0, phi0):
+    from .kernels import natgrid as NG
+
+    C = NG.somerc_setup(ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*NG.somerc_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*NG.somerc_inv(x, y, C), z)
+
+
+def _mk_omerc(op, params, ell, k0, phi0):
+    from .kernels import natgrid as NG
+
+    C = NG.omerc_setup(params, ell, op.k0, phi0)
+    op.lam0 = C.lam0  # omerc derives its own lam0 (omerc.cpp:244,264)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*NG.omerc_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
+
+
 def _mk_ob_tran(op, params, ell, k0, phi0):
     """Oblique wrapper (src/projections/ob_tran.cpp): rotate the
     sphere so a chosen pole (o_lat_p, o_lon_p) becomes the north pole
@@ -716,6 +790,11 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "sterea": _mk_sterea,
+        "krovak": _mk_krovak,
+        "mod_krovak": _mk_krovak,
+        "somerc": _mk_somerc,
+        "omerc": _mk_omerc,
         "ob_tran": _mk_ob_tran,
         "aeqd": _mk_aeqd,
         "gnom": _mk_gnom,

@@ -1033,3 +1033,39 @@ def q_factors_lcc(spark, sf_dir):
                       (F.round("_f.k", 4) + 0.0).alias("k"),
                       (F.round("_f.s", 4) + 0.0).alias("s_areal"))
               .orderBy("doc_id"))
+
+
+# --- national grids (kernels/natgrid.py) ------------------------------
+
+_RD = ("+proj=sterea +ellps=bessel +lat_0=52.15616055555555 "
+       "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000")
+
+
+@register("sterea_rd_fwd", O.sterea_sql(_RD))
+def q_sterea_rd_fwd(spark, sf_dir):
+    """Dutch RD (Rijksdriehoek) — oblique stereographic on the Gauss
+    conformal sphere (sterea.cpp:44-63 + gauss.cpp:89-99)."""
+    df = G.with_projected(_coords(spark, sf_dir), _RD)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("krovak_fwd", O.krovak_sql())
+def q_krovak_fwd(spark, sf_dir):
+    """Czech/Slovak Krovak grid (krovak.cpp:145-206), default
+    S-JTSK-style parameters (Bessel forced, Ferro-offset lon_0)."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=krovak +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_CH = ("+proj=somerc +ellps=bessel +lat_0=46.95240555555556 "
+       "+lon_0=7.439583333333333 +x_0=600000 +y_0=200000")
+
+
+@register("somerc_fwd", O.somerc_sql(_CH))
+def q_somerc_fwd(spark, sf_dir):
+    """Swiss CH1903 oblique Mercator (somerc.cpp:35-52)."""
+    df = G.with_projected(_coords(spark, sf_dir), _CH)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

@@ -1,0 +1,97 @@
+"""National-grid projections (kernels/natgrid.py): gie goldens
+transcribed from /root/reference/test/gie/builtins.gie plus roundtrips.
+"""
+
+import numpy as np
+import pytest
+
+from proj_4_spark.proj import compile_projstring
+
+
+def fwd(pstr, lon, lat):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([lon]), np.array([lat]))
+    return x[0], y[0]
+
+
+# (projstr, lon, lat, exp_x, exp_y, tol_m)
+GOLDENS = [
+    # sterea — builtins.gie:6669-6728
+    ("+proj=sterea +ellps=GRS80", 2, 1, 222644.894109198, 110611.091871737, 1e-4),
+    ("+proj=sterea +ellps=GRS80", -2, -1, -222644.894109198, -110611.091871738, 1e-4),
+    ("+proj=sterea +R=6400000", 2, 1, 223407.810259507, 111737.938996443, 1e-4),
+    ("+proj=sterea +ellps=GRS80 +lat_0=90", 0, 45, 0.0, -5291160.727484324016, 1e-4),
+    ("+proj=sterea +ellps=GRS80 +lat_0=90", 0, 89, 0.0, -111696.700323081997, 1e-4),
+    # krovak — builtins.gie:3171-3220
+    ("+proj=krovak +ellps=GRS80", 2, 1, -3196535.232563641, -6617878.867551444, 1e-4),
+    ("+proj=krovak +ellps=GRS80", 2, -1, -3260035.440552109, -6898873.614878031, 1e-4),
+    ("+proj=krovak +ellps=GRS80", -2, 1, -3756305.328869175, -6478142.561571511, 1e-4),
+    ("+proj=krovak +ellps=GRS80", 24.833333333333, 59.757598563058, 0.0, 0.0, 1e-4),
+    ("+proj=krovak +lat_0=49.5 +lon_0=42.5 +k=0.9999 +x_0=0 +y_0=0 "
+     "+ellps=bessel +pm=ferro",
+     16.849771944444445, 50.20901166666667, -568991.00, -1050538.64, 1.1e-2),
+    ("+proj=krovak +lat_0=49.5 +lon_0=42.5 +k=0.9999 +x_0=0 +y_0=0 "
+     "+ellps=bessel +pm=ferro +czech",
+     16.849771944444445, 50.20901166666667, 568991.00, 1050538.64, 1.1e-2),
+    # mod_krovak — builtins.gie:3230-3244
+    ("+proj=mod_krovak +lat_0=49.5 +lon_0=42.5 +k=0.9999 +x_0=5000000 "
+     "+y_0=5000000 +ellps=bessel",
+     34.51643861111111, 50.20901166666667, -5568990.91, -6050538.71, 1e-2),
+    ("+proj=mod_krovak +lat_0=49.5 +lon_0=42.5 +k=0.9999 +x_0=5000000 "
+     "+y_0=5000000 +ellps=bessel +czech",
+     34.51643861111111, 50.20901166666667, 5568990.91, 6050538.71, 1e-2),
+    # somerc — builtins.gie:6493-6530
+    ("+proj=somerc +ellps=GRS80", 2, 1, 222638.981586547, 110579.965218249, 1e-4),
+    ("+proj=somerc +ellps=GRS80", -2, -1, -222638.981586547, -110579.965218251, 1e-4),
+    ("+proj=somerc +R=6400000", 2, 1, 223402.144255274, 111706.743574944, 1e-4),
+    # omerc — builtins.gie:5070-5140
+    ("+proj=omerc +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2, 1,
+     222650.796885261, 110642.229314984, 1e-4),
+    ("+proj=omerc +ellps=GRS80 +lat_1=0.5 +lat_2=2", -2, -1,
+     -222650.796885262, -110642.229314984, 1e-4),
+    ("+proj=omerc +ellps=GRS80 +lat_1=0.5 +lat_2=2 +no_rot", 2, 1,
+     110642.229314984, 222650.796885261, 1e-4),
+    ("+proj=omerc +a=6400000 +lat_0=45 +lat_1=45 +lat_2=45.00001 "
+     "+lon_1=0 +lon_2=1e-5", 2, 1,
+     -3569.825230822232, -5093592.310871849768, 1e-3),
+    ("+proj=omerc +a=6400000 +lat_0=45 +alpha=35.264383770917604", 2, 1,
+     -3569.825230822232, -5093592.310871849768, 1e-3),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey,tol", GOLDENS)
+def test_natgrid_gie_golden(pstr, lon, lat, ex, ey, tol):
+    x, y = fwd(pstr, lon, lat)
+    assert abs(x - ex) < tol and abs(y - ey) < tol, (x, y, ex, ey)
+
+
+ROUNDTRIP_PSTRS = [
+    "+proj=sterea +ellps=bessel +lat_0=52.15616055555555 "
+    "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000",
+    "+proj=krovak +ellps=bessel",
+    "+proj=mod_krovak +ellps=bessel +x_0=5000000 +y_0=5000000",
+    "+proj=somerc +ellps=bessel +lat_0=46.95240555555556 "
+    "+lon_0=7.439583333333333 +x_0=600000 +y_0=200000",
+    "+proj=omerc +ellps=GRS80 +lat_0=4 +lonc=115 +alpha=53.31582 "
+    "+gamma=53.13010 +k_0=0.99984",
+    "+proj=omerc +ellps=GRS80 +lat_1=0.5 +lat_2=2",
+]
+
+
+@pytest.mark.parametrize("pstr", ROUNDTRIP_PSTRS)
+def test_natgrid_roundtrip(pstr):
+    rng = np.random.RandomState(7)
+    if "krovak" in pstr:
+        lon = rng.uniform(12, 23, 200)
+        lat = rng.uniform(47, 52, 200)
+    elif "somerc" in pstr or "sterea" in pstr:
+        lon = rng.uniform(3, 11, 200)
+        lat = rng.uniform(45, 54, 200)
+    else:
+        lon = rng.uniform(110, 120, 200)
+        lat = rng.uniform(0, 8, 200)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, lat, atol=1e-9)
