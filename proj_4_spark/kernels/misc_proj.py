@@ -639,3 +639,143 @@ def robin_fwd(lam, phi, _=None):
     x = vx * _ROBIN_FXC * lam
     y = np.where(phi < 0.0, -vy, vy) * _ROBIN_FYC
     return x, y
+
+
+def laea_inv(x, y, C: LaeaConsts):
+    """Closed-form LAEA inverse (laea.cpp:134-185 e_inverse,
+    :200-240 s_inverse): authalic latitude series, no Newton."""
+    if C.spherical:
+        rh = np.hypot(x, y)
+        with np.errstate(invalid="ignore"):
+            z = 2.0 * np.arcsin(np.where(0.5 * rh > 1.0, np.nan, 0.5 * rh))
+        sinz = np.sin(z)
+        cosz = np.cos(z)
+        if C.mode == "equit":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                phi = np.where(np.abs(rh) <= EPS10, 0.0,
+                               np.arcsin(np.clip(y * sinz / rh, -1, 1)))
+            xx = x * sinz
+            yy = cosz * rh
+        elif C.mode == "obliq":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                phi = np.where(
+                    np.abs(rh) <= EPS10, C.phi0,
+                    np.arcsin(np.clip(
+                        cosz * C.sinb1 + y * sinz * C.cosb1 / np.where(
+                            rh == 0, 1.0, rh), -1, 1)))
+            xx = x * sinz * C.cosb1
+            yy = (cosz - np.sin(phi) * C.sinb1) * rh
+        elif C.mode == "n_pole":
+            phi = HALFPI - z
+            xx, yy = x, -y
+        else:
+            phi = z - HALFPI
+            xx, yy = x, y
+        if C.mode in ("equit", "obliq"):
+            lam = np.where(yy == 0.0, 0.0, np.arctan2(xx, yy))
+        else:
+            lam = np.arctan2(xx, yy)
+        return lam, phi
+    if C.mode in ("equit", "obliq"):
+        xx = x / C.dd
+        yy = y * C.dd
+        rho = np.hypot(xx, yy)
+        arg = 0.5 * rho / C.rq
+        with np.errstate(invalid="ignore"):
+            Ce = 2.0 * np.arcsin(np.where(arg > 1.0, np.nan, arg))
+        cCe = np.cos(Ce)
+        sCe = np.sin(Ce)
+        xx = xx * sCe
+        if C.mode == "obliq":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ab = cCe * C.sinb1 + yy * sCe * C.cosb1 / np.where(
+                    rho == 0, 1.0, rho)
+            yy = rho * C.cosb1 * cCe - yy * C.sinb1 * sCe
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ab = yy * sCe / np.where(rho == 0, 1.0, rho)
+            yy = rho * cCe
+        center = rho < EPS10
+    else:
+        if C.mode == "n_pole":
+            xx, yy = x, -y
+        else:
+            xx, yy = x, y
+        q = xx * xx + yy * yy
+        ab = 1.0 - q / C.qp
+        if C.mode == "s_pole":
+            ab = -ab
+        center = q == 0.0
+    lam = np.arctan2(xx, yy)
+    phi = _authlat(np.arcsin(np.clip(ab, -1.0, 1.0)), C.apa)
+    lam = np.where(center, 0.0, lam)
+    phi = np.where(center, C.phi0, phi)
+    return lam, phi
+
+
+def stere_inv(x, y, C: StereConsts, max_iter: int = 8, tol: float = 1e-10):
+    """Closed-form stereographic inverse (stere.cpp:137-188 e_inverse
+    with the bounded tp fixed-point, :190-232 s_inverse)."""
+    rho = np.hypot(x, y)
+    if C.spherical:
+        c = 2.0 * np.arctan(rho / C.akm1)
+        sinc = np.sin(c)
+        cosc = np.cos(c)
+        if C.mode == "equit":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                phi = np.where(np.abs(rho) <= EPS10, 0.0,
+                               np.arcsin(np.clip(y * sinc / np.where(
+                                   rho == 0, 1.0, rho), -1, 1)))
+            lam = np.where((cosc != 0.0) | (x != 0.0),
+                           np.arctan2(x * sinc, cosc * rho), 0.0)
+        elif C.mode == "obliq":
+            sinph0, cosph0 = C.sinX1, C.cosX1
+            with np.errstate(invalid="ignore", divide="ignore"):
+                phi = np.where(np.abs(rho) <= EPS10, C.phi0,
+                               np.arcsin(np.clip(
+                                   cosc * sinph0 + y * sinc * cosph0
+                                   / np.where(rho == 0, 1.0, rho), -1, 1)))
+            cc = cosc - sinph0 * np.sin(phi)
+            lam = np.where((cc != 0.0) | (x != 0.0),
+                           np.arctan2(x * sinc * cosph0, cc * rho), 0.0)
+        else:
+            yy = -y if C.mode == "n_pole" else y
+            phi = np.where(np.abs(rho) <= EPS10, C.phi0,
+                           np.arcsin(np.clip(
+                               -cosc if C.mode == "s_pole" else cosc, -1, 1)))
+            lam = np.where((x == 0.0) & (yy == 0.0), 0.0, np.arctan2(x, yy))
+        return lam, phi
+    # ellipsoidal: one closed-form seed + bounded fixed-point on phi
+    if C.mode in ("obliq", "equit"):
+        tp0 = 2.0 * np.arctan2(rho * C.cosX1, C.akm1)
+        cosphi = np.cos(tp0)
+        sinphi = np.sin(tp0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi_l = np.where(
+                rho == 0.0, np.arcsin(np.clip(cosphi * C.sinX1, -1, 1)),
+                np.arcsin(np.clip(cosphi * C.sinX1 + y * sinphi * C.cosX1
+                                  / np.where(rho == 0, 1.0, rho), -1, 1)))
+        tp = np.tan(0.5 * (HALFPI + phi_l))
+        xx = x * sinphi
+        yy = rho * C.cosX1 * cosphi - y * C.sinX1 * sinphi
+        halfpi = HALFPI
+        halfe = 0.5 * C.e
+    else:
+        yy = -y if C.mode == "n_pole" else y
+        tp = -rho / C.akm1
+        phi_l = HALFPI - 2.0 * np.arctan(tp)
+        halfpi = -HALFPI
+        halfe = -0.5 * C.e
+        xx = x
+    phi = phi_l.copy()
+    for _ in range(max_iter):
+        sinphi = C.e * np.sin(phi_l)
+        phi = 2.0 * np.arctan(
+            tp * ((1.0 + sinphi) / (1.0 - sinphi)) ** halfe) - halfpi
+        if np.all(np.abs(phi_l - phi) < tol):
+            break
+        phi_l = phi
+    if C.mode == "s_pole":
+        phi = -phi
+    lam = np.where((xx == 0.0) & (yy == 0.0), 0.0, np.arctan2(xx, yy))
+    return lam, phi

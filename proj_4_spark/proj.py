@@ -532,7 +532,7 @@ def _mk_laea(op, params, ell, k0, phi0):
     C = M.laea_setup(params, ell, phi0)
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*M.laea_fwd(x, y, C), z)
-    op.inv_k = None  # inverse via generic Newton (future)
+    op.inv_k = lambda x, y, z, t: (*M.laea_inv(x, y, C), z)
 
 
 def _mk_stere(op, params, ell, k0, phi0):
@@ -546,7 +546,7 @@ def _mk_stere(op, params, ell, k0, phi0):
     # akm1 pre-folds k0 (stere.cpp); neutralize the generic k0 scaling
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*M.stere_fwd(x, y, C), z)
-    op.inv_k = None
+    op.inv_k = lambda x, y, z, t: (*M.stere_inv(x, y, C), z)
 
 
 def _mk_sinu(op, params, ell, k0, phi0):

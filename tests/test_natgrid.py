@@ -95,3 +95,61 @@ def test_natgrid_roundtrip(pstr):
     lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
     assert np.allclose(lo, lon, atol=1e-9)
     assert np.allclose(la, lat, atol=1e-9)
+
+
+# --- closed-form stere / laea inverses (replacing generic Newton) ----
+
+INV_GOLDENS = [
+    # builtins.gie laea inverse (:3301-3309); tolerance is gie's
+    # "0.1 mm" ~ 1e-9 deg at these magnitudes
+    ("+proj=laea +ellps=GRS80", 200, 100, 0.001796631, 0.000904369),
+    ("+proj=laea +ellps=GRS80", -200, -100, -0.001796631, -0.000904369),
+    # builtins.gie stere inverse (:6558-6566)
+    ("+proj=stere +ellps=GRS80", 200, 100, 0.001796631, 0.000904369),
+    ("+proj=stere +ellps=GRS80", -200, -100, -0.001796631, -0.000904369),
+]
+
+
+@pytest.mark.parametrize("pstr,x,y,elon,elat", INV_GOLDENS)
+def test_inverse_gie_golden(pstr, x, y, elon, elat):
+    tr = compile_projstring(pstr)
+    lo, la, _, _ = tr.transform_deg(np.array([float(x)]),
+                                    np.array([float(y)]),
+                                    direction="inv")
+    assert abs(lo[0] - elon) < 1e-9 and abs(la[0] - elat) < 1e-9
+
+
+STERE_LAEA_RT = [
+    ("+proj=stere +ellps=GRS80 +lat_0=90 +lat_ts=70 +lon_0=-45",
+     (-170, 170), (60, 89), 1e-9),
+    ("+proj=stere +ellps=GRS80 +lat_0=-90 +lat_ts=-71",
+     (-170, 170), (-89, -60), 1e-9),
+    ("+proj=stere +ellps=GRS80 +lat_0=52 +lon_0=10", (-30, 50), (20, 80), 1e-9),
+    ("+proj=stere +ellps=GRS80", (-60, 60), (-60, 60), 1e-9),
+    ("+proj=stere +R=6370997 +lat_0=40", (-50, 70), (0, 80), 1e-9),
+    ("+proj=ups +ellps=WGS84", (-170, 170), (60, 89), 1e-9),
+    # laea ellipsoidal: the reference's own inverse uses the 3-term
+    # authalic-latitude series (pj_authlat), whose truncation error is
+    # ~2e-8 deg (~2 mm) — we mirror the reference, not outdo it
+    ("+proj=laea +ellps=GRS80 +lat_0=45 +lon_0=10", (-30, 50), (10, 80), 1e-7),
+    ("+proj=laea +ellps=GRS80", (-60, 60), (-60, 60), 1e-7),
+    ("+proj=laea +ellps=GRS80 +lat_0=90", (-170, 170), (40, 89), 1e-7),
+    ("+proj=laea +ellps=GRS80 +lat_0=-90", (-170, 170), (-89, -40), 1e-7),
+    ("+proj=laea +R=6370997 +lat_0=45", (-50, 70), (0, 80), 1e-9),
+    ("+proj=laea +R=6370997", (-60, 60), (-60, 60), 1e-9),
+    ("+proj=laea +R=6370997 +lat_0=90", (-170, 170), (40, 89), 1e-9),
+]
+
+
+@pytest.mark.parametrize("pstr,lons,lats,tol", STERE_LAEA_RT)
+def test_stere_laea_closed_form_roundtrip(pstr, lons, lats, tol):
+    """Roundtrip through the new closed-form inverses (stere.cpp:137,
+    laea.cpp:134) — previously inv_k=None -> generic Newton."""
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(*lons, 400)
+    lat = rng.uniform(*lats, 400)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < tol
+    assert np.nanmax(np.abs(la - lat)) < tol
