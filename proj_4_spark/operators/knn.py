@@ -11,12 +11,12 @@ Two strategies (SURVEY.md §2.5):
   rank-filter windows with a TopK sort — limit pushdown via
   WindowGroupLimit).
 
-- ``knn_cell_pruned``: scale path — candidates restricted to the query
-  cell's neighborhood at a coarse S2 level (cell-prefix candidate
-  generation), then exact re-rank; falls back to a widening ring until
-  k candidates exist.  Exactness holds when the kth distance is
-  smaller than the guaranteed in-ring radius; the tests assert recall
-  against the brute-force oracle.
+- ``knn_cell_pruned``: scale path — candidates restricted to the grid
+  cells within a Chebyshev ring of each query's cell (broadcast
+  equi-join on the cell key), widening the ring until every query has
+  k candidates inside the guaranteed in-ring radius.  EXACT: the tests
+  assert equality with the brute-force oracle, including a
+  cell-boundary query where single-cell pruning is provably wrong.
 """
 
 from __future__ import annotations
@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-
-from ..functions.geo import s2_cell_udf
 
 
 def sq_degree_dist(lon1, lat1, lon2, lat2):
@@ -54,21 +52,77 @@ def knn_broadcast(points: DataFrame, queries: DataFrame, k: int,
 
 
 def knn_cell_pruned(points: DataFrame, queries: DataFrame, k: int,
-                    level: int = 6, lon: str = "lon", lat: str = "lat",
-                    id_col: str = "doc_id") -> DataFrame:
-    """Scale path: join on the coarse cell id first (equi-join — the
-    planner can use it for pruning/co-partitioning), exact re-rank
-    inside the candidate set.  Approximate at cell boundaries; see
-    module docstring."""
-    cell = s2_cell_udf(level)
-    pts = points.withColumn("_cell", cell(F.col(lon), F.col(lat)))
-    qs = queries.withColumn("_cell", cell(F.col("q_lon"), F.col("q_lat")))
-    cand = pts.join(broadcast(qs), "_cell")
+                    grid_deg: float = 2.0, lon: str = "lon", lat: str = "lat",
+                    id_col: str = "doc_id", max_ring: int | None = None
+                    ) -> DataFrame:
+    """Scale path: EXACT kNN with cell-pruned candidates and a
+    widening ring.
+
+    Points are bucketed once onto a ``grid_deg`` lon/lat grid
+    (longitude cells wrap modulo 360).  Per ring r the candidate set is
+    the points in all grid cells within Chebyshev distance r of each
+    query's cell — a broadcast equi-join on the cell key, so the big
+    side never shuffles.  The ring widens until every query has >= k
+    candidates whose k-th distance is within the guaranteed in-ring
+    radius (the distance from the query to the covered-square
+    boundary), which makes the result provably equal to brute force.
+    The per-ring driver check collects only #queries rows.
+    """
+    g = float(grid_deg)
+    nx = max(int(round(360.0 / g)), 1)
+    pts = (points.withColumn(
+               "_ix", F.floor((F.col(lon) + 180.0) / g).cast("long") % nx)
+                 .withColumn("_iy", F.floor((F.col(lat) + 90.0) / g)
+                             .cast("long")))
+    qrows = queries.select("query_id", "q_lon", "q_lat").collect()
+    spark = points.sparkSession
+    if max_ring is None:
+        max_ring = int(180.0 / g) + 1
+
+    def cover_df(r: int):
+        rows = []
+        for q in qrows:
+            qix = int((q["q_lon"] + 180.0) // g) % nx
+            qiy = int((q["q_lat"] + 90.0) // g)
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    rows.append((q["query_id"], (qix + dx) % nx, qiy + dy))
+        return spark.createDataFrame(
+            rows, "query_id long, _ix long, _iy long")
+
     d2 = sq_degree_dist(F.col(lon), F.col(lat),
                         F.col("q_lon"), F.col("q_lat")).alias("dist2")
-    pairs = cand.select("query_id", id_col, d2)
+    qdf = queries.select("query_id", "q_lon", "q_lat")
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
                                               F.col(id_col).asc())
-    return (pairs.withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("query_id", "rank", id_col, "dist2"))
+    for r in range(1, max_ring + 1):
+        cand = (pts.join(broadcast(cover_df(r)), ["_ix", "_iy"])
+                   .join(broadcast(qdf), "query_id")
+                   .select("query_id", id_col, d2))
+        ranked = (cand.withColumn("rank", F.row_number().over(w))
+                      .where(F.col("rank") <= k))
+        if r >= max_ring:
+            return ranked.select("query_id", "rank", id_col, "dist2")
+        # exactness check: k-th distance within the in-ring radius
+        kth = {row["query_id"]: (row["n"], row["kd"]) for row in
+               ranked.groupBy("query_id")
+                     .agg(F.count("*").alias("n"), F.max("dist2").alias("kd"))
+                     .collect()}
+        ok = True
+        for q in qrows:
+            n_kd = kth.get(q["query_id"])
+            if n_kd is None or n_kd[0] < k:
+                ok = False
+                break
+            qix = int((q["q_lon"] + 180.0) // g) % nx
+            qiy = int((q["q_lat"] + 90.0) // g)
+            qlx = (q["q_lon"] + 180.0) - qix * g
+            qly = (q["q_lat"] + 90.0) - qiy * g
+            bound = min(qlx + r * g, (r + 1) * g - qlx,
+                        qly + r * g, (r + 1) * g - qly)
+            if n_kd[1] > bound * bound:
+                ok = False
+                break
+        if ok:
+            return ranked.select("query_id", "rank", id_col, "dist2")
+    raise AssertionError("unreachable")

@@ -90,7 +90,8 @@ def test_multimodal_frame_sample(spark, sf_dir):
     assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in rows)
 
 
-def test_knn_cell_pruned_recall(spark, sf_dir):
+def test_knn_cell_pruned_exact(spark, sf_dir):
+    """The widening-ring pruned kNN equals brute force exactly."""
     from proj_4_spark.operators.knn import knn_broadcast, knn_cell_pruned
     from proj_4_spark.sources.coords import CITIES
 
@@ -99,13 +100,29 @@ def test_knn_cell_pruned_recall(spark, sf_dir):
         [(i, c[1] + 0.05, c[2] - 0.05) for i, c in enumerate(CITIES[:5])],
         "query_id long, q_lon double, q_lat double")
     exact = knn_broadcast(pts, qs, k=3).collect()
-    pruned = knn_cell_pruned(pts, qs, k=3, level=6).collect()
+    pruned = knn_cell_pruned(pts, qs, k=3).collect()
     ex = {(r["query_id"], r["rank"]): r["doc_id"] for r in exact}
     pr = {(r["query_id"], r["rank"]): r["doc_id"] for r in pruned}
-    # queries sit at city centers, so the level-6 cell holds >> k
-    # points and the pruned result matches the exact one
-    hits = sum(1 for k in ex if pr.get(k) == ex[k])
-    assert hits >= int(0.8 * len(ex))
+    assert ex == pr
+
+
+def test_knn_ring_boundary_query(spark):
+    """A query on a cell corner whose true neighbors all sit in
+    adjacent cells: single-cell pruning provably returns the wrong
+    set; the ring search matches brute force."""
+    from proj_4_spark.operators.knn import knn_broadcast, knn_cell_pruned
+
+    # grid_deg=2 -> cell boundaries at even lon/lat (offset by 180/90)
+    pts_rows = [(1, -0.05, 0.5), (2, -0.10, 0.5), (3, -0.15, 0.5),
+                (4, 1.9, 1.9), (5, 1.8, 1.8)]  # 4,5 in the query cell
+    pts = spark.createDataFrame(pts_rows, "doc_id long, lon double, lat double")
+    qs = spark.createDataFrame([(0, 0.01, 0.5)],
+                               "query_id long, q_lon double, q_lat double")
+    exact = knn_broadcast(pts, qs, k=3).collect()
+    pruned = knn_cell_pruned(pts, qs, k=3, grid_deg=2.0).collect()
+    ex = {(r["query_id"], r["rank"]): r["doc_id"] for r in exact}
+    pr = {(r["query_id"], r["rank"]): r["doc_id"] for r in pruned}
+    assert ex == pr == {(0, 1): 1, (0, 2): 2, (0, 3): 3}
 
 
 def test_lsh_hot_bucket_capped(spark):
