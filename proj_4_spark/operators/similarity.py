@@ -86,20 +86,40 @@ def cosine_topk(vectors: DataFrame, query_ids: list[int], k: int,
 def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   planes: np.ndarray | None = None,
-                  round_to: int = 9) -> DataFrame:
-    """Near-duplicate pairs inside equal LSH buckets with rounded
-    cosine >= threshold (bucket-candidate + exact verify)."""
-    planes = hyperplanes() if planes is None else planes
-    b = vectors.select(id_col, vec_col,
-                       bucket_expr(F.col(vec_col), planes).alias("bucket"))
-    b = b.persist()  # avoid recomputing 8 dot products per join side
+                  round_to: int = 9, bands: int = 2, rows: int = 8,
+                  max_bucket: int = 2000) -> DataFrame:
+    """Near-duplicate pairs via BANDED sign-hyperplane LSH with exact
+    cosine verification.
+
+    ``bands`` independent 2^rows-bucket partitions: a pair is a
+    candidate if it collides in ANY band (union -> higher recall than
+    a single partition), and every (band, bucket) with more than
+    ``max_bucket`` members is dropped before the self-join — one hot
+    bucket (near-constant embeddings, zero vectors) would otherwise
+    contribute O(m^2) pairs at web scale.  The windowed count shuffles
+    on the same (band, bucket) key the join needs."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n=bands * rows) if planes is None else planes
+    band_buckets = F.array(*[
+        bucket_expr(F.col(vec_col), planes[b * rows:(b + 1) * rows])
+        for b in range(bands)])
+    b = vectors.select(
+        id_col, vec_col,
+        F.posexplode(band_buckets).alias("band", "bucket"))
+    bucket_n = F.count("*").over(Window.partitionBy("band", "bucket"))
+    b = (b.withColumn("_bn", bucket_n)
+          .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    b = b.persist()  # avoid recomputing the dot products per join side
     a, c = b.alias("a"), b.alias("b")
-    pairs = (a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+    pairs = (a.join(c, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
               .select(F.col(f"a.{id_col}").alias("vec_a"),
                       F.col(f"b.{id_col}").alias("vec_b"),
                       F.col(f"a.{vec_col}").alias("va"),
-                      F.col(f"b.{vec_col}").alias("vb")))
+                      F.col(f"b.{vec_col}").alias("vb"))
+              .dropDuplicates(["vec_a", "vec_b"]))
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -112,3 +132,103 @@ def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
     return (pairs.withColumn("sim", F.round(_cos("va", "vb"), round_to))
                  .where(F.col("sim") >= threshold)
                  .select("vec_a", "vec_b", "sim"))
+
+
+# ------------------------------------------------------------------- IVF
+
+def kmeans_centroids(vectors: DataFrame, n_centroids: int = 16,
+                     n_iter: int = 8, sample_n: int = 2048,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic Lloyd k-means on an id-ordered sample, run
+    driver-side — the coarse quantizer of an IVF index.  At 10^12 rows
+    the sample is a tiny bounded collect; the expensive step
+    (assignment) runs distributed in ivf_topk."""
+    rows = (vectors.orderBy(id_col).limit(sample_n)
+                   .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(n_centroids):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def assign_centroid_udf(centroids: np.ndarray):
+    """pandas UDF: nearest-centroid id (squared-euclidean argmin,
+    first-min on ties — matches the SQL oracle's strict-less chain)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vec: pd.Series) -> pd.Series:
+        m = np.array(vec.tolist(), dtype=np.float64)
+        d = np.stack([((m - C[j]) ** 2).sum(axis=1)
+                      for j in range(len(C))], axis=1)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_topk(vectors: DataFrame, query_ids: list[int], k: int,
+             centroids: np.ndarray | None = None, nprobe: int = 4,
+             n_centroids: int = 16, vec_col: str = "embedding",
+             id_col: str = "vec_id", round_to: int = 9) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its nearest
+    centroid (inverted lists), probe only the ``nprobe`` lists nearest
+    each query, exact cosine + top-k inside the probed lists.
+
+    The scan touches ~nprobe/n_centroids of the data per query — the
+    sub-linear 100 TB path; cosine_topk remains the exact baseline.
+    Returns (query_id, rank, vec_id, sim)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, n_centroids=n_centroids,
+                                     vec_col=vec_col, id_col=id_col)
+    C = np.asarray(centroids, dtype=np.float64)
+    qrows = (vectors.where(F.col(id_col).isin(list(query_ids)))
+                    .select(F.col(id_col).alias("query_id"), vec_col)
+                    .collect())
+    qmat = {int(r["query_id"]): np.array(r[vec_col], dtype=np.float64)
+            for r in qrows}
+    probe_rows = []
+    for qid, qv in qmat.items():
+        d = ((C - qv) ** 2).sum(axis=1)
+        for cid in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((qid, int(cid)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
+
+    assigned = vectors.withColumn(
+        "cid", assign_centroid_udf(C)(F.col(vec_col)))
+    cand = (assigned.join(broadcast(probes), "cid")
+                    .where(F.col("query_id") != F.col(id_col)))
+
+    qid_order = sorted(qmat)
+    QM = np.stack([qmat[q] for q in qid_order])
+    Qn = np.sqrt((QM * QM).sum(axis=1))
+    qindex = {q: i for i, q in enumerate(qid_order)}
+
+    @pandas_udf("double")
+    def _cos_q(vec: pd.Series, qid: pd.Series) -> pd.Series:
+        m = np.array(vec.tolist(), dtype=np.float64)
+        idx = qid.map(qindex).to_numpy(np.int64)
+        qm = QM[idx]
+        num = (m * qm).sum(axis=1)
+        den = np.sqrt((m * m).sum(axis=1)) * Qn[idx]
+        return pd.Series(num / den)
+
+    sims = cand.select(
+        "query_id", id_col,
+        F.round(_cos_q(F.col(vec_col), F.col("query_id")), round_to)
+         .alias("sim"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    return (sims.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", id_col, "sim"))

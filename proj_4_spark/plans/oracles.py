@@ -817,3 +817,69 @@ SELECT doc_id,
          {round_to}) + 0.0) AS y_m
 FROM r ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_sql(centroids, n_queries: int = 10, nprobe: int = 4, k: int = 5,
+            round_to: int = 9) -> str:
+    """Oracle for the IVF ANN path: the fixed codebook is embedded as
+    a VALUES table of list literals; nearest-centroid assignment and
+    query probing are row_number() windows ordered by (distance, cid)
+    — first-min on ties, matching numpy argmin / stable argsort."""
+    rows = []
+    for cid, c in enumerate(centroids):
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        rows.append(f"({cid}, {arr})")
+    cent_values = ",\n    ".join(rows)
+    dist = ("list_sum(list_transform(list_zip({v}, cent.c), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])))")
+    dot = "list_sum(list_transform(list_zip(cand.e, q.qe), x -> x[1]*x[2]))"
+    norm = "sqrt(list_sum(list_transform({v}, x -> x*x)))"
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {cent_values}
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, cent.cid,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {dist.format(v="v.e")}, cent.cid) AS rn
+    FROM v CROSS JOIN cent)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cent.cid,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {dist.format(v="q.qe")}, cent.cid) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.e
+  FROM assigned a JOIN probes p USING (cid)
+  WHERE a.vec_id != p.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+    (round({dot} / ({norm.format(v="cand.e")} * {norm.format(v="q.qe")}),
+           {round_to}) + 0.0) AS sim
+  FROM cand JOIN q ON q.query_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

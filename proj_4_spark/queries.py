@@ -672,12 +672,12 @@ def q_embed_cosine_top5(spark, sf_dir):
                .orderBy("query_id", "rank"))
 
 
-_PLANES = SIM.hyperplanes()
+_PLANES = SIM.hyperplanes(n=16)  # 2 bands x 8 planes
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, planes) -> str:
     terms = []
-    for k, w in enumerate(_PLANES):
+    for k, w in enumerate(planes):
         arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
         d = _DOT.format(a=vec, b=arr)
         terms.append(f"(CASE WHEN {d} > 0 THEN {1 << k} ELSE 0 END)")
@@ -686,25 +686,63 @@ def _bucket_sql(vec: str) -> str:
 
 @register("embed_neardup_pairs", f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  SELECT vec_id, embedding,
+    {_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES[0:8])} AS bk0,
+    {_bucket_sql("CAST(embedding AS DOUBLE[])", _PLANES[8:16])} AS bk1
   FROM embeddings
+),
+e AS (
+  SELECT vec_id, band,
+         CASE band WHEN 0 THEN bk0 ELSE bk1 END AS bucket
+  FROM b, (VALUES (0), (1)) t(band)
+),
+capped AS (
+  SELECT vec_id, band, bucket FROM e
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 2000
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  (round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
-    / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
+SELECT p.vec_a, p.vec_b,
+  (round({_DOT.format(a="CAST(ea.embedding AS DOUBLE[])", b="CAST(eb.embedding AS DOUBLE[])")}
+    / ({_NORM.format(v="CAST(ea.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(eb.embedding AS DOUBLE[])")}),
     9) + 0.0) AS sim
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE (round({_DOT.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")}
-    / ({_NORM.format(v="CAST(a.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(b.embedding AS DOUBLE[])")}),
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE (round({_DOT.format(a="CAST(ea.embedding AS DOUBLE[])", b="CAST(eb.embedding AS DOUBLE[])")}
+    / ({_NORM.format(v="CAST(ea.embedding AS DOUBLE[])")} * {_NORM.format(v="CAST(eb.embedding AS DOUBLE[])")}),
     9) + 0.0) >= 0.6
 ORDER BY vec_a, vec_b
 """)
 def q_embed_neardup_pairs(spark, sf_dir):
-    """Embedding near-dup: 8 sign-hyperplane LSH buckets (Catalyst
-    expression) for candidates, exact cosine verify >= 0.6."""
+    """Embedding near-dup: banded sign-hyperplane LSH (2 bands x 8
+    planes — union of band collisions, hot buckets above 2000 members
+    dropped before the self-join), exact cosine verify >= 0.6."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (SIM.neardup_pairs(e, threshold=0.6, planes=_PLANES)
                .orderBy("vec_a", "vec_b"))
+
+
+_IVF_CENTROIDS = SIM.hyperplanes(dim=64, n=16, seed=7)  # fixed codebook
+
+
+@register("ivf_cosine_top5", O.ivf_sql(_IVF_CENTROIDS, n_queries=10,
+                                       nprobe=4, k=5))
+def q_ivf_cosine_top5(spark, sf_dir):
+    """IVF-style ANN top-5: nearest-centroid inverted lists over a
+    fixed deterministic codebook, nprobe=4 of 16 lists searched per
+    query — the sub-linear 100 TB path (cosine_topk is the exact
+    baseline; kmeans_centroids trains a data-adapted codebook, tested
+    in pytest)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ivf_topk(e, list(range(10)), 5, centroids=_IVF_CENTROIDS,
+                       nprobe=4)
+    return (out.select("query_id", "rank", "vec_id",
+                       (F.col("sim") + 0.0).alias("sim"))
+               .orderBy("query_id", "rank"))
 
 
 @register("events_hourly", """

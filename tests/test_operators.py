@@ -144,3 +144,45 @@ def test_lsh_hot_bucket_capped(spark):
     uncapped = lsh_candidate_pairs(docs, max_bucket=1000)
     n_uncapped = uncapped.count()
     assert n_uncapped >= 20 * 19 // 2  # boilerplate pairs present
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with a kmeans-trained codebook: recall@5 vs the exact
+    brute-force baseline on the embeddings table."""
+    from proj_4_spark.operators.similarity import (cosine_topk,
+                                                   ivf_topk,
+                                                   kmeans_centroids)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(8))
+    exact = cosine_topk(e, qids, 5).collect()
+    C = kmeans_centroids(e, n_centroids=8, sample_n=512)
+    approx = ivf_topk(e, qids, 5, centroids=C, nprobe=4).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 lists
+
+
+def test_neardup_hot_bucket_capped(spark):
+    """A hot LSH bucket (many near-identical embeddings) above
+    max_bucket contributes no pairs; a small distinct near-dup group
+    elsewhere is still found."""
+    import numpy as np
+
+    from proj_4_spark.operators.similarity import neardup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64)
+    other = rng.standard_normal(64)
+    rows = [(i, (base + 1e-3 * rng.standard_normal(64)).tolist())
+            for i in range(30)]
+    rows += [(100, other.tolist()),
+             (101, (other + 1e-3 * rng.standard_normal(64)).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = neardup_pairs(df, threshold=0.9, max_bucket=10)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got), got
+    assert (100, 101) in got
+    uncapped = neardup_pairs(df, threshold=0.9, max_bucket=1000)
+    assert uncapped.count() >= 30 * 29 // 2
