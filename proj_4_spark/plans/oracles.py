@@ -883,3 +883,48 @@ r AS (
 SELECT query_id, rank, vec_id, sim FROM r WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------ molodensky
+
+def molodensky_sql(projstr: str, round_deg: int = 9,
+                   round_h: int = 4) -> str:
+    """Standard (non-abridged) Molodensky forward at z=0
+    (molodensky.cpp:120-172) — closed-form."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert not C.abridged
+    a, es, f = C.a, C.es, C.f
+    s, c = "sin(rl)", "cos(rl)"
+    slam, clam = "sin(rlam)", "cos(rlam)"
+    rho = (f"(CASE WHEN rl = 0.0 THEN {L(a * (1.0 - es))} "
+           f"WHEN abs(rl) = pi()/2 THEN {L(a / math.sqrt(1.0 - es))} "
+           f"ELSE {L(a * (1.0 - es))}/pow(1.0 - {L(es)}*{s}*{s}, 1.5) END)")
+    nu = f"({L(a)}/sqrt(1.0 - {L(es)}*{s}*{s}))"
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, radians(lon) AS rlam, radians(lat) AS rl FROM coords
+),
+r AS (
+  SELECT doc_id, rlam, rl, {rho} AS rho, {nu} AS nu FROM p
+),
+d AS (
+  SELECT doc_id, rlam, rl,
+    ((-({L(C.dx)})*{s}*{clam} - ({L(C.dy)})*{s}*{slam} + ({L(C.dz)})*{c}
+      + (nu*{L(es)}*{s}*{c}*({L(C.da)}))/{L(a)}
+      + {s}*{c}*(rho/{L(1.0 - f)} + nu*{L(1.0 - f)})*({L(C.df)}))
+     / rho) AS dphi,
+    ((-({L(C.dx)})*{slam} + ({L(C.dy)})*{clam})/(nu*{c})) AS dlam,
+    (({L(C.dx)})*{c}*{clam} + ({L(C.dy)})*{c}*{slam} + ({L(C.dz)})*{s}
+     - ({L(a)}/nu)*({L(C.da)})
+     + nu*{L(1.0 - f)}*{s}*{s}*({L(C.df)})) AS dh
+  FROM r
+)
+SELECT doc_id,
+  (round(degrees(rlam + dlam), {round_deg}) + 0.0) AS lon_out,
+  (round(degrees(rl + dphi), {round_deg}) + 0.0) AS lat_out,
+  (round(dh, {round_h}) + 0.0) AS dh_m
+FROM d ORDER BY doc_id
+"""

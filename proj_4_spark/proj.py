@@ -440,6 +440,21 @@ def compile_operation(params: dict) -> Operation:
     elif proj_id in ("push", "pop"):
         op.left, op.right = WHATEVER, WHATEVER
         op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+    elif proj_id == "molodensky":
+        from .kernels import molodensky as k_molo
+
+        C = k_molo.setup(params, ell)
+        op.left, op.right = RADIANS, RADIANS
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: k_molo.fwd(x, y, z, C)
+        op.inv_k = lambda x, y, z, t: k_molo.inv(x, y, z, C)
+    elif proj_id == "geoc":
+        from .kernels.molodensky import geoc_fwd, geoc_inv
+
+        one_es = ell.one_es
+        op.left, op.right = RADIANS, RADIANS
+        op.fwd_k = lambda x, y, z, t: (x, geoc_fwd(y, one_es), z)
+        op.inv_k = lambda x, y, z, t: (x, geoc_inv(y, one_es), z)
     elif proj_id in ("hgridshift", "vgridshift"):
         # grid-based datum shift; grids resolve through GRID_REGISTRY
         # (the Spark deployment broadcasts the arrays; the reference

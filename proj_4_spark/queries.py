@@ -1107,3 +1107,45 @@ def q_somerc_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), _CH)
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+# --- datum-shift family completion (molodensky + geoc) ----------------
+
+_MOLO = ("+proj=molodensky +a=6378160 +rf=298.25 +da=-23 "
+         "+df=-8.120449e-8 +dx=-134 +dy=-48 +dz=149")
+
+
+@register("molodensky_fwd", O.molodensky_sql(_MOLO))
+def q_molodensky_fwd(spark, sf_dir):
+    """Standard Molodensky datum shift (molodensky.cpp:120-172) —
+    AGD66-style parameters, z=0; the direct-formula alternative to the
+    cart->helmert->cart roundtrip."""
+    df = _coords(spark, sf_dir)
+    u = G.project_udf(_MOLO)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_m", st)
+              .select("doc_id",
+                      (F.round("_m.x", 9) + 0.0).alias("lon_out"),
+                      (F.round("_m.y", 9) + 0.0).alias("lat_out"),
+                      (F.round("_m.z", 4) + 0.0).alias("dh_m"))
+              .orderBy("doc_id"))
+
+
+@register("geoc_lat", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id,
+  (round(CASE WHEN abs(radians(lat)) > pi()/2 - 1e-9 THEN lat
+              ELSE degrees(atan({O.L(1.0 - 0.0066943800229007876)}
+                                * tan(radians(lat)))) END, 9) + 0.0)
+    AS lat_geoc
+FROM coords ORDER BY doc_id
+""")
+def q_geoc_lat(spark, sf_dir):
+    """Geographic -> geocentric latitude (geoc.cpp:38-64), GRS80."""
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=geoc +ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_g", st)
+              .select("doc_id",
+                      (F.round("_g.y", 9) + 0.0).alias("lat_geoc"))
+              .orderBy("doc_id"))
