@@ -29,6 +29,8 @@ HEADLINE = [
     "text_quality",           # catalyst text metrics
     "embed_cosine_top5",      # BLAS-batched similarity
     "tpch_q1_pricing",        # relational agg baseline
+    "ivf_cosine_top5",        # IVF ANN (inverted-list probe)
+    "krovak_fwd",             # national-grid projection kernel
 ]
 
 FLAGSHIP = ["s2_cell_counts_l8", "pip_polygon_counts"]
@@ -49,16 +51,26 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, names: list[str],
+                timed_runs: int = 2) -> dict[str, float]:
+    """Per-query best-of-N wall times from a WARMED session: every
+    query gets one untimed warm pass (JVM/worker/Arrow spin-up, plan
+    analysis, codegen JIT) so the timed numbers measure the plan, not
+    session startup (r01's first query carried ~13 s of warm-up)."""
     from proj_4_spark import queries as Q
 
     reg = Q.queries()
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = reg[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # per-query warm run: plan analysis, codegen/JIT, worker pool
+        reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            df = reg[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times
 
 

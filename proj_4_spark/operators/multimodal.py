@@ -53,15 +53,31 @@ def frame_sample(blobs: DataFrame, every_n: int = 10,
     the payload stand in for decoded frames)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                n = max(1, len(payload) // max(1, every_n))
-                for k in range(min(every_n, len(payload))):
-                    ids.append(did)
-                    idxs.append(k)
-                    frames.append(bytes(payload[k * n:(k + 1) * n]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+            payloads = pdf[payload_col].to_numpy()
+            n_rows = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads),
+                               dtype=np.int64, count=n_rows)
+            counts = np.minimum(every_n, lens)
+            steps = np.maximum(1, lens // max(1, every_n))
+            rep_row = np.repeat(np.arange(n_rows), counts)
+            rep_doc = np.repeat(pdf[id_col].to_numpy(), counts)
+            total = int(counts.sum())
+            # per-frame index within each doc: global arange minus the
+            # repeated per-doc offset (vectorized grouped cumcount)
+            idx = np.arange(total) - np.repeat(counts.cumsum() - counts,
+                                               counts)
+            starts = idx * steps[rep_row]
+            ends = starts + steps[rep_row]
+            # the byte-slice materialization below stands in for the
+            # per-frame codec call (stubbed; see module docstring) —
+            # all offset arithmetic above is vectorized
+            frames = [bytes(payloads[r][s:e])
+                      for r, s, e in zip(rep_row, starts, ends)]
+            yield pd.DataFrame({"doc_id": rep_doc,
+                                "frame_idx": idx.astype(np.int32),
                                 "frame_bytes": frames})
 
     return blobs.mapInPandas(_sample,
