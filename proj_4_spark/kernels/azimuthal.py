@@ -202,3 +202,67 @@ def natearth_inv(x, y, _=None, max_iter: int = 100, eps: float = 1e-11):
     lam = x / (A0 + y2 * (_NE_A[1] + y2 * (_NE_A[2]
                + y2 * y2 * y2 * (_NE_A[3] + y2 * _NE_A[4]))))
     return lam, phi
+
+
+# ------------------------------------------------- hammer / aitoff family
+
+def hammer_setup(params: dict):
+    """hammer.cpp:54-91: W (default .5) and M (default 1) parameters;
+    returns (w, m, rm) with m pre-divided by w."""
+    w = abs(float(params.get("W", 0.5)))
+    if w <= 0:
+        raise ValueError("hammer: W should be > 0")
+    m = abs(float(params.get("M", 1.0)))
+    if m <= 0:
+        raise ValueError("hammer: M should be > 0")
+    return w, m / w, 1.0 / m
+
+
+def hammer_fwd(lam, phi, w: float, m: float, rm: float):
+    """hammer.cpp:19-35."""
+    cosphi = np.cos(phi)
+    lamw = lam * w
+    denom = 1.0 + cosphi * np.cos(lamw)
+    denom = np.where(denom == 0.0, np.nan, denom)
+    d = np.sqrt(2.0 / denom)
+    return m * d * cosphi * np.sin(lamw), rm * d * np.sin(phi)
+
+
+def hammer_inv(x, y, w: float, m: float, rm: float):
+    """hammer.cpp:37-52: z = sqrt(1 - w^2 x^2/4 - y^2/4), applied to
+    the raw plane coordinates exactly as the reference does."""
+    with np.errstate(invalid="ignore"):
+        z = np.sqrt(1.0 - 0.25 * w * w * x * x - 0.25 * y * y)
+        bad = np.abs(2.0 * z * z - 1.0) < EPS10
+        lam = np.arctan2(w * x * z, 2.0 * z * z - 1.0) / w
+        phi = np.arcsin(np.clip(z * y, -1.0, 1.0))
+    lam = np.where(bad, np.nan, lam)
+    phi = np.where(bad, np.nan, phi)
+    return lam, phi
+
+
+def aitoff_fwd(lam, phi, winkel: bool = False, cosphi1: float = 0.0):
+    """aitoff.cpp s_forward (:26-53): basic Aitoff, optionally
+    averaged with equirectangular for Winkel Tripel."""
+    c = 0.5 * lam
+    d = np.arccos(np.clip(np.cos(phi) * np.cos(c), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        inv_sd = 1.0 / np.sin(d)
+        x = 2.0 * d * np.cos(phi) * np.sin(c) * inv_sd
+        y = d * np.sin(phi) * inv_sd
+    x = np.where(d == 0.0, 0.0, x)
+    y = np.where(d == 0.0, 0.0, y)
+    if winkel:
+        x = (x + lam * cosphi1) * 0.5
+        y = (y + phi) * 0.5
+    return x, y
+
+
+def wintri_setup(params: dict) -> float:
+    """aitoff.cpp:160-174: cos(lat_1), default lat_1 = acos(2/pi)."""
+    if "lat_1" in params:
+        cosphi1 = np.cos(float(params["lat_1"]) * np.pi / 180.0)
+        if cosphi1 == 0.0:
+            raise ValueError("wintri: |lat_1| should be < 90")
+        return float(cosphi1)
+    return 2.0 / np.pi

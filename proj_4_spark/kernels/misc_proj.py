@@ -779,3 +779,154 @@ def stere_inv(x, y, C: StereConsts, max_iter: int = 8, tol: float = 1e-10):
         phi = -phi
     lam = np.where((xx == 0.0) & (yy == 0.0), 0.0, np.arctan2(xx, yy))
     return lam, phi
+
+
+# ---------------------------------------------------------------- eqdc
+
+@dataclass(frozen=True)
+class EqdcConsts:
+    n: float
+    c: float
+    rho0: float
+    en: np.ndarray | None  # None = spherical
+    ellips: bool
+
+
+def eqdc_setup(params: dict, ell: Ellipsoid, phi0: float) -> EqdcConsts:
+    """Equidistant conic setup (src/projections/eqdc.cpp:105-147)."""
+    phi1 = float(params.get("lat_1", 0.0)) * np.pi / 180.0
+    phi2 = float(params.get("lat_2", phi1 * 180.0 / np.pi)) * np.pi / 180.0
+    if abs(phi1 + phi2) < EPS10 and abs(phi1 - phi2) < EPS10:
+        raise ValueError("eqdc: |lat_1 + lat_2| should be > 0")
+    sinphi = np.sin(phi1)
+    cosphi = np.cos(phi1)
+    n = sinphi
+    secant = abs(phi1 - phi2) >= EPS10
+    if ell.es > 0.0:
+        en = enfn(ell.n)
+        m1 = msfn(np.float64(sinphi), np.float64(cosphi), ell.es)
+        ml1 = float(mlfn(np.float64(phi1), np.float64(sinphi),
+                         np.float64(cosphi), en))
+        if secant:
+            s2, c2 = np.sin(phi2), np.cos(phi2)
+            ml2 = float(mlfn(np.float64(phi2), np.float64(s2),
+                             np.float64(c2), en))
+            n = (m1 - msfn(np.float64(s2), np.float64(c2), ell.es)) \
+                / (ml2 - ml1)
+        c = ml1 + m1 / n
+        rho0 = c - float(mlfn(np.float64(phi0), np.float64(np.sin(phi0)),
+                              np.float64(np.cos(phi0)), en))
+        return EqdcConsts(n=float(n), c=float(c), rho0=float(rho0),
+                          en=en, ellips=True)
+    if secant:
+        n = (cosphi - np.cos(phi2)) / (phi2 - phi1)
+    if n == 0:
+        raise ValueError("eqdc: lat_1 + lat_2 should be > 0")
+    c = phi1 + np.cos(phi1) / n
+    rho0 = c - phi0
+    return EqdcConsts(n=float(n), c=float(c), rho0=float(rho0),
+                      en=None, ellips=False)
+
+
+def eqdc_fwd(lam, phi, C: EqdcConsts):
+    """eqdc.cpp:54-66."""
+    if C.ellips:
+        rho = C.c - mlfn(phi, np.sin(phi), np.cos(phi), C.en)
+    else:
+        rho = C.c - phi
+    ln = lam * C.n
+    return rho * np.sin(ln), C.rho0 - rho * np.cos(ln)
+
+
+def eqdc_inv(x, y, C: EqdcConsts):
+    """eqdc.cpp:68-88."""
+    yy = C.rho0 - y
+    rho = np.hypot(x, yy)
+    sgn = -1.0 if C.n < 0 else 1.0
+    rho_s = sgn * rho
+    xs = sgn * x
+    ys = sgn * yy
+    phi = C.c - rho_s
+    if C.ellips:
+        phi = inv_mlfn(phi, C.en)
+    with np.errstate(invalid="ignore"):
+        lam = np.arctan2(xs, ys) / C.n
+    center = rho == 0.0
+    phi = np.where(center, HALFPI if C.n > 0 else -HALFPI, phi)
+    lam = np.where(center, 0.0, lam)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- nzmg
+
+# complex series coefficients (src/projections/nzmg.cpp:36-41,55-57,77-79)
+_NZMG_BF = np.array([0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+                     -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+                     -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j])
+_NZMG_TPSI = (0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+              0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067,
+              -0.00034)
+_NZMG_TPHI = (1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+              -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+_SEC5_TO_RAD = 0.4848136811095359935899141023
+_RAD_TO_SEC5 = 2.062648062470963551564733573
+NZMG_PHI0 = -41.0 * np.pi / 180.0
+
+
+def _zpoly1(z, C):
+    """pj_zpoly1 (src/zpoly1.cpp:4-16): Horner then multiply by z."""
+    a = np.full_like(z, C[-1])
+    for k in range(len(C) - 2, -1, -1):
+        a = C[k] + z * a
+    return z * a
+
+
+def _zpolyd1(z, C):
+    """pj_zpolyd1 (src/zpoly1.cpp:18-40): value + derivative."""
+    a = np.full_like(z, C[-1])
+    b = np.full_like(z, C[-1])
+    first = True
+    for k in range(len(C) - 2, -1, -1):
+        if first:
+            first = False
+        else:
+            b = a + z * b
+        a = C[k] + z * a
+    b = a + z * b
+    return z * a, b
+
+
+def nzmg_fwd(lam, phi, _=None):
+    """New Zealand Map Grid forward (nzmg.cpp:44-68): real Horner in
+    sec-1e-5 latitude offset, then the 6-term complex polynomial.
+    phi is already center-relative? No — the Operation subtracts lam0
+    only; the phi0 offset happens here (kernel keeps phi absolute)."""
+    dphi = (phi - NZMG_PHI0) * _RAD_TO_SEC5
+    r = np.full_like(dphi, _NZMG_TPSI[-1])
+    for k in range(len(_NZMG_TPSI) - 2, -1, -1):
+        r = _NZMG_TPSI[k] + dphi * r
+    r = r * dphi
+    p = _zpoly1(r + 1j * lam, _NZMG_BF)
+    return p.imag, p.real
+
+
+def nzmg_inv(x, y, _=None, max_iter: int = 20, tol: float = 1e-10):
+    """nzmg.cpp:70-105: complex Newton on the series, then the
+    psi->phi real series."""
+    p = y + 1j * x
+    target = p.copy()
+    for _i in range(max_iter):
+        f, fp = _zpolyd1(p, _NZMG_BF)
+        f = f - target
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dp = -f / fp
+        p = p + dp
+        if np.all(np.abs(dp.real) + np.abs(dp.imag) <= tol):
+            break
+    lam = p.imag
+    pr = p.real
+    phi = np.full_like(pr, _NZMG_TPHI[-1])
+    for k in range(len(_NZMG_TPHI) - 2, -1, -1):
+        phi = _NZMG_TPHI[k] + pr * phi
+    phi = NZMG_PHI0 + pr * phi * _SEC5_TO_RAD
+    return lam, phi

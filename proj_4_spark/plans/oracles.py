@@ -928,3 +928,63 @@ SELECT doc_id,
   (round(dh, {round_h}) + 0.0) AS dh_m
 FROM d ORDER BY doc_id
 """
+
+
+def eqdc_sql(projstr: str, round_to: int = 2) -> str:
+    """Equidistant conic forward (eqdc.cpp:54-66): rho = c - mlfn(phi),
+    with the meridional arc unrolled via the Clenshaw CTE."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert C.ellips
+    a = op.ell.a
+    mcols, mexpr = mlfn_cols("ml", "rphi", C.en)
+    mcols_s = ",\n    ".join(mcols)
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, {lam} AS lam, radians(lat) AS rphi FROM coords
+),
+m AS (
+  SELECT doc_id, lam, rphi,
+    {mcols_s}
+  FROM p
+),
+r AS (
+  SELECT doc_id, lam, ({L(C.c)} - {mexpr}) AS rho FROM m
+)
+SELECT doc_id,
+  (round({L(a)}*(rho*sin(lam*{L(C.n)})), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*({L(C.rho0)} - rho*cos(lam*{L(C.n)})), {round_to}) + 0.0)
+    AS y_m
+FROM r ORDER BY doc_id
+"""
+
+
+def hammer_sql(projstr: str = "+proj=hammer +R=6371000",
+               round_to: int = 2) -> str:
+    """Hammer forward (hammer.cpp:19-35) — closed-form."""
+    from ..kernels.azimuthal import hammer_setup
+
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    w, m, rm = hammer_setup(op.params)
+    a = op.ell.a
+    lam = _wrap("radians(lon)")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, ({lam} * {L(w)}) AS lamw, radians(lat) AS rphi
+  FROM coords
+),
+d AS (
+  SELECT doc_id, lamw, rphi,
+    sqrt(2.0/(1.0 + cos(rphi)*cos(lamw))) AS dd
+  FROM p
+)
+SELECT doc_id,
+  (round({L(a)}*({L(m)}*dd*cos(rphi)*sin(lamw)), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*({L(rm)}*dd*sin(rphi)), {round_to}) + 0.0) AS y_m
+FROM d ORDER BY doc_id
+"""

@@ -679,6 +679,47 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_eqdc(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.eqdc_setup(params, ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.eqdc_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.eqdc_inv(x, y, C), z)
+
+
+def _mk_nzmg(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    # International major axis + NZ offsets forced (nzmg.cpp:108-114)
+    op.ell = _E.from_a_es(6378388.0, op.ell.es)
+    op.lam0 = math.radians(173.0)
+    op.phi0 = M.NZMG_PHI0
+    op.x0 = 2510000.0
+    op.y0 = 6023150.0
+    op.fwd_k = lambda x, y, z, t: (*M.nzmg_fwd(x, y), z)
+    op.inv_k = lambda x, y, z, t: (*M.nzmg_inv(x, y), z)
+
+
+def _mk_hammer(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    w, m, rm = A.hammer_setup(params)
+    op.fwd_k = lambda x, y, z, t: (*A.hammer_fwd(x, y, w, m, rm), z)
+    op.inv_k = lambda x, y, z, t: (*A.hammer_inv(x, y, w, m, rm), z)
+
+
+def _mk_aitoff(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    winkel = op.proj_id == "wintri"
+    cosphi1 = A.wintri_setup(params) if winkel else 0.0
+    op.fwd_k = lambda x, y, z, t: (
+        *A.aitoff_fwd(x, y, winkel, cosphi1), z)
+    op.inv_k = None  # Newton inverse via the generic 2D fallback
+
+
 def _mk_ob_tran(op, params, ell, k0, phi0):
     """Oblique wrapper (src/projections/ob_tran.cpp): rotate the
     sphere so a chosen pole (o_lat_p, o_lon_p) becomes the north pole
@@ -805,6 +846,11 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "eqdc": _mk_eqdc,
+        "nzmg": _mk_nzmg,
+        "hammer": _mk_hammer,
+        "aitoff": _mk_aitoff,
+        "wintri": _mk_aitoff,
         "sterea": _mk_sterea,
         "krovak": _mk_krovak,
         "mod_krovak": _mk_krovak,

@@ -1149,3 +1149,22 @@ def q_geoc_lat(spark, sf_dir):
               .select("doc_id",
                       (F.round("_g.y", 9) + 0.0).alias("lat_geoc"))
               .orderBy("doc_id"))
+
+
+_EQDC = "+proj=eqdc +ellps=GRS80 +lat_1=20 +lat_2=60 +lon_0=-96"
+
+
+@register("eqdc_fwd", O.eqdc_sql(_EQDC))
+def q_eqdc_fwd(spark, sf_dir):
+    """Equidistant conic (eqdc.cpp:54-66), secant CONUS-style cone."""
+    df = G.with_projected(_coords(spark, sf_dir), _EQDC)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("hammer_fwd", O.hammer_sql())
+def q_hammer_fwd(spark, sf_dir):
+    """Hammer equal-area world projection (hammer.cpp:19-35)."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=hammer +R=6371000")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

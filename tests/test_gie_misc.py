@@ -58,3 +58,68 @@ def test_gie_golden(ps, lon, lat, ex, ey, tol, src):
                                   np.array([float(lat)]))
     assert abs(x[0] - ex) < tol, f"{src}: x {x[0]!r} != {ex!r}"
     assert abs(y[0] - ey) < tol, f"{src}: y {y[0]!r} != {ey!r}"
+
+
+# --- round 2 additions: eqdc, hammer, aitoff/wintri, nzmg -------------
+
+R2_GOLDENS = [
+    # builtins.gie:1659-1669
+    ("+proj=eqdc +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2, 1,
+     222588.440269286, 110659.134907347),
+    ("+proj=eqdc +ellps=GRS80 +lat_1=0.5 +lat_2=2", -2, -1,
+     -222756.836702042, -110489.578087221),
+    ("+proj=eqdc +R=6400000 +lat_1=0.5 +lat_2=2", 2, 1,
+     223351.088175114, 111786.108747174),
+    # builtins.gie:2426-2430
+    ("+proj=hammer +a=6400000", 2, 1, 223373.788703241, 111703.907397767),
+    # builtins.gie:457-463
+    ("+proj=aitoff +R=6400000", 2, 1, 223379.458811696, 111706.742883853),
+    ("+proj=aitoff +R=6400000", 2, -1, 223379.458811696, -111706.742883853),
+    # builtins.gie:8099-8105
+    ("+proj=wintri +a=6400000 +lat_1=0", 2, 1,
+     223390.801533485, 111703.907505745),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", R2_GOLDENS)
+def test_r2_gie_golden(pstr, lon, lat, ex, ey):
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_nzmg_gie_golden_and_roundtrip():
+    """builtins.gie:4863-4873 (the expectations are deep
+    extrapolations at 1e9 m, so compare at 1e-6 relative) plus an
+    in-domain NZ roundtrip through the complex Newton inverse."""
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring("+proj=nzmg +ellps=GRS80")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
+                                  np.array([1.0, -1.0]))
+    exp = [(3352675144.747425100, -7043205391.100243600),
+           (4466166927.369976000, -7502531736.628604900)]
+    for i, (ex, ey) in enumerate(exp):
+        assert abs(x[i] - ex) / abs(ex) < 1e-6
+        assert abs(y[i] - ey) / abs(ey) < 1e-6
+    rng = np.random.RandomState(4)
+    lon = rng.uniform(166, 179, 300)
+    lat = rng.uniform(-47, -34, 300)
+    xx, yy, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(xx, yy, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-8
+    assert np.nanmax(np.abs(la - lat)) < 1e-8
+
+
+def test_eqdc_invalid_args():
+    from proj_4_spark.proj import compile_projstring
+
+    with pytest.raises(ValueError):
+        compile_projstring("+proj=eqdc +R=6400000 +lat_1=0 +lat_2=0")
