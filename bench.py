@@ -36,11 +36,19 @@ HEADLINE = [
 FLAGSHIP = ["s2_cell_counts_l8", "pip_polygon_counts"]
 
 
-def make_spark(cpus: int):
+def make_spark(cpus: int, cap_jvm_procs: bool = False):
     from pyspark.sql import SparkSession
 
-    return (SparkSession.builder.master(f"local[{cpus}]")
-            .appName("proj4spark-bench")
+    b = (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("proj4spark-bench"))
+    if cap_jvm_procs:
+        # the sandbox reports an inconsistent CPU count (nproc 60 vs
+        # /proc/cpuinfo 32); an affinity-pinned executor JVM must size
+        # its GC/JIT/netty pools for ITS slice or 4 concurrent JVMs
+        # thrash in kernel scheduling (measured: sys% 30+, us% 2)
+        b = b.config("spark.driver.extraJavaOptions",
+                     f"-XX:ActiveProcessorCount={cpus}")
+    return (b
             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -71,6 +79,9 @@ def run_queries(spark, sf_dir: str, names: list[str],
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # some operators persist() intermediates (LSH, near-dup, IVF);
+        # drop them so later jobs keep their execution memory
+        spark.catalog.clearCache()
     return times
 
 
@@ -133,6 +144,106 @@ def flagship_pipeline(spark, n_docs: int, partitions: int,
         .write.format("noop").mode("overwrite").save())
 
 
+def materialize_pages(spark, n_docs: int, partitions: int) -> str:
+    """Write a deterministic pages-shaped table (url, html, text, lang)
+    once (UNTIMED input prep).  Text carries a 'located at lat, lon'
+    mention so the regex miner has real work; html wraps the text so
+    the file has the input_hint shape (column pruning keeps it out of
+    the scan)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.sources.coords import lonlat_sql
+
+    path = f"/tmp/bench_e2e_pages_{n_docs}_{partitions}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    lon, lat = lonlat_sql("doc_id")
+    base = (spark.range(0, n_docs, 1, partitions)
+                 .withColumnRenamed("id", "doc_id"))
+    filler = F.concat(
+        F.lit("the quick brown fox jumps over the lazy dog near the old "
+              "market square where vendors sell maps and charts of the "
+              "surrounding region with notes in the margin "),
+        F.md5(F.col("doc_id").cast("string")))
+    txt = F.concat(filler, F.lit(" located at "),
+                   F.format_string("%.6f", F.expr(lat)), F.lit(", "),
+                   F.format_string("%.6f", F.expr(lon)))
+    (base.select(
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 10000)
+                 .cast("string"), F.lit(".example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), txt,
+                          F.lit("</body></html>")), "UTF-8").alias("html"),
+        txt.alias("text"),
+        (F.col("doc_id") % 5).cast("string").alias("lang"))
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def flagship_e2e_pipeline(spark, input_path: str,
+                          persist_mined: bool = True):
+    """The full north-star job on a pages table: scan -> vectorized
+    regex coordinate mining -> webmerc projection -> S2 encode (l12) +
+    cell agg -> cell-cover broadcast PIP join -> per-polygon counts.
+    More FLOPs per scanned byte than the coords-only flagship — the
+    shape of the actual 10^12-row production pipeline."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.geo import project_udf, s2_cell_udf
+    from proj_4_spark.operators.spatial_join import pip_join
+    from proj_4_spark.sources.pages import mine_coords
+    from proj_4_spark.sources.polygons import polygon_rows
+
+    from pyspark import StorageLevel
+
+    pages = spark.read.parquet(input_path).select("url", "text")
+    # mine ONCE and persist: both downstream aggregates (cell counts +
+    # PIP polygon counts) read the mined table, and the regex mining
+    # pass dominates the job — at 10^12 rows this materialization is
+    # the checkpointed intermediate the production job would reuse
+    mined = mine_coords(pages)
+    if persist_mined:
+        mined = mined.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        st = project_udf("+proj=webmerc")(F.col("lon"), F.col("lat"))
+        cell = s2_cell_udf(12)(F.col("lon"), F.col("lat")).alias("cell")
+        enc = (mined.withColumn("_p", st)
+                    .select("url", "lon", "lat",
+                            F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
+                    .withColumn("cell", cell))
+        (enc.groupBy("cell").agg(F.count("*").alias("n"))
+            .write.format("noop").mode("overwrite").save())
+        out = pip_join(mined.withColumn("doc_id", F.xxhash64("url")),
+                       polygon_rows(), level=8)
+        (out.groupBy("polygon_id").agg(F.count("*").alias("n"))
+            .write.format("noop").mode("overwrite").save())
+    finally:
+        if persist_mined:
+            mined.unpersist()
+
+
+def e2e_seconds(cpus: int, n_docs: int, repeat: int = 2,
+                persist_mined: bool | None = None) -> float:
+    """Best-of-N wall time for the end-to-end pages flagship at one
+    thread count (shared input parquet, warmed session).
+    SPARK_GRAFT_E2E_PERSIST=0 switches to the mine-twice variant that
+    is purely compute-bound (the CPU-scaling probe)."""
+    if persist_mined is None:
+        persist_mined = os.environ.get("SPARK_GRAFT_E2E_PERSIST", "1") != "0"
+    spark = make_spark(cpus)
+    try:
+        path = materialize_pages(spark, n_docs, 64)
+        flagship_e2e_pipeline(spark, path, persist_mined)  # warm-up
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            flagship_e2e_pipeline(spark, path, persist_mined)
+            best = min(best, time.perf_counter() - t0)
+        return best
+    finally:
+        spark.stop()
+
+
 def flagship_seconds(cpus: int, n_docs: int, repeat: int = 3) -> float:
     """Best-of-N wall time for the flagship tiling+PIP pipeline at
     pages scale.  Partitions fixed at 64 for BOTH cluster sizes so the
@@ -154,6 +265,23 @@ def flagship_seconds(cpus: int, n_docs: int, repeat: int = 3) -> float:
         spark.stop()
 
 
+def worker_run_e2e(cpus: int, n_docs: int, slot: int = 0) -> float:
+    """One executor-JVM's end-to-end pages flagship run (pinned)."""
+    try:
+        os.sched_setaffinity(0, range(slot * cpus, (slot + 1) * cpus))
+    except (AttributeError, OSError):
+        pass
+    spark = make_spark(cpus, cap_jvm_procs=True)
+    try:
+        path = materialize_pages(spark, n_docs, 64)
+        flagship_e2e_pipeline(spark, path)  # warm-up
+        t0 = time.perf_counter()
+        flagship_e2e_pipeline(spark, path)
+        return time.perf_counter() - t0
+    finally:
+        spark.stop()
+
+
 def worker_run(cpus: int, n_docs: int, slot: int = 0) -> float:
     """One executor-JVM's flagship run (used by --scaling-multijvm).
 
@@ -165,7 +293,7 @@ def worker_run(cpus: int, n_docs: int, slot: int = 0) -> float:
         os.sched_setaffinity(0, range(slot * cpus, (slot + 1) * cpus))
     except (AttributeError, OSError):
         pass
-    spark = make_spark(cpus)
+    spark = make_spark(cpus, cap_jvm_procs=True)
     try:
         path = materialize_coords(spark, n_docs, 64)
         flagship_pipeline(spark, n_docs, 64, path)  # warm-up
@@ -176,7 +304,8 @@ def worker_run(cpus: int, n_docs: int, slot: int = 0) -> float:
         spark.stop()
 
 
-def scaling_multijvm(n_docs: int, cpus_per_exec: int = 8) -> dict:
+def scaling_multijvm(n_docs: int, cpus_per_exec: int = 8,
+                     e2e: bool = False) -> dict:
     """Cluster-faithful N -> 4N executor scaling: each 'executor' is
     its OWN JVM + python workers + memory arena (exactly the resource
     isolation real executors have; threads inside one local JVM share
@@ -187,7 +316,8 @@ def scaling_multijvm(n_docs: int, cpus_per_exec: int = 8) -> dict:
 
     def run_n(n_exec: int) -> float:
         procs = [subprocess.Popen(
-            [_sys.executable, __file__, "--worker",
+            [_sys.executable, __file__,
+             "--worker-e2e" if e2e else "--worker",
              str(cpus_per_exec), str(n_docs), str(slot)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -207,9 +337,11 @@ def scaling_multijvm(n_docs: int, cpus_per_exec: int = 8) -> dict:
     t1 = run_n(1)
     t4 = run_n(4)
     return {
-        "metric": f"flagship scaling 1 -> 4 executor JVMs "
-                  f"(local[{cpus_per_exec}] each) on deterministic "
-                  "synthetic pages",
+        "metric": (("end-to-end mine+project+encode+PIP " if e2e else
+                    "flagship ") +
+                   f"scaling 1 -> 4 executor JVMs "
+                   f"(local[{cpus_per_exec}] each) on deterministic "
+                   "synthetic pages"),
         "docs_per_executor": n_docs,
         "t_1exec": round(t1, 3), "t_4exec": round(t4, 3),
         "agg_docs_per_sec_1": round(n_docs / t1, 1),
@@ -223,12 +355,42 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    if "--worker" in sys.argv:
-        i = sys.argv.index("--worker")
+    if "--worker" in sys.argv or "--worker-e2e" in sys.argv:
+        e2e = "--worker-e2e" in sys.argv
+        i = sys.argv.index("--worker-e2e" if e2e else "--worker")
         cpus_w = int(sys.argv[i + 1])
         docs_w = int(sys.argv[i + 2])
         slot = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 0
-        print(f"WORKER_SEC {worker_run(cpus_w, docs_w, slot):.3f}")
+        fn = worker_run_e2e if e2e else worker_run
+        print(f"WORKER_SEC {fn(cpus_w, docs_w, slot):.3f}")
+        return
+
+    if "--scaling-e2e-threads" in sys.argv:
+        # N -> 4N scaling of the end-to-end (compute-bound) pipeline
+        # within one JVM: the faithful sandbox proxy on this VM, where
+        # concurrent Spark JVMs collapse in kernel/hypervisor
+        # contention that pure-CPU multiprocessing does not show
+        # (see BASELINE.md)
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        n_hi = 4 * n_lo
+        t_lo = e2e_seconds(n_lo, n_docs)
+        t_hi = e2e_seconds(n_hi, n_docs)
+        print(json.dumps({
+            "metric": f"end-to-end mine+project+encode+PIP scaling "
+                      f"local[{n_lo}] -> local[{n_hi}]",
+            "docs": n_docs,
+            f"t_{n_lo}": round(t_lo, 3), f"t_{n_hi}": round(t_hi, 3),
+            f"docs_per_sec_{n_lo}": round(n_docs / t_lo, 1),
+            f"docs_per_sec_{n_hi}": round(n_docs / t_hi, 1),
+            "scaling_efficiency": round(t_lo / (4.0 * t_hi), 3),
+        }))
+        return
+
+    if "--scaling-e2e" in sys.argv:
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+        cpe = int(os.environ.get("SPARK_GRAFT_CPUS_PER_EXEC", "8"))
+        print(json.dumps(scaling_multijvm(n_docs, cpe, e2e=True)))
         return
 
     if "--scaling-multijvm" in sys.argv:
@@ -270,6 +432,15 @@ def main() -> None:
             t0 = time.perf_counter()
             flagship_pipeline(spark, n_big, 64, path)
             t_big = min(t_big, time.perf_counter() - t0)
+        # end-to-end pages flagship (mine+project+encode+PIP)
+        e2e_docs = int(os.environ.get("SPARK_GRAFT_E2E_DOCS", "2000000"))
+        e2e_path = materialize_pages(spark, e2e_docs, 64)
+        flagship_e2e_pipeline(spark, e2e_path)  # warm-up
+        t_e2e = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            flagship_e2e_pipeline(spark, e2e_path)
+            t_e2e = min(t_e2e, time.perf_counter() - t0)
         out = {
             "metric": "total wall seconds, headline queries "
                       "(S2 encode+agg, PIP join, projections, kNN, "
@@ -282,6 +453,9 @@ def main() -> None:
             "flagship_docs": n_big,
             "flagship_sec": round(t_big, 3),
             "flagship_docs_per_sec": round(n_big / t_big, 1),
+            "e2e_docs": e2e_docs,
+            "e2e_sec": round(t_e2e, 3),
+            "e2e_docs_per_sec": round(e2e_docs / t_e2e, 1),
         }
         print(json.dumps(out))
     finally:
