@@ -930,3 +930,280 @@ def nzmg_inv(x, y, _=None, max_iter: int = 20, tol: float = 1e-10):
         phi = _NZMG_TPHI[k] + pr * phi
     phi = NZMG_PHI0 + pr * phi * _SEC5_TO_RAD
     return lam, phi
+
+
+# ---------------------------------------------------------------- cass
+
+_CASS_C1 = 0.16666666666666666666
+_CASS_C2 = 0.00833333333333333333
+_CASS_C3 = 0.04166666666666666666
+_CASS_C4 = 0.33333333333333333333
+_CASS_C5 = 0.06666666666666666666
+
+
+@dataclass(frozen=True)
+class CassConsts:
+    en: np.ndarray | None
+    m0: float
+    es: float
+    one_es: float
+    phi0: float
+    hyperbolic: bool
+    spherical: bool
+
+
+def cass_setup(params: dict, ell: Ellipsoid, phi0: float) -> CassConsts:
+    """Cassini-Soldner (src/projections/cass.cpp:105-135)."""
+    if ell.es == 0.0:
+        return CassConsts(en=None, m0=0.0, es=0.0, one_es=1.0, phi0=phi0,
+                          hyperbolic=False, spherical=True)
+    en = enfn(ell.n)
+    m0 = float(mlfn(np.float64(phi0), np.float64(np.sin(phi0)),
+                    np.float64(np.cos(phi0)), en))
+    return CassConsts(en=en, m0=m0, es=ell.es, one_es=ell.one_es, phi0=phi0,
+                      hyperbolic="hyperbolic" in params, spherical=False)
+
+
+def cass_fwd(lam, phi, C: CassConsts):
+    """cass.cpp e_forward (:25-49) / s_forward (:51-56)."""
+    if C.spherical:
+        x = np.arcsin(np.clip(np.cos(phi) * np.sin(lam), -1.0, 1.0))
+        y = np.arctan2(np.tan(phi), np.cos(lam)) - C.phi0
+        return x, y
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    M = mlfn(phi, sinphi, cosphi, C.en)
+    nu_sq = 1.0 / (1.0 - C.es * sinphi * sinphi)
+    nu = np.sqrt(nu_sq)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tanphi = np.tan(phi)
+    T = tanphi * tanphi
+    A = lam * cosphi
+    Cc = C.es * (cosphi * cosphi) / (1.0 - C.es)
+    A2 = A * A
+    x = nu * A * (1.0 - A2 * T * (_CASS_C1 + (8.0 - T + 8.0 * Cc) * A2 * _CASS_C2))
+    y = M - C.m0 + nu * tanphi * A2 * (0.5 + (5.0 - T + 6.0 * Cc) * A2 * _CASS_C3)
+    if C.hyperbolic:
+        rho = nu_sq * (1.0 - C.es) * nu
+        y = y - y * y * y / (6.0 * rho * nu)
+    return x, y
+
+
+def cass_inv(x, y, C: CassConsts):
+    """cass.cpp e_inverse (:58-85: series seed + generic 2D Newton
+    refinement at 1e-12, mirrored with the repo's vectorized
+    generic_inverse) / s_inverse (:87-93)."""
+    if C.spherical:
+        dd = y + C.phi0
+        phi = np.arcsin(np.clip(np.sin(dd) * np.cos(x), -1.0, 1.0))
+        lam = np.arctan2(np.tan(x), np.cos(dd))
+        return lam, phi
+    phi1 = inv_mlfn(C.m0 + y, C.en)
+    tanphi1 = np.tan(phi1)
+    T1 = tanphi1 * tanphi1
+    sinphi1 = np.sin(phi1)
+    nu1_sq = 1.0 / (1.0 - C.es * sinphi1 * sinphi1)
+    nu1 = np.sqrt(nu1_sq)
+    rho1 = nu1_sq * (1.0 - C.es) * nu1
+    D = x / nu1
+    D2 = D * D
+    phi = phi1 - (nu1 * tanphi1 / rho1) * D2 * (0.5 - (1.0 + 3.0 * T1) * D2 * _CASS_C3)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = D * (1.0 + T1 * D2 * (-_CASS_C4 + (1.0 + 3.0 * T1) * D2 * _CASS_C5)) / np.cos(phi1)
+    if not C.hyperbolic:
+        from .generic_inverse import generic_inverse
+
+        lam, phi = generic_inverse(
+            lambda la, ph: cass_fwd(la, ph, C), x, y,
+            lam0=lam, phi0=phi, seed_from_xy=False, max_iter=4)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- poly
+
+@dataclass(frozen=True)
+class PolyConsts:
+    en: np.ndarray | None
+    ml0: float
+    es: float
+    one_es: float
+    phi0: float
+    spherical: bool
+
+
+def poly_setup(params: dict, ell: Ellipsoid, phi0: float) -> PolyConsts:
+    """American polyconic (src/projections/poly.cpp:154-177)."""
+    if ell.es == 0.0:
+        return PolyConsts(en=None, ml0=-phi0, es=0.0, one_es=1.0,
+                          phi0=phi0, spherical=True)
+    en = enfn(ell.n)
+    ml0 = float(mlfn(np.float64(phi0), np.float64(np.sin(phi0)),
+                     np.float64(np.cos(phi0)), en))
+    return PolyConsts(en=en, ml0=ml0, es=ell.es, one_es=ell.one_es,
+                      phi0=phi0, spherical=False)
+
+
+_POLY_TOL = 1e-10
+
+
+def poly_fwd(lam, phi, C: PolyConsts):
+    """poly.cpp e_forward (:25-46) / s_forward (:48-64)."""
+    small = np.abs(phi) <= _POLY_TOL
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.spherical:
+            cot = 1.0 / np.tan(phi)
+            E = lam * np.sin(phi)
+            x = np.sin(E) * cot
+            y = phi - C.phi0 + cot * (1.0 - np.cos(E))
+            x = np.where(small, lam, x)
+            y = np.where(small, C.ml0, y)
+        else:
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            ms = np.where(np.abs(cp) > _POLY_TOL,
+                          msfn(sp, cp, C.es) / np.where(sp == 0, 1.0, sp),
+                          0.0)
+            E = lam * sp
+            x = ms * np.sin(E)
+            y = (mlfn(phi, sp, cp, C.en) - C.ml0) + ms * (1.0 - np.cos(E))
+            x = np.where(small, lam, x)
+            y = np.where(small, -C.ml0, y)
+    return x, y
+
+
+def poly_inv(x, y, C: PolyConsts, max_iter: int = 20, tol: float = 1e-12):
+    """poly.cpp e_inverse (:66-115) / s_inverse (:117-145), Newton on
+    phi with per-point masking."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.spherical:
+            yy = C.phi0 + y
+            small = np.abs(yy) <= _POLY_TOL
+            B = x * x + yy * yy
+            phi = yy.copy()
+            for _ in range(10):
+                tp = np.tan(phi)
+                dphi = ((yy * (phi * tp + 1.0) - phi
+                         - 0.5 * (phi * phi + B) * tp)
+                        / ((phi - yy) / tp - 1.0))
+                phi = phi - dphi
+                if np.all(np.abs(dphi) <= 1e-10):
+                    break
+            lam = np.arcsin(np.clip(x * np.tan(phi), -1.0, 1.0)) / np.sin(phi)
+            lam = np.where(small, x, lam)
+            phi = np.where(small, 0.0, phi)
+            return lam, phi
+        yy = y + C.ml0
+        small = np.abs(yy) <= _POLY_TOL
+        r = yy * yy + x * x
+        phi = yy.copy()
+        for _ in range(max_iter):
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            s2ph = sp * cp
+            mlp = np.sqrt(1.0 - C.es * sp * sp)
+            c = sp * mlp / cp
+            ml = mlfn(phi, sp, cp, C.en)
+            mlb = ml * ml + r
+            mlp = C.one_es / (mlp * mlp * mlp)
+            dphi = ((ml + ml + c * mlb - 2.0 * yy * (c * ml + 1.0))
+                    / (C.es * s2ph * (mlb - 2.0 * yy * ml) / c
+                       + 2.0 * (yy - ml) * (c * mlp - 1.0 / s2ph)
+                       - mlp - mlp))
+            phi = phi + dphi
+            if np.all(np.abs(dphi) <= tol):
+                break
+        cs = np.sin(phi)
+        lam = (np.arcsin(np.clip(x * np.tan(phi)
+                                 * np.sqrt(1.0 - C.es * cs * cs), -1, 1))
+               / np.sin(phi))
+        lam = np.where(small, x, lam)
+        phi = np.where(small, 0.0, phi)
+    return lam, phi
+
+
+# ---------------------------------------------------------------- bonne
+
+@dataclass(frozen=True)
+class BonneConsts:
+    phi1: float
+    cphi1: float
+    am1: float
+    m1: float
+    en: np.ndarray | None
+    es: float
+    spherical: bool
+
+
+def bonne_setup(params: dict, ell: Ellipsoid) -> BonneConsts:
+    """Bonne (src/projections/bonne.cpp:116-151)."""
+    phi1 = float(params.get("lat_1", 0.0)) * np.pi / 180.0
+    if abs(phi1) < EPS10:
+        raise ValueError("bonne: |lat_1| should be > 0")
+    if ell.es != 0.0:
+        en = enfn(ell.n)
+        am1 = np.sin(phi1)
+        c = np.cos(phi1)
+        m1 = float(mlfn(np.float64(phi1), np.float64(am1), np.float64(c), en))
+        am1 = c / (np.sqrt(1.0 - ell.es * am1 * am1) * am1)
+        return BonneConsts(phi1=phi1, cphi1=0.0, am1=float(am1), m1=m1,
+                           en=en, es=ell.es, spherical=False)
+    cphi1 = 0.0 if abs(phi1) + EPS10 >= HALFPI else 1.0 / np.tan(phi1)
+    return BonneConsts(phi1=phi1, cphi1=float(cphi1), am1=0.0, m1=0.0,
+                       en=None, es=0.0, spherical=True)
+
+
+def bonne_fwd(lam, phi, C: BonneConsts):
+    """bonne.cpp e_forward (:21-42) / s_forward (:44-58)."""
+    if C.spherical:
+        rh = C.cphi1 + C.phi1 - phi
+        with np.errstate(invalid="ignore", divide="ignore"):
+            E = lam * np.cos(phi) / rh
+            x = rh * np.sin(E)
+            y = C.cphi1 - rh * np.cos(E)
+        small = np.abs(rh) <= EPS10
+        return np.where(small, 0.0, x), np.where(small, 0.0, y)
+    E = np.sin(phi)
+    c = np.cos(phi)
+    rh = C.am1 + C.m1 - mlfn(phi, E, c, C.en)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        E2 = c * lam / (rh * np.sqrt(1.0 - C.es * E * E))
+        x = rh * np.sin(E2)
+        y = C.am1 - rh * np.cos(E2)
+    small = np.abs(rh) <= EPS10
+    return np.where(small, 0.0, x), np.where(small, 0.0, y)
+
+
+def bonne_inv(x, y, C: BonneConsts):
+    """bonne.cpp s_inverse (:60-86) / e_inverse (:88-113)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.spherical:
+            yy = C.cphi1 - y
+            rh = np.copysign(np.hypot(x, yy), C.phi1)
+            phi = C.cphi1 + C.phi1 - rh
+            bad = np.abs(phi) > HALFPI
+            pole = HALFPI - np.abs(phi) <= EPS10
+            lm = rh / np.cos(phi)
+            if C.phi1 > 0:
+                lam = lm * np.arctan2(x, yy)
+            else:
+                lam = lm * np.arctan2(-x, -yy)
+            lam = np.where(pole, 0.0, lam)
+            lam = np.where(bad, np.nan, lam)
+            phi = np.where(bad, np.nan, phi)
+            return lam, phi
+        yy = C.am1 - y
+        rh = np.copysign(np.hypot(x, yy), C.phi1)
+        phi = inv_mlfn(C.am1 + C.m1 - rh, C.en)
+        abs_phi = np.abs(phi)
+        sinphi = np.sin(phi)
+        lm = rh * np.sqrt(1.0 - C.es * sinphi * sinphi) / np.cos(phi)
+        if C.phi1 > 0:
+            lam = lm * np.arctan2(x, yy)
+        else:
+            lam = lm * np.arctan2(-x, -yy)
+        pole = np.abs(abs_phi - HALFPI) <= EPS10
+        bad = (abs_phi > HALFPI) & ~pole
+        lam = np.where(pole, 0.0, lam)
+        lam = np.where(bad, np.nan, lam)
+        phi = np.where(bad, np.nan, phi)
+    return lam, phi

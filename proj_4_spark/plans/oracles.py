@@ -988,3 +988,139 @@ SELECT doc_id,
   (round({L(a)}*({L(rm)}*dd*sin(rphi)), {round_to}) + 0.0) AS y_m
 FROM d ORDER BY doc_id
 """
+
+
+def cass_hyperbolic_sql(projstr: str, round_to: int = 2) -> str:
+    """Cassini-Soldner hyperbolic variant forward (cass.cpp:25-49 with
+    the Vanua-Levu y^3 correction) — closed-form series (the
+    non-hyperbolic engine path adds a numeric-Newton refinement that
+    is not hash-mirrorable, so the driver query uses +hyperbolic)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert C.hyperbolic and not C.spherical
+    a, es = op.ell.a, C.es
+    mcols, mexpr = mlfn_cols("ml", "rphi", C.en)
+    mcols_s = ",\n    ".join(mcols)
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, {lam} AS lam, radians(lat) AS rphi FROM coords
+),
+m AS (
+  SELECT doc_id, lam, rphi,
+    {mcols_s}
+  FROM p
+),
+q AS (
+  SELECT doc_id, lam, rphi, ml_s, ml_c, ({mexpr} - {L(C.m0)}) AS dM,
+    (1.0/(1.0 - {L(es)}*ml_s*ml_s)) AS nu_sq,
+    (ml_s/ml_c) AS tphi,
+    (lam*ml_c) AS A,
+    ({L(es)}*ml_c*ml_c/{L(1.0 - es)}) AS cc
+  FROM m
+),
+r AS (
+  SELECT doc_id, dM, nu_sq, sqrt(nu_sq) AS nu, tphi, (tphi*tphi) AS T,
+         A, (A*A) AS A2, cc
+  FROM q
+),
+s AS (
+  SELECT doc_id,
+    (nu*A*(1.0 - A2*T*({L(_cass_c("C1"))}
+        + (8.0 - T + 8.0*cc)*A2*{L(_cass_c("C2"))}))) AS xu,
+    (dM + nu*tphi*A2*(0.5 + (5.0 - T + 6.0*cc)*A2*{L(_cass_c("C3"))}))
+      AS yu,
+    (nu_sq*{L(1.0 - es)}*sqrt(nu_sq)) AS rho, nu
+  FROM r
+)
+SELECT doc_id,
+  (round({L(a)}*xu, {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*(yu - yu*yu*yu/(6.0*rho*nu)), {round_to}) + 0.0) AS y_m
+FROM s ORDER BY doc_id
+"""
+
+
+def _cass_c(name: str) -> float:
+    from ..kernels import misc_proj as M
+
+    return {"C1": M._CASS_C1, "C2": M._CASS_C2, "C3": M._CASS_C3}[name]
+
+
+def poly_sql(projstr: str, round_to: int = 2) -> str:
+    """American polyconic forward (poly.cpp:25-46) — closed-form
+    (msfn + mlfn Clenshaw)."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert not C.spherical
+    a, es = op.ell.a, C.es
+    mcols, mexpr = mlfn_cols("ml", "rphi", C.en)
+    mcols_s = ",\n    ".join(mcols)
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, {lam} AS lam, radians(lat) AS rphi FROM coords
+),
+m AS (
+  SELECT doc_id, lam, rphi,
+    {mcols_s}
+  FROM p
+),
+q AS (
+  SELECT doc_id, lam, rphi, ml_s, ml_c, {mexpr} AS ml,
+    (CASE WHEN abs(ml_c) > 1e-10
+          THEN (ml_c/sqrt(1.0 - {L(es)}*ml_s*ml_s))/ml_s ELSE 0.0 END) AS ms,
+    (lam*ml_s) AS E
+  FROM m
+)
+SELECT doc_id,
+  (round({L(a)}*(CASE WHEN abs(rphi) <= 1e-10 THEN lam
+                      ELSE ms*sin(E) END), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*(CASE WHEN abs(rphi) <= 1e-10 THEN {L(-C.ml0)}
+                      ELSE (ml - {L(C.ml0)}) + ms*(1.0 - cos(E)) END),
+         {round_to}) + 0.0) AS y_m
+FROM q ORDER BY doc_id
+"""
+
+
+def bonne_sql(projstr: str, round_to: int = 2) -> str:
+    """Bonne ellipsoidal forward (bonne.cpp:21-42) — closed-form."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert not C.spherical
+    a, es = op.ell.a, C.es
+    mcols, mexpr = mlfn_cols("ml", "rphi", C.en)
+    mcols_s = ",\n    ".join(mcols)
+    lam = _wrap(f"(radians(lon) - {L(op.lam0)})")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, {lam} AS lam, radians(lat) AS rphi FROM coords
+),
+m AS (
+  SELECT doc_id, lam, rphi,
+    {mcols_s}
+  FROM p
+),
+q AS (
+  SELECT doc_id, lam, ml_s, ml_c,
+    ({L(C.am1 + C.m1)} - {mexpr}) AS rh
+  FROM m
+),
+r AS (
+  SELECT doc_id, rh,
+    (ml_c*lam/(rh*sqrt(1.0 - {L(es)}*ml_s*ml_s))) AS E
+  FROM q
+)
+SELECT doc_id,
+  (round({L(a)}*(CASE WHEN abs(rh) <= 1e-10 THEN 0.0
+                      ELSE rh*sin(E) END), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*(CASE WHEN abs(rh) <= 1e-10 THEN 0.0
+                      ELSE {L(C.am1)} - rh*cos(E) END), {round_to}) + 0.0)
+    AS y_m
+FROM r ORDER BY doc_id
+"""

@@ -679,6 +679,33 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_cass(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.cass_setup(params, ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.cass_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.cass_inv(x, y, C), z)
+
+
+def _mk_poly(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.poly_setup(params, ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.poly_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.poly_inv(x, y, C), z)
+
+
+def _mk_bonne(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.bonne_setup(params, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.bonne_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.bonne_inv(x, y, C), z)
+
+
 def _mk_eqdc(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
 
@@ -846,6 +873,9 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "cass": _mk_cass,
+        "poly": _mk_poly,
+        "bonne": _mk_bonne,
         "eqdc": _mk_eqdc,
         "nzmg": _mk_nzmg,
         "hammer": _mk_hammer,

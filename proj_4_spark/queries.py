@@ -1168,3 +1168,38 @@ def q_hammer_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), "+proj=hammer +R=6371000")
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_CASS_H = "+proj=cass +ellps=GRS80 +hyperbolic +lon_0=179"
+
+
+@register("cass_hyperbolic_fwd", O.cass_hyperbolic_sql(_CASS_H))
+def q_cass_hyperbolic_fwd(spark, sf_dir):
+    """Cassini-Soldner, hyperbolic (Vanua Levu) variant
+    (cass.cpp:25-49) — the closed-form series path."""
+    df = G.with_projected(_coords(spark, sf_dir), _CASS_H)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_POLY = "+proj=poly +ellps=GRS80 +lon_0=-96"
+
+
+@register("poly_fwd", O.poly_sql(_POLY))
+def q_poly_fwd(spark, sf_dir):
+    """American polyconic (poly.cpp:25-46), historic USGS CONUS
+    projection."""
+    df = G.with_projected(_coords(spark, sf_dir), _POLY)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_BONNE = "+proj=bonne +ellps=GRS80 +lat_1=45 +lon_0=2"
+
+
+@register("bonne_fwd", O.bonne_sql(_BONNE))
+def q_bonne_fwd(spark, sf_dir):
+    """Bonne pseudoconic (bonne.cpp:21-42), France-style lat_1=45."""
+    df = G.with_projected(_coords(spark, sf_dir), _BONNE)
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

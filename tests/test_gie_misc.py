@@ -123,3 +123,52 @@ def test_eqdc_invalid_args():
 
     with pytest.raises(ValueError):
         compile_projstring("+proj=eqdc +R=6400000 +lat_1=0 +lat_2=0")
+
+
+R2B_GOLDENS = [
+    # builtins.gie:853-884
+    ("+proj=cass +ellps=GRS80", 2, 1, 222605.285776991, 110642.229253999),
+    ("+proj=cass +R=6400000", 2, 1, 223368.105203484, 111769.145040586),
+    # builtins.gie:5751-5781
+    ("+proj=poly +ellps=GRS80", 2, 1, 222605.285770237, 110642.194561440),
+    ("+proj=poly +ellps=GRS80", 2, -1, 222605.285770237, -110642.194561440),
+    ("+proj=poly +R=6400000", 2, 1, 223368.105210219, 111769.110491225),
+    # builtins.gie:667-698
+    ("+proj=bonne +ellps=GRS80 +lat_1=0.5", 2, 1,
+     222605.296097157, 55321.139565495),
+    ("+proj=bonne +ellps=GRS80 +lat_1=0.5", 2, -1,
+     222605.296099239, -165827.647799052),
+    ("+proj=bonne +ellps=GRS80 +lat_1=-0.5", 2, 1,
+     222605.2961, 165827.6478),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", R2B_GOLDENS)
+def test_cass_poly_bonne_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+CPB_ROUNDTRIPS = [
+    ("+proj=cass +ellps=GRS80 +lon_0=10 +lat_0=52", (5, 15), (45, 60)),
+    ("+proj=cass +R=6371000", (-40, 40), (-60, 60)),
+    ("+proj=poly +ellps=GRS80", (-40, 40), (-60, 60)),
+    ("+proj=poly +R=6371000", (-40, 40), (-60, 60)),
+    ("+proj=bonne +ellps=GRS80 +lat_1=45", (-60, 60), (-60, 80)),
+    ("+proj=bonne +R=6371000 +lat_1=45", (-60, 60), (-60, 80)),
+    ("+proj=bonne +ellps=GRS80 +lat_1=-30", (-60, 60), (-80, 60)),
+]
+
+
+@pytest.mark.parametrize("pstr,lons,lats", CPB_ROUNDTRIPS)
+def test_cass_poly_bonne_roundtrip(pstr, lons, lats):
+    rng = np.random.RandomState(6)
+    lon = rng.uniform(*lons, 300)
+    lat = rng.uniform(*lats, 300)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
