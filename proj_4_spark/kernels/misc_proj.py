@@ -1207,3 +1207,144 @@ def bonne_inv(x, y, C: BonneConsts):
         lam = np.where(bad, np.nan, lam)
         phi = np.where(bad, np.nan, phi)
     return lam, phi
+
+
+# ----------------------------------------------------------------- igh
+
+IGH_PHI_B = (40 + 44 / 60.0 + 11.8 / 3600.0) * np.pi / 180.0
+
+_D = {d: d * np.pi / 180.0 for d in (10, 20, 30, 40, 50, 60, 80, 90,
+                                     100, 140, 160, 180)}
+_IGH_EPS = 1e-10
+
+
+@dataclass(frozen=True)
+class IghConsts:
+    moll: MollConsts
+    dy0: float
+    # per-zone (is_moll, lam0, x0, y0), index 0..11 for zones 1..12
+    zones: tuple
+
+
+def igh_setup() -> IghConsts:
+    """Interrupted Goode homolosine (src/projections/igh.cpp:243-293):
+    12 sub-projections — Mollweide above |phi|=40d44'11.8", sinusoidal
+    below, with per-zone central meridians and false offsets."""
+    moll = moll_setup(HALFPI)
+    # dy0: sinu y == phi at the boundary; moll y = C_y sin(theta(phi))
+    xb, yb_moll = moll_fwd(np.array([0.0]), np.array([IGH_PHI_B]), moll)
+    dy0 = float(IGH_PHI_B - yb_moll[0])
+    d = _D
+    zones = (
+        (True, -d[100], -d[100], dy0),    # 1
+        (True, d[30], d[30], dy0),        # 2
+        (False, -d[100], -d[100], 0.0),   # 3
+        (False, d[30], d[30], 0.0),       # 4
+        (False, -d[160], -d[160], 0.0),   # 5
+        (False, -d[60], -d[60], 0.0),     # 6
+        (False, d[20], d[20], 0.0),       # 7
+        (False, d[140], d[140], 0.0),     # 8
+        (True, -d[160], -d[160], -dy0),   # 9
+        (True, -d[60], -d[60], -dy0),     # 10
+        (True, d[20], d[20], -dy0),       # 11
+        (True, d[140], d[140], -dy0),     # 12
+    )
+    return IghConsts(moll=moll, dy0=dy0, zones=zones)
+
+
+def _igh_zone_from(lam, phi):
+    """Zone labels 1..12 from (lam, phi); igh.cpp:58-85."""
+    d = _D
+    z = np.empty(lam.shape, dtype=np.int64)
+    top = phi >= IGH_PHI_B
+    mid = (phi >= 0) & ~top
+    low = (phi >= -IGH_PHI_B) & (phi < 0)
+    bot = phi < -IGH_PHI_B
+    z[top] = np.where(lam[top] <= -d[40], 1, 2)
+    z[mid] = np.where(lam[mid] <= -d[40], 3, 4)
+    for m, base in ((low, 5), (bot, 9)):
+        lm = lam[m]
+        z[m] = np.where(lm <= -d[100], base,
+                        np.where(lm <= -d[20], base + 1,
+                                 np.where(lm <= d[80], base + 2, base + 3)))
+    return z
+
+
+def igh_fwd(lam, phi, C: IghConsts):
+    """igh.cpp s_forward (:57-93), vectorized: compute zone, then the
+    masked sinu/moll forward with per-zone lam0/x0/y0."""
+    z = _igh_zone_from(lam, phi)
+    zi = z - 1
+    is_moll = np.array([zz[0] for zz in C.zones])[zi]
+    lam0 = np.array([zz[1] for zz in C.zones])[zi]
+    x0 = np.array([zz[2] for zz in C.zones])[zi]
+    y0 = np.array([zz[3] for zz in C.zones])[zi]
+    lrel = lam - lam0
+    xs = lrel * np.cos(phi)
+    ys = phi
+    xm, ym = moll_fwd(lrel, phi, C.moll)
+    x = np.where(is_moll, xm, xs) + x0
+    y = np.where(is_moll, ym, ys) + y0
+    return x, y
+
+
+def igh_inv(x, y, C: IghConsts):
+    """igh.cpp s_inverse (:95-186): zone from plane coordinates, the
+    sub-projection inverse, then the per-zone validity gate."""
+    d = _D
+    y90 = C.dy0 + np.sqrt(2.0)
+    z = np.zeros(x.shape, dtype=np.int64)
+    inside = (y <= y90 + _IGH_EPS) & (y >= -y90 + _IGH_EPS)
+    top = inside & (y >= IGH_PHI_B)
+    mid = inside & (y >= 0) & ~top
+    low = inside & (y >= -IGH_PHI_B) & (y < 0)
+    bot = inside & (y < -IGH_PHI_B)
+    z[top] = np.where(x[top] <= -d[40], 1, 2)
+    z[mid] = np.where(x[mid] <= -d[40], 3, 4)
+    for m, base in ((low, 5), (bot, 9)):
+        xm = x[m]
+        z[m] = np.where(xm <= -d[100], base,
+                        np.where(xm <= -d[20], base + 1,
+                                 np.where(xm <= d[80], base + 2, base + 3)))
+    zi = np.maximum(z - 1, 0)
+    is_moll = np.array([zz[0] for zz in C.zones])[zi]
+    lam0 = np.array([zz[1] for zz in C.zones])[zi]
+    x0 = np.array([zz[2] for zz in C.zones])[zi]
+    y0 = np.array([zz[3] for zz in C.zones])[zi]
+    xr = x - x0
+    yr = y - y0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ls, ps = xr / np.cos(yr), yr
+        lm, pm = moll_inv(xr, yr, C.moll)
+    lam = np.where(is_moll, lm, ls) + lam0
+    phi = np.where(is_moll, pm, ps)
+    # validity gate (igh.cpp:137-180)
+    e = _igh_EPS = _IGH_EPS
+    ok = np.zeros(x.shape, dtype=bool)
+    rules = {
+        1: lambda la, ph: ((la >= -d[180] - e) & (la <= -d[40] + e))
+        | ((la >= -d[40] - e) & (la <= -d[10] + e)
+           & (ph >= d[60] - e) & (ph <= d[90] + e)),
+        2: lambda la, ph: ((la >= -d[40] - e) & (la <= d[180] + e))
+        | ((la >= -d[180] - e) & (la <= -d[160] + e)
+           & (ph >= d[50] - e) & (ph <= d[90] + e))
+        | ((la >= -d[50] - e) & (la <= -d[40] + e)
+           & (ph >= d[60] - e) & (ph <= d[90] + e)),
+        3: lambda la, ph: (la >= -d[180] - e) & (la <= -d[40] + e),
+        4: lambda la, ph: (la >= -d[40] - e) & (la <= d[180] + e),
+        5: lambda la, ph: (la >= -d[180] - e) & (la <= -d[100] + e),
+        6: lambda la, ph: (la >= -d[100] - e) & (la <= -d[20] + e),
+        7: lambda la, ph: (la >= -d[20] - e) & (la <= d[80] + e),
+        8: lambda la, ph: (la >= d[80] - e) & (la <= d[180] + e),
+        9: lambda la, ph: (la >= -d[180] - e) & (la <= -d[100] + e),
+        10: lambda la, ph: (la >= -d[100] - e) & (la <= -d[20] + e),
+        11: lambda la, ph: (la >= -d[20] - e) & (la <= d[80] + e),
+        12: lambda la, ph: (la >= d[80] - e) & (la <= d[180] + e),
+    }
+    for zz, rule in rules.items():
+        m = z == zz
+        if m.any():
+            ok[m] = rule(lam[m], phi[m])
+    lam = np.where(ok, lam, np.nan)
+    phi = np.where(ok, phi, np.nan)
+    return lam, phi

@@ -1124,3 +1124,77 @@ SELECT doc_id,
     AS y_m
 FROM r ORDER BY doc_id
 """
+
+
+def igh_sql(round_to: int = 2) -> str:
+    """Interrupted Goode homolosine forward (igh.cpp:57-93): zone CASE
+    on (lam, phi), per-zone central meridians / offsets via 1-based
+    list-literal indexing, Mollweide theta via the fixed-iteration
+    Newton CTE chain (only phi-dependent, so computed once)."""
+    from ..kernels.misc_proj import IGH_PHI_B, igh_setup
+
+    C = igh_setup()
+    a = 6400000.0  # engine query uses +a=6400000
+    d = {k: k * math.pi / 180.0 for k in (20, 40, 80, 100)}
+    lam0s = "[" + ", ".join(L(z[1]) for z in C.zones) + "]"
+    x0s = "[" + ", ".join(L(z[2]) for z in C.zones) + "]"
+    y0s = "[" + ", ".join(L(z[3]) for z in C.zones) + "]"
+    is_moll = "[" + ", ".join(("true" if z[0] else "false")
+                              for z in C.zones) + "]"
+    M = C.moll
+    ctes = []
+    th = "rphi"
+    for i in range(10):
+        nxt = f"th{i}"
+        ctes.append(
+            f"n{i} AS (\n  SELECT * ,\n"
+            f"    ({th} - (CASE WHEN (1.0 + cos({th})) != 0.0 "
+            f"THEN (({th} + sin({th})) - kk)/(1.0 + cos({th})) "
+            f"ELSE 0.0 END)) AS {nxt}\n"
+            f"  FROM {'zs' if i == 0 else f'n{i-1}'}\n)")
+        th = nxt
+    ctes_s = ",\n".join(ctes)
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, radians(lon) AS rlam, radians(lat) AS rphi,
+         {L(M.C_p)}*sin(radians(lat)) AS kk
+  FROM coords
+),
+zs AS (
+  SELECT doc_id, rlam, rphi, kk,
+    (CASE
+       WHEN rphi >= {L(IGH_PHI_B)} THEN
+         (CASE WHEN rlam <= {L(-d[40])} THEN 1 ELSE 2 END)
+       WHEN rphi >= 0.0 THEN
+         (CASE WHEN rlam <= {L(-d[40])} THEN 3 ELSE 4 END)
+       WHEN rphi >= {L(-IGH_PHI_B)} THEN
+         (CASE WHEN rlam <= {L(-d[100])} THEN 5
+               WHEN rlam <= {L(-d[20])} THEN 6
+               WHEN rlam <= {L(d[80])} THEN 7 ELSE 8 END)
+       ELSE
+         (CASE WHEN rlam <= {L(-d[100])} THEN 9
+               WHEN rlam <= {L(-d[20])} THEN 10
+               WHEN rlam <= {L(d[80])} THEN 11 ELSE 12 END)
+     END) AS z
+  FROM p
+),
+{ctes_s},
+t AS (
+  SELECT doc_id, rphi, z,
+    (rlam - ({lam0s})[z]) AS lrel,
+    ({is_moll})[z] AS ismoll,
+    ({x0s})[z] AS zx0, ({y0s})[z] AS zy0,
+    0.5*(CASE WHEN (1.0 + cos({th})) = 0.0
+              THEN (CASE WHEN rphi < 0.0 THEN -pi()/2 ELSE pi()/2 END)
+              ELSE {th} END) AS theta
+  FROM n9
+)
+SELECT doc_id,
+  (round({L(a)}*((CASE WHEN ismoll THEN {L(M.C_x)}*lrel*cos(theta)
+                       ELSE lrel*cos(rphi) END) + zx0), {round_to}) + 0.0)
+    AS x_m,
+  (round({L(a)}*((CASE WHEN ismoll THEN {L(M.C_y)}*sin(theta)
+                       ELSE rphi END) + zy0), {round_to}) + 0.0) AS y_m
+FROM t ORDER BY doc_id
+"""

@@ -679,6 +679,17 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_igh(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    op.ell = _E.from_a_es(op.ell.a, 0.0)  # spherical forced (igh.cpp:289)
+    C = M.igh_setup()
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.igh_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.igh_inv(x, y, C), z)
+
+
 def _mk_cass(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
 
@@ -873,6 +884,7 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "igh": _mk_igh,
         "cass": _mk_cass,
         "poly": _mk_poly,
         "bonne": _mk_bonne,

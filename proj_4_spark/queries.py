@@ -1203,3 +1203,13 @@ def q_bonne_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), _BONNE)
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("igh_fwd", O.igh_sql())
+def q_igh_fwd(spark, sf_dir):
+    """Interrupted Goode homolosine (igh.cpp): 12-zone composition of
+    spherical sinusoidal and Mollweide with per-zone central meridians
+    — the interrupted equal-area world map."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=igh +a=6400000")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

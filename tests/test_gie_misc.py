@@ -172,3 +172,23 @@ def test_cass_poly_bonne_roundtrip(pstr, lons, lats):
     lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
     assert np.nanmax(np.abs(lo - lon)) < 1e-9
     assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+def test_igh_gie_golden_and_roundtrip():
+    """builtins.gie:2638-2646 + globe-wide roundtrip through the
+    12-zone inverse with the validity gate."""
+    tr = compile_projstring("+proj=igh +a=6400000")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, 2.0]),
+                                  np.array([1.0, -1.0]))
+    assert abs(x[0] - 223878.497456271) < 1e-4
+    assert abs(y[0] - 111701.072127637) < 1e-4
+    assert abs(x[1] - 223708.371313058) < 1e-4
+    assert abs(y[1] + 111701.072127637) < 1e-4
+    rng = np.random.RandomState(9)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    xx, yy, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(xx, yy, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-6
+    assert np.nanmax(np.abs(la - lat)) < 1e-6
+    assert np.isnan(lo).mean() == 0.0
