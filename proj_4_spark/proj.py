@@ -440,6 +440,52 @@ def compile_operation(params: dict) -> Operation:
     elif proj_id in ("push", "pop"):
         op.left, op.right = WHATEVER, WHATEVER
         op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+    elif proj_id == "topocentric":
+        # geocentric <-> topocentric rotation about an origin
+        # (src/conversions/topocentric.cpp:22-46; IOGP GN 7-2)
+        has_xyz = any(k in params for k in ("X_0", "Y_0", "Z_0"))
+        has_llh = any(k in params for k in ("lon_0", "lat_0", "h_0"))
+        if has_xyz and has_llh:
+            raise ValueError("topocentric: (X_0,Y_0,Z_0) and "
+                             "(lon_0,lat_0,h_0) are mutually exclusive")
+        cartC = k_cart.setup({}, ell)
+        if has_xyz:
+            if not all(k in params for k in ("X_0", "Y_0", "Z_0")):
+                raise ValueError("topocentric: missing Y_0 and/or Z_0")
+            X0 = float(params["X_0"])
+            Y0 = float(params["Y_0"])
+            Z0 = float(params["Z_0"])
+            la, ph, _ = k_cart.inv(np.array([X0]), np.array([Y0]),
+                                   np.array([Z0]), cartC)
+            lam_o, phi_o = float(la[0]), float(ph[0])
+        else:
+            if "lon_0" not in params:
+                raise ValueError("topocentric: missing X_0 or lon_0")
+            if "lat_0" not in params:
+                raise ValueError("topocentric: missing lat_0")
+            lam_o, phi_o = op.lam0, op.phi0
+            h0 = float(params.get("h_0", 0.0))
+            X, Y, Z = k_cart.fwd(np.array([lam_o]), np.array([phi_o]),
+                                 np.array([h0]), cartC)
+            X0, Y0, Z0 = float(X[0]), float(Y[0]), float(Z[0])
+        sp, cp = math.sin(phi_o), math.cos(phi_o)
+        sl, cl = math.sin(lam_o), math.cos(lam_o)
+        op.lam0 = 0.0  # origin handled inside the kernel
+        op.left, op.right = CARTESIAN, CARTESIAN
+
+        def _topo_fwd(x, y, z, t):
+            dX, dY, dZ = x - X0, y - Y0, z - Z0
+            return (-dX * sl + dY * cl,
+                    -dX * sp * cl - dY * sp * sl + dZ * cp,
+                    dX * cp * cl + dY * cp * sl + dZ * sp)
+
+        def _topo_inv(x, y, z, t):
+            return (X0 - x * sl - y * sp * cl + z * cp * cl,
+                    Y0 + x * cl - y * sp * sl + z * cp * sl,
+                    Z0 + y * cp + z * sp)
+
+        op.fwd_k = _topo_fwd
+        op.inv_k = _topo_inv
     elif proj_id == "molodensky":
         from .kernels import molodensky as k_molo
 

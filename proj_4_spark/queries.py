@@ -1213,3 +1213,56 @@ def q_igh_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), "+proj=igh +a=6400000")
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+_TOPO = ("+proj=pipeline +step +proj=cart +ellps=GRS80 "
+         "+step +proj=topocentric +ellps=GRS80 +lon_0=10 +lat_0=52 +h_0=0")
+
+
+def _topo_sql():
+    import math as _m
+
+    from .kernels import cart as _kc
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    ell = _E.from_name("GRS80")
+    C = _kc.setup({}, ell)
+    import numpy as _np
+
+    X, Y, Z = _kc.fwd(_np.array([_m.radians(10.0)]),
+                      _np.array([_m.radians(52.0)]), _np.array([0.0]), C)
+    X0, Y0, Z0 = float(X[0]), float(Y[0]), float(Z[0])
+    sp, cp = _m.sin(_m.radians(52.0)), _m.cos(_m.radians(52.0))
+    sl, cl = _m.sin(_m.radians(10.0)), _m.cos(_m.radians(10.0))
+    cx, cy, cz = O.cart_xyz("+proj=cart +ellps=GRS80")
+    dX = f"({cx} - {O.L(X0)})"
+    dY = f"({cy} - {O.L(Y0)})"
+    dZ = f"({cz} - {O.L(Z0)})"
+    return f"""
+WITH coords AS ({O.coords_cte()}),
+d AS (
+  SELECT doc_id, {dX} AS dX, {dY} AS dY, {dZ} AS dZ FROM coords
+)
+SELECT doc_id,
+  (round(-dX*{O.L(sl)} + dY*{O.L(cl)}, 2) + 0.0) AS e_m,
+  (round(-dX*{O.L(sp * cl)} - dY*{O.L(sp * sl)} + dZ*{O.L(cp)}, 2) + 0.0)
+    AS n_m,
+  (round(dX*{O.L(cp * cl)} + dY*{O.L(cp * sl)} + dZ*{O.L(sp)}, 2) + 0.0)
+    AS u_m
+FROM d ORDER BY doc_id
+"""
+
+
+@register("topocentric_enu", _topo_sql())
+def q_topocentric_enu(spark, sf_dir):
+    """Geodetic -> geocentric -> topocentric ENU about a Munich-ish
+    origin (conversions/topocentric.cpp:22-33, IOGP GN 7-2), fused in
+    one pipeline UDF."""
+    df = _coords(spark, sf_dir)
+    u = G.project_udf(_TOPO)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_t", st)
+              .select("doc_id", (F.round("_t.x", 2) + 0.0).alias("e_m"),
+                      (F.round("_t.y", 2) + 0.0).alias("n_m"),
+                      (F.round("_t.z", 2) + 0.0).alias("u_m"))
+              .orderBy("doc_id"))

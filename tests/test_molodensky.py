@@ -66,3 +66,46 @@ def test_geoc_spherical_identity():
     _, y, _, _ = tr.transform_deg(np.array([10.0]), np.array([45.0]),
                                   np.array([0.0]))
     assert y[0] == 45.0
+
+
+# --- topocentric (conversions/topocentric.cpp) ------------------------
+
+def test_topocentric_iogp_fixture():
+    """builtins.gie:8140-8155 (IOGP GN 7-2 test point), 1 mm."""
+    tr = compile_projstring("+proj=topocentric +ellps=WGS84 "
+                            "+X_0=3652755.3058 +Y_0=319574.6799 "
+                            "+Z_0=5201547.3536")
+    x, y, z, _ = tr.transform(np.array([3771793.968]),
+                              np.array([140253.342]),
+                              np.array([5124304.349]))
+    assert abs(x[0] + 189013.869) < 1e-3
+    assert abs(y[0] + 128642.040) < 1e-3
+    assert abs(z[0] + 4220.171) < 1e-3
+    xi, yi, zi, _ = tr.transform(x, y, z, direction="inv")
+    assert abs(xi[0] - 3771793.968) < 1e-6
+
+    tr2 = compile_projstring(
+        "+proj=pipeline +step +proj=cart +ellps=WGS84 "
+        "+step +proj=topocentric +ellps=WGS84 +lon_0=5 +lat_0=55 +h_0=200")
+    x, y, z, _ = tr2.transform_deg(np.array([2.12955]),
+                                   np.array([53.80939444444444]),
+                                   np.array([73.0]))
+    assert abs(x[0] + 189013.869) < 1e-3
+    assert abs(y[0] + 128642.040) < 1e-3
+    assert abs(z[0] + 4220.171) < 1e-3
+    lo, la, h, _ = tr2.transform_deg(x, y, z, direction="inv")
+    assert abs(lo[0] - 2.12955) < 1e-9
+    assert abs(la[0] - 53.80939444444444) < 1e-9
+    assert abs(h[0] - 73.0) < 1e-4
+
+
+@pytest.mark.parametrize("bad", [
+    "+proj=topocentric +ellps=WGS84",
+    "+proj=topocentric +ellps=WGS84 +X_0=0 +Y_0=0",
+    "+proj=topocentric +ellps=WGS84 +lon_0=0",
+    "+proj=topocentric +ellps=WGS84 +X_0=0 +lon_0=0",
+])
+def test_topocentric_arg_errors(bad):
+    """builtins.gie:8160-8175 error cases."""
+    with pytest.raises(ValueError):
+        compile_projstring(bad)
