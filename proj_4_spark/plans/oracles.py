@@ -1198,3 +1198,51 @@ SELECT doc_id,
                        ELSE rphi END) + zy0), {round_to}) + 0.0) AS y_m
 FROM t ORDER BY doc_id
 """
+
+
+def horner_sql(projstr: str, e_expr: str, n_expr: str,
+               round_to: int = 4) -> str:
+    """Real double-Horner polynomial forward (horner.cpp:155-181,
+    232-288) unrolled symbolically — the same backward summation the
+    kernel runs, emitted as one nested SQL expression per output."""
+    tr = compile_projstring(projstr)
+    C = tr.ops[0].consts
+    assert not C.complex_poly
+
+    def dre(cx, cy, e, n):
+        from ..kernels.horner import n_real_coefs
+
+        sz = n_real_coefs(C.order)
+        icx = icy = sz
+        icy -= 1
+        N = L(cy[icy])
+        icx -= 1
+        E = L(cx[icx])
+        for r in range(C.order, 0, -1):
+            icy -= 1
+            u = L(cy[icy])
+            icx -= 1
+            v = L(cx[icx])
+            for _c in range(C.order, r - 1, -1):
+                icy -= 1
+                u = f"({n}*{u} + {L(cy[icy])})"
+                icx -= 1
+                v = f"({e}*{v} + {L(cx[icx])})"
+            N = f"({e}*{N} + {u})"
+            E = f"({n}*{E} + {v})"
+        return E, N
+
+    E, N = dre(C.fwd_u, C.fwd_v, "ee", "nn")
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id,
+    ({e_expr}) - {L(C.fwd_origin[0])} AS ee,
+    ({n_expr}) - {L(C.fwd_origin[1])} AS nn
+  FROM coords
+)
+SELECT doc_id,
+  (round({E}, {round_to}) + 0.0) AS u_out,
+  (round({N}, {round_to}) + 0.0) AS v_out
+FROM p ORDER BY doc_id
+"""

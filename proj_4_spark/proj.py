@@ -440,6 +440,14 @@ def compile_operation(params: dict) -> Operation:
     elif proj_id in ("push", "pop"):
         op.left, op.right = WHATEVER, WHATEVER
         op.consts = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+    elif proj_id == "horner":
+        from .kernels import horner as k_horner
+
+        C = k_horner.setup(params)
+        op.left, op.right = WHATEVER, WHATEVER
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*k_horner.fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*k_horner.inv(x, y, C), z)
     elif proj_id == "topocentric":
         # geocentric <-> topocentric rotation about an origin
         # (src/conversions/topocentric.cpp:22-46; IOGP GN 7-2)

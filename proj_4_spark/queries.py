@@ -1266,3 +1266,50 @@ def q_topocentric_enu(spark, sf_dir):
                       (F.round("_t.y", 2) + 0.0).alias("n_m"),
                       (F.round("_t.z", 2) + 0.0).alias("u_m"))
               .orderBy("doc_id"))
+
+
+_TC32 = ("+proj=horner +ellps=intl +range=500000"
+         " +fwd_origin=877605.269066,6125810.306769"
+         " +inv_origin=877605.760036,6125811.281773"
+         " +deg=4"
+         " +fwd_v=6.1258112678e+06,9.9999971567e-01,1.5372750011e-10,"
+         "5.9300860915e-15,2.2609497633e-19,4.3188227445e-05,"
+         "2.8225130416e-10,7.8740007114e-16,-1.7453997279e-19,"
+         "1.6877465415e-10,-1.1234649773e-14,-1.7042333358e-18,"
+         "-7.9303467953e-15,-5.2906832535e-19,3.9984284847e-19"
+         " +fwd_u=8.7760574982e+05,9.9999752475e-01,2.8817299305e-10,"
+         "5.5641310680e-15,-1.5544700949e-18,-4.1357045890e-05,"
+         "4.2106213519e-11,2.8525551629e-14,-1.9107771273e-18,"
+         "3.3615590093e-10,2.4380247154e-14,-2.0241230315e-18,"
+         "1.2429019719e-15,5.3886155968e-19,-1.0167505000e-18"
+         " +inv_v=6.1258103208e+06,1.0000002826e+00,-1.5372762184e-10,"
+         "-5.9304261011e-15,-2.2612705361e-19,-4.3188331419e-05,"
+         "-2.8225549995e-10,-7.8529116371e-16,1.7476576773e-19,"
+         "-1.6875687989e-10,1.1236475299e-14,1.7042518057e-18,"
+         "7.9300735257e-15,5.2881862699e-19,-3.9990736798e-19"
+         " +inv_u=8.7760527928e+05,1.0000024735e+00,-2.8817540032e-10,"
+         "-5.5627059451e-15,1.5543637570e-18,4.1357152105e-05,"
+         "-4.2114813612e-11,-2.8523713454e-14,1.9109017837e-18,"
+         "-3.3616407783e-10,-2.4382678126e-14,2.0245020199e-18,"
+         "-1.2441377565e-15,-5.3885232238e-19,1.0167203661e-18")
+
+_HORNER_E = "877605.269066 + (doc_id % 997 - 498)*700.0"
+_HORNER_N = "6125810.306769 + (doc_id % 911 - 455)*700.0"
+
+
+@register("horner_tc32_fwd", O.horner_sql(_TC32, _HORNER_E, _HORNER_N))
+def q_horner_tc32_fwd(spark, sf_dir):
+    """Danish TC32 -> System-45-Bornholm Horner polynomial datum
+    transform (horner.cpp gen_pol; coefficients from the reference's
+    gie_self_tests.cpp:812-834) over a synthetic in-range grid."""
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        "doc_id",
+        (877605.269066 + (F.col("doc_id") % 997 - 498) * 700.0).alias("e"),
+        (6125810.306769 + (F.col("doc_id") % 911 - 455) * 700.0).alias("n"))
+    u = G.project_udf(_TC32)
+    st = u(F.col("e"), F.col("n"))
+    return (pts.withColumn("_h", st)
+               .select("doc_id", (F.round("_h.x", 4) + 0.0).alias("u_out"),
+                       (F.round("_h.y", 4) + 0.0).alias("v_out"))
+               .orderBy("doc_id"))
