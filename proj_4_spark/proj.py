@@ -733,6 +733,56 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_som(op, params, ell, k0, phi0):
+    from .kernels import som as k_som
+
+    if op.proj_id == "som":
+        lam0 = op.lam0
+        if not (-2 * math.pi <= lam0 <= 2 * math.pi):
+            raise ValueError("som: asc_lon out of [-2pi, 2pi]")
+        if "asc_lon" in params:
+            lam0 = float(params["asc_lon"].rstrip("r"))                 if str(params["asc_lon"]).endswith("r")                 else math.radians(float(params["asc_lon"]))
+        alf_raw = str(params.get("inc_angle", "0"))
+        alf = float(alf_raw.rstrip("r")) if alf_raw.endswith("r")             else math.radians(float(alf_raw))
+        if not (0 <= alf <= math.pi):
+            raise ValueError("som: inc_angle out of [0, pi]")
+        p22 = float(params.get("ps_rev", 0.0))
+        if p22 < 0:
+            raise ValueError("som: ps_rev should be positive")
+        rlm = 0.0
+    elif op.proj_id == "misrsom":
+        path = int(params.get("path", 0))
+        if not (0 < path <= 233):
+            raise ValueError("misrsom: path should be in [1, 233]")
+        lam0 = math.radians(129.3056) - 2 * math.pi / 233.0 * path
+        alf = math.radians(98.30382)
+        p22 = 98.88 / 1440.0
+        rlm = 0.0
+    else:  # lsat
+        land = int(params.get("lsat", 0))
+        if not (0 < land <= 5):
+            raise ValueError("lsat: lsat should be in [1, 5]")
+        path = int(params.get("path", 0))
+        max_path = 251 if land <= 3 else 233
+        if not (0 < path <= max_path):
+            raise ValueError(f"lsat: path should be in [1, {max_path}]")
+        if land <= 3:
+            lam0 = math.radians(128.87) - 2 * math.pi / 251.0 * path
+            p22 = 103.2669323
+            alf = math.radians(99.092)
+        else:
+            lam0 = math.radians(129.3) - 2 * math.pi / 233.0 * path
+            p22 = 98.8841202
+            alf = math.radians(98.2)
+        p22 /= 1440.0
+        rlm = math.pi * (1.0 / 248.0 + 0.5161290322580645)
+    op.lam0 = lam0
+    C = k_som.setup(alf, p22, rlm, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_som.fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*k_som.inv(x, y, C), z)
+
+
 def _mk_igh(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
     from .kernels.ellipsoid import Ellipsoid as _E
@@ -938,6 +988,9 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "som": _mk_som,
+        "lsat": _mk_som,
+        "misrsom": _mk_som,
         "igh": _mk_igh,
         "cass": _mk_cass,
         "poly": _mk_poly,

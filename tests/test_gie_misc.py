@@ -192,3 +192,61 @@ def test_igh_gie_golden_and_roundtrip():
     assert np.nanmax(np.abs(lo - lon)) < 1e-6
     assert np.nanmax(np.abs(la - lat)) < 1e-6
     assert np.isnan(lo).mean() == 0.0
+
+
+# --- Space Oblique Mercator family (som.cpp) --------------------------
+
+SOM_GOLDENS = [
+    # builtins.gie:4330-4338
+    ("+proj=som +ellps=GRS80 +inc_angle=1.7157253262878522r "
+     "+ps_rev=0.06866666666666667 +asc_lon=2.2298420007209447r",
+     2, 1, 18556630.368369825, 9533394.675311271),
+    ("+proj=som +ellps=GRS80 +inc_angle=1.7157253262878522r "
+     "+ps_rev=0.06866666666666667 +asc_lon=2.2298420007209447r",
+     2, -1, 19041866.006729737, 9707182.175323525),
+    # builtins.gie:3905-3913
+    ("+proj=lsat +ellps=GRS80 +lsat=1 +path=2", 2, 1,
+     18241950.014558550, 9998256.839822935),
+    ("+proj=lsat +ellps=GRS80 +lsat=1 +path=2", 2, -1,
+     18746856.253319457, 10215761.669925211),
+    ("+proj=lsat +ellps=GRS80 +lsat=1 +path=2", -2, 1,
+     18565503.683633164, 9085039.146727053),
+    # builtins.gie:4277-4285
+    ("+proj=misrsom +ellps=GRS80 +path=1", 2, 1,
+     18556630.368369825, 9533394.675311271),
+    ("+proj=misrsom +ellps=GRS80 +path=1", -2, 1,
+     18816810.130184799, 8647669.649802955),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", SOM_GOLDENS)
+def test_som_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_som_roundtrip_within_reference_tolerance():
+    """The som inverse converges to TOL=1e-7 rad (som.cpp:14); the
+    roundtrip must sit inside that bound over the projectable domain."""
+    tr = compile_projstring("+proj=lsat +ellps=GRS80 +lsat=1 +path=2")
+    rng = np.random.RandomState(13)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-75, 75, 400)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    assert np.nanmax(dlon) < np.degrees(1e-7) + 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+@pytest.mark.parametrize("bad", [
+    "+proj=lsat +ellps=GRS80 +lsat=7 +path=2",
+    "+proj=lsat +ellps=GRS80 +lsat=1 +path=300",
+    "+proj=misrsom +ellps=GRS80 +path=0",
+    "+proj=som +ellps=GRS80 +inc_angle=200 +ps_rev=0.07",
+])
+def test_som_arg_errors(bad):
+    with pytest.raises(ValueError):
+        compile_projstring(bad)
