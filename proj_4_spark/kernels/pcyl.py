@@ -258,3 +258,54 @@ def vandg_fwd(lam, phi):
     x = np.where(eq, lam, np.where(meridian, 0.0, x))
     y = np.where(eq, 0.0, np.where(meridian, y_pole, y))
     return x, y
+
+
+def vandg_inv(x, y):
+    """van der Grinten I closed-form inverse (vandg.cpp:79-130;
+    Snyder 1987 29-11..29-18 cubic solution), vectorized."""
+    TOL = 1e-10
+    THIRD = 0.33333333333333333333
+    C2_27 = 0.07407407407407407407
+    PI4_3 = 4.18879020478639098458
+    PISQ = 9.86960440108935861869
+    TPISQ = 19.73920880217871723738
+    HPISQ = 4.93480220054467930934
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x2 = x * x
+        ay = np.abs(y)
+        y2 = y * y
+        r = x2 + y2
+        r2 = r * r
+        c1 = -np.pi * ay * (r + PISQ)
+        c3 = r2 + 2.0 * np.pi * (ay * r + np.pi * (y2 + np.pi
+                                                   * (ay + 0.5 * np.pi)))
+        c2 = c1 + PISQ * (r - 3.0 * y2)
+        c0 = np.pi * ay
+        c2 = c2 / c3
+        al = c1 / c3 - THIRD * c2 * c2
+        m = 2.0 * np.sqrt(np.clip(-THIRD * al, 0.0, None))
+        d = C2_27 * c2 * c2 * c2 + (c0 * c0 - THIRD * c2 * c1) / c3
+        al_mul_m = al * m
+        degenerate = np.abs(al_mul_m) < 1e-16
+        d = 3.0 * d / np.where(degenerate, np.nan, al_mul_m)
+        t = np.abs(d)
+        in_dom = (t - TOL) <= 1.0
+        dd = np.where(t > 1.0, np.where(d > 0.0, 0.0, np.pi),
+                      np.arccos(np.clip(d, -1.0, 1.0)))
+        dd = np.where(r > PISQ, 2.0 * np.pi - dd, dd)
+        phi = np.pi * (m * np.cos(dd * THIRD + PI4_3) - THIRD * c2)
+        phi = np.where(y < 0.0, -phi, phi)
+        tt = r2 + TPISQ * (x2 - y2 + HPISQ)
+        lam = np.where(np.abs(x) <= TOL, 0.0,
+                       0.5 * (r - PISQ + np.sqrt(np.clip(tt, 0.0, None)))
+                       / np.where(x == 0, 1.0, x))
+        # equator branch (vandg.cpp:84-88)
+        teq = x2 * x2 + TPISQ * (x2 + HPISQ)
+        lam_eq = np.where(np.abs(x) <= TOL, 0.0,
+                          0.5 * (x2 - PISQ + np.sqrt(teq))
+                          / np.where(x == 0, 1.0, x))
+        eq = ay < TOL
+        phi = np.where(eq, 0.0, np.where(in_dom & ~degenerate, phi, np.nan))
+        lam = np.where(eq, lam_eq,
+                       np.where(in_dom & ~degenerate, lam, np.nan))
+    return lam, phi

@@ -934,7 +934,7 @@ def _mk_pcyl(op, params, ell, k0, phi0):
 
     pid = op.proj_id
     if pid == "vandg":
-        fwd, inv = PC.vandg_fwd, None
+        fwd, inv = PC.vandg_fwd, PC.vandg_inv
     elif pid == "eck1":
         fwd, inv = PC.eck1_fwd, PC.eck1_inv
     elif pid == "eck2":

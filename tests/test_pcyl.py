@@ -64,3 +64,25 @@ def test_vandg_golden_and_roundtrip():
     lon2, lat2, _, _ = tr.transform_deg(xx, yy, direction="inv")
     assert np.nanmax(np.abs(lon2 - lon)) < 1e-6
     assert np.nanmax(np.abs(lat2 - lat)) < 1e-6
+
+
+def test_vandg_closed_form_inverse():
+    """vandg.cpp:79-130 (Snyder 29-11..29-18 cubic): gie inverse point
+    + globe roundtrip (previously fwd-only)."""
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring("+proj=vandg +R=6400000")
+    lo, la, _, _ = tr.transform_deg(np.array([200.0]), np.array([100.0]),
+                                    direction="inv")
+    assert abs(lo[0] - 0.001790493) < 1e-8
+    assert abs(la[0] - 0.000895247) < 1e-8
+    rng = np.random.RandomState(17)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-7
+    assert np.nanmax(np.abs(la - lat)) < 1e-7
+    assert np.isnan(lo).mean() == 0.0
