@@ -1246,3 +1246,69 @@ SELECT doc_id,
   (round({N}, {round_to}) + 0.0) AS v_out
 FROM p ORDER BY doc_id
 """
+
+
+def qsc_sql(projstr: str = "+proj=qsc +ellps=GRS80",
+            round_to: int = 2) -> str:
+    """QSC front-face forward (qsc.cpp:66-180) — closed-form with the
+    CASE area fold."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    from ..kernels.qsc import FACE_FRONT
+
+    assert C.face == FACE_FRONT and op.lam0 == 0.0
+    a = op.ell.a
+    geoc = (f"atan({L(C.one_minus_f_squared)}*tan(radians(lat)))"
+            if C.es != 0.0 else "radians(lat)")
+    return f"""
+WITH coords AS ({coords_cte()}),
+g AS (
+  SELECT doc_id, radians(lon) AS lam, {geoc} AS lat_c FROM coords
+),
+c AS (
+  SELECT doc_id,
+    (cos(lat_c)*cos(lam)) AS q, (cos(lat_c)*sin(lam)) AS r,
+    sin(lat_c) AS s
+  FROM g
+),
+f AS (
+  SELECT doc_id, acos(least(greatest(q, -1.0), 1.0)) AS phi,
+    atan2(s, r) AS th
+  FROM c
+),
+z AS (
+  SELECT doc_id, phi,
+    (CASE WHEN phi < 1e-10 THEN 0.0
+          WHEN abs(th) <= pi()/4 THEN th
+          WHEN th > pi()/4 AND th <= 3*pi()/4 THEN th - pi()/2
+          WHEN th > 3*pi()/4 OR th <= -3*pi()/4 THEN
+            (CASE WHEN th >= 0.0 THEN th - pi() ELSE th + pi() END)
+          ELSE th + pi()/2 END) AS theta,
+    (CASE WHEN phi < 1e-10 THEN 0
+          WHEN abs(th) <= pi()/4 THEN 0
+          WHEN th > pi()/4 AND th <= 3*pi()/4 THEN 1
+          WHEN th > 3*pi()/4 OR th <= -3*pi()/4 THEN 2
+          ELSE 3 END) AS area
+  FROM f
+),
+m AS (
+  SELECT doc_id, phi, theta, area,
+    atan((12.0/pi())*(theta
+         + acos(least(greatest(sin(theta)*cos(pi()/4), -1.0), 1.0))
+         - pi()/2)) AS mu
+  FROM z
+),
+t AS (
+  SELECT doc_id, area,
+    sqrt((1.0 - cos(phi))/(cos(mu)*cos(mu))
+         /(1.0 - cos(atan(1.0/cos(theta))))) AS tt,
+    (mu + CASE area WHEN 1 THEN pi()/2 WHEN 2 THEN pi()
+                    WHEN 3 THEN 3*pi()/2 ELSE 0.0 END) AS mu2
+  FROM m
+)
+SELECT doc_id,
+  (round({L(a)}*(tt*cos(mu2)), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*(tt*sin(mu2)), {round_to}) + 0.0) AS y_m
+FROM t ORDER BY doc_id
+"""

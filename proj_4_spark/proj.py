@@ -733,6 +733,15 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_qsc(op, params, ell, k0, phi0):
+    from .kernels import qsc as k_qsc
+
+    C = k_qsc.setup(ell, op.lam0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_qsc.fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*k_qsc.inv(x, y, C), z)
+
+
 def _mk_som(op, params, ell, k0, phi0):
     from .kernels import som as k_som
 
@@ -988,6 +997,7 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "qsc": _mk_qsc,
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,

@@ -1313,3 +1313,12 @@ def q_horner_tc32_fwd(spark, sf_dir):
                .select("doc_id", (F.round("_h.x", 4) + 0.0).alias("u_out"),
                        (F.round("_h.y", 4) + 0.0).alias("v_out"))
                .orderBy("doc_id"))
+
+
+@register("qsc_fwd", O.qsc_sql())
+def q_qsc_fwd(spark, sf_dir):
+    """Quadrilateralized spherical cube front face (qsc.cpp:66-180) —
+    the COBE cube-face tiling projection."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=qsc +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

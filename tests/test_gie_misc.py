@@ -250,3 +250,39 @@ def test_som_roundtrip_within_reference_tolerance():
 def test_som_arg_errors(bad):
     with pytest.raises(ValueError):
         compile_projstring(bad)
+
+
+# --- qsc (quadrilateralized spherical cube) ---------------------------
+
+def test_qsc_gie_golden():
+    """builtins.gie:6116-6126."""
+    tr = compile_projstring("+proj=qsc +ellps=GRS80")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
+                                  np.array([1.0, -1.0]))
+    assert abs(x[0] - 304638.450843852) < 1e-4
+    assert abs(y[0] - 164123.870923794) < 1e-4
+    assert abs(x[1] + 304638.450843852) < 1e-4
+    assert abs(y[1] + 164123.870923794) < 1e-4
+
+
+@pytest.mark.parametrize("pstr,lons,lats", [
+    ("+proj=qsc +ellps=GRS80", (-40, 40), (-40, 40)),
+    ("+proj=qsc +ellps=GRS80 +lon_0=90", (50, 130), (-40, 40)),
+    ("+proj=qsc +ellps=GRS80 +lon_0=180", (140, 220), (-40, 40)),
+    ("+proj=qsc +ellps=GRS80 +lon_0=-90", (-130, -50), (-40, 40)),
+    ("+proj=qsc +ellps=GRS80 +lat_0=90", (-179, 179), (50, 89)),
+    ("+proj=qsc +ellps=GRS80 +lat_0=-90", (-179, 179), (-89, -50)),
+    ("+proj=qsc +R=6370997", (-40, 40), (-40, 40)),
+])
+def test_qsc_face_roundtrip(pstr, lons, lats):
+    """All six cube faces + sphere, with the ellipsoid<->sphere
+    latitude shift (qsc.cpp:296-307)."""
+    rng = np.random.RandomState(19)
+    lon = rng.uniform(*lons, 500)
+    lat = rng.uniform(*lats, 500)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    assert np.nanmax(dlon) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
