@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from ..proj import compile_projstring
 from ..sources.coords import lonlat_sql
 
@@ -1311,4 +1313,44 @@ SELECT doc_id,
   (round({L(a)}*(tt*cos(mu2)), {round_to}) + 0.0) AS x_m,
   (round({L(a)}*(tt*sin(mu2)), {round_to}) + 0.0) AS y_m
 FROM t ORDER BY doc_id
+"""
+
+
+def healpix_sql(projstr: str = "+proj=healpix +ellps=GRS80",
+                round_to: int = 2) -> str:
+    """HEALPix forward (healpix.cpp:181-202): authalic latitude shift
+    (qsfn ratio) + equatorial strip / polar triangle CASE."""
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    C = op.consts
+    assert not C.rhealpix and C.rot_xy == 0.0
+    a = op.ell.a  # already the authalic radius
+    if C.spherical:
+        auth = "radians(lat)"
+    else:
+        q = _qsfn_sql("sin(radians(lat))", C.e, C.one_es)
+        auth = f"asin(least(greatest({q}/{L(C.qp)}, -1.0), 1.0))"
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id, radians(lon) AS lam, {auth} AS phi FROM coords
+),
+s AS (
+  SELECT doc_id, lam, phi,
+    sqrt(greatest(3.0*(1.0 - abs(sin(phi))), 0.0)) AS sigma,
+    (-3.0*pi()/4 + (pi()/2)*least(floor(2.0*lam/pi() + 2.0), 3.0)) AS lamc
+  FROM p
+)
+SELECT doc_id,
+  (round({L(a)}*(CASE WHEN abs(phi) <= {L(float(np.arcsin(2.0 / 3.0)))}
+                      THEN lam
+                      ELSE lamc + (lam - lamc)*sigma END), {round_to}) + 0.0)
+    AS x_m,
+  (round({L(a)}*(CASE WHEN abs(phi) <= {L(float(np.arcsin(2.0 / 3.0)))}
+                      THEN 3.0*pi()/8*sin(phi)
+                      ELSE (CASE WHEN phi < 0 THEN -1.0
+                                 WHEN phi > 0 THEN 1.0 ELSE 0.0 END)
+                           *(pi()/4)*(2.0 - sigma) END), {round_to}) + 0.0)
+    AS y_m
+FROM s ORDER BY doc_id
 """

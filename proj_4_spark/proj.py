@@ -733,6 +733,19 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_healpix(op, params, ell, k0, phi0):
+    from .kernels import healpix as k_hp
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    C = k_hp.setup(params, ell, rhealpix=op.proj_id == "rhealpix")
+    if not C.spherical:
+        # P->a reset to the authalic radius (healpix.cpp:631,675)
+        op.ell = _E.from_a_es(ell.a * k_hp.authalic_radius_factor(C), ell.es)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_hp.fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*k_hp.inv(x, y, C), z)
+
+
 def _mk_qsc(op, params, ell, k0, phi0):
     from .kernels import qsc as k_qsc
 
@@ -997,6 +1010,8 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "healpix": _mk_healpix,
+        "rhealpix": _mk_healpix,
         "qsc": _mk_qsc,
         "som": _mk_som,
         "lsat": _mk_som,

@@ -1322,3 +1322,13 @@ def q_qsc_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), "+proj=qsc +ellps=GRS80")
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("healpix_fwd", O.healpix_sql())
+def q_healpix_fwd(spark, sf_dir):
+    """HEALPix equal-area (healpix.cpp:181-202): authalic-latitude
+    equatorial strip + interrupted polar triangles — the astronomy /
+    Earth-grid tiling projection."""
+    df = G.with_projected(_coords(spark, sf_dir), "+proj=healpix +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")

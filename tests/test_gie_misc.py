@@ -286,3 +286,55 @@ def test_qsc_face_roundtrip(pstr, lons, lats):
     dlon = np.abs((lo - lon + 180) % 360 - 180)
     assert np.nanmax(dlon) < 1e-9
     assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+# --- HEALPix / rHEALPix -----------------------------------------------
+
+HEALPIX_GOLDENS = [
+    # builtins.gie:2490-2546, 2566-2574
+    ("+proj=healpix +ellps=GRS80", 2, 1, 222390.103949239, 130406.588664482),
+    ("+proj=healpix +ellps=GRS80", -2, -1, -222390.103949239,
+     -130406.588664481),
+    ("+proj=healpix +R=6400000", 2, 1, 223402.144255274, 131588.044441999),
+    ("+proj=healpix +R=6400000 +lat_1=0.5 +lat_2=2 +rot_xy=42", 2, 1,
+     254069.735470912856, -51696.237925639456),
+    ("+proj=healpix +R=6400000 +lat_1=0.5 +lat_2=2 +rot_xy=42", 2, -1,
+     77970.559536809917, -247274.186569161975),
+    ("+proj=rhealpix +ellps=GRS80", 2, 1, 222390.103949239,
+     130406.588664482),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", HEALPIX_GOLDENS)
+def test_healpix_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+@pytest.mark.parametrize("pstr,tol_lat", [
+    ("+proj=healpix +ellps=GRS80", 1e-7),
+    ("+proj=healpix +R=6371000 +rot_xy=30", 1e-9),
+    ("+proj=rhealpix +ellps=GRS80 +north_square=1 +south_square=2", 1e-7),
+    ("+proj=rhealpix +R=6371000", 1e-9),
+])
+def test_healpix_roundtrip(pstr, tol_lat):
+    """Globe-wide incl. the interrupted polar caps and rHEALPix cap
+    reassembly; the ellipsoidal inverse carries the shared authalic
+    series truncation (~2e-8 deg, reference behavior)."""
+    rng = np.random.RandomState(23)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-89, 89, 2000)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    assert np.nanmax(dlon) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < tol_lat
+    assert np.isnan(lo).mean() == 0.0
+
+
+def test_rhealpix_invalid_square():
+    with pytest.raises(ValueError):
+        compile_projstring("+proj=rhealpix +ellps=GRS80 +north_square=5")
