@@ -77,3 +77,40 @@ def fingerprint(text: Column) -> Column:
     (whitespace-collapsed, lowercased) text."""
     norm = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
     return F.md5(norm)
+
+
+# BPE-ish subword pre-tokenizer: the GPT-2-style split regex reduced
+# to what Spark/DuckDB regex engines share — contractions, letter
+# runs, digit runs, punctuation runs (each with optional leading
+# space), and whitespace runs.
+BPE_RE = "'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens: regexp_count over the shared
+    pattern minus pure-space runs (JVM-side, codegen)."""
+    total = F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+    spaces = F.size(F.regexp_extract_all(text, F.lit(" +"), 0))
+    return total - spaces
+
+
+# Rolling (Rabin-Karp) fingerprint: polynomial hash of the token
+# stream, acc = (acc*B + h_i) mod M with the Mersenne prime M=2^31-1
+# and B < 2^20 so acc*B + h < 2^52 — no 64-bit overflow in either
+# engine (DuckDB raises on BIGINT overflow rather than wrapping).
+RH_MOD = 2147483647  # 2^31 - 1
+RH_BASE = 1000003
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: fold per-token md5-derived
+    hashes with the Rabin-Karp recurrence.  Unlike the normalized-md5
+    fingerprint this is streamable/rolling: a window's hash updates
+    incrementally at 100 TB scan scale."""
+    from .dedup import _h60, tokens as _tokens
+
+    toks = _tokens(text)
+    hs = F.transform(toks, lambda t: _h60(t) % F.lit(RH_MOD))
+    return F.aggregate(
+        hs, F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(RH_BASE) + h) % F.lit(RH_MOD))

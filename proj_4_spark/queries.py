@@ -1332,3 +1332,44 @@ def q_healpix_fwd(spark, sf_dir):
     df = G.with_projected(_coords(spark, sf_dir), "+proj=healpix +ellps=GRS80")
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("token_stats", f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+  len(ws) AS ws_tokens,
+  (len(regexp_extract_all(text,
+       '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+| +'))
+   - len(regexp_extract_all(text, ' +'))) AS bpe_tokens
+FROM t ORDER BY doc_id
+""")
+def q_token_stats(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and BPE-ish
+    pre-tokens (GPT-2-style split regex reduced to the subset both
+    regex engines share) — the per-document token budget estimator."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     TS.token_count(F.col("text")).alias("ws_tokens"),
+                     TS.bpe_token_count(F.col("text")).alias("bpe_tokens"))
+             .orderBy("doc_id"))
+
+
+_RH = ("list_reduce(list_prepend(0::BIGINT, list_transform("
+       "string_split(text, ' '), t -> ('0x'||substr(md5(t),1,15))::BIGINT"
+       f" % {TS.RH_MOD})), (acc, h) -> (acc*{TS.RH_BASE} + h)"
+       f" % {TS.RH_MOD})")
+
+
+@register("rolling_fingerprints", f"""
+SELECT doc_id, {_RH} AS rfp FROM documents ORDER BY doc_id
+""")
+def q_rolling_fingerprints(spark, sf_dir):
+    """Order-sensitive Rabin-Karp document fingerprint over the token
+    stream (incrementally updatable — the streaming-scan counterpart
+    of the md5 fingerprint)."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     TS.rolling_fingerprint(F.col("text")).alias("rfp"))
+             .orderBy("doc_id"))
