@@ -266,3 +266,123 @@ def wintri_setup(params: dict) -> float:
             raise ValueError("wintri: |lat_1| should be < 90")
         return float(cosphi1)
     return 2.0 / np.pi
+
+
+# ------------------------------------------------- nsper / tpers
+
+@dataclass(frozen=True)
+class NsperConsts:
+    mode: str
+    sinph0: float
+    cosph0: float
+    p: float
+    rp: float
+    pn1: float
+    h: float
+    cg: float
+    sg: float
+    sw: float
+    cw: float
+    pfact: float
+    tilt: bool
+    phi0: float
+
+
+def nsper_setup(params: dict, ell, phi0: float,
+                tilt: bool = False) -> NsperConsts:
+    """nsper.cpp:139-167 (+tpers tilt/azi, :182-200); es forced 0."""
+    height = float(params.get("h", 0.0))
+    if abs(abs(phi0) - HALFPI) < EPS10:
+        mode = "s_pole" if phi0 < 0 else "n_pole"
+    elif abs(phi0) < EPS10:
+        mode = "equit"
+    else:
+        mode = "obliq"
+    pn1 = height / ell.a
+    if pn1 <= 0 or pn1 > 1e10:
+        raise ValueError("nsper: invalid value for h")
+    p = 1.0 + pn1
+    omega = np.radians(float(params.get("tilt", 0.0)))
+    gamma = np.radians(float(params.get("azi", 0.0)))
+    return NsperConsts(mode=mode, sinph0=float(np.sin(phi0)),
+                       cosph0=float(np.cos(phi0)), p=p, rp=1.0 / p,
+                       pn1=pn1, h=1.0 / pn1, cg=float(np.cos(gamma)),
+                       sg=float(np.sin(gamma)), sw=float(np.sin(omega)),
+                       cw=float(np.cos(omega)),
+                       pfact=(p + 1.0) / pn1, tilt=tilt, phi0=phi0)
+
+
+def nsper_fwd(lam, phi, C: NsperConsts):
+    """nsper.cpp:36-88."""
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    coslam = np.cos(lam)
+    if C.mode == "obliq":
+        yb = C.sinph0 * sinphi + C.cosph0 * cosphi * coslam
+    elif C.mode == "equit":
+        yb = cosphi * coslam
+    elif C.mode == "s_pole":
+        yb = -sinphi
+    else:
+        yb = sinphi
+    bad = yb < C.rp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = C.pn1 / (C.p - yb)
+        x = t * cosphi * np.sin(lam)
+        if C.mode == "obliq":
+            y = t * (C.cosph0 * sinphi - C.sinph0 * cosphi * coslam)
+        elif C.mode == "equit":
+            y = t * sinphi
+        elif C.mode == "n_pole":
+            y = t * cosphi * (-coslam)
+        else:
+            y = t * cosphi * coslam
+        if C.tilt:
+            yt = y * C.cg + x * C.sg
+            ba = 1.0 / (yt * C.sw * C.h + C.cw)
+            x, y = (x * C.cg - y * C.sg) * C.cw * ba, yt * ba
+    x = np.where(bad, np.nan, x)
+    y = np.where(bad, np.nan, y)
+    return x, y
+
+
+def nsper_inv(x, y, C: NsperConsts):
+    """nsper.cpp:90-137."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.tilt:
+            yt = 1.0 / (C.pn1 - y * C.sw)
+            bm = C.pn1 * x * yt
+            bq = C.pn1 * y * C.cw * yt
+            x = bm * C.cg + bq * C.sg
+            y = bq * C.cg - bm * C.sg
+        rh = np.hypot(x, y)
+        center = np.abs(rh) <= EPS10
+        sinz = 1.0 - rh * rh * C.pfact
+        bad = sinz < 0.0
+        sinz = (C.p - np.sqrt(np.clip(sinz, 0, None))) \
+            / (C.pn1 / np.where(rh == 0, 1.0, rh)
+               + np.where(rh == 0, 1.0, rh) / C.pn1)
+        cosz = np.sqrt(np.clip(1.0 - sinz * sinz, 0, None))
+        if C.mode == "obliq":
+            phi = np.arcsin(np.clip(
+                cosz * C.sinph0 + y * sinz * C.cosph0
+                / np.where(rh == 0, 1.0, rh), -1, 1))
+            yy = (cosz - C.sinph0 * np.sin(phi)) * rh
+            xx = x * sinz * C.cosph0
+        elif C.mode == "equit":
+            phi = np.arcsin(np.clip(y * sinz / np.where(rh == 0, 1.0, rh),
+                                    -1, 1))
+            yy = cosz * rh
+            xx = x * sinz
+        elif C.mode == "n_pole":
+            phi = np.arcsin(np.clip(cosz, -1, 1))
+            yy = -y
+            xx = x
+        else:
+            phi = -np.arcsin(np.clip(cosz, -1, 1))
+            yy = y
+            xx = x
+        lam = np.arctan2(xx, yy)
+    phi = np.where(center, C.phi0, np.where(bad, np.nan, phi))
+    lam = np.where(center, 0.0, np.where(bad, np.nan, lam))
+    return lam, phi

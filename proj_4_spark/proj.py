@@ -733,6 +733,15 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_nsper(op, params, ell, k0, phi0):
+    from .kernels import azimuthal as A
+
+    C = A.nsper_setup(params, ell, phi0, tilt=op.proj_id == "tpers")
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*A.nsper_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*A.nsper_inv(x, y, C), z)
+
+
 def _mk_healpix(op, params, ell, k0, phi0):
     from .kernels import healpix as k_hp
     from .kernels.ellipsoid import Ellipsoid as _E
@@ -1010,6 +1019,8 @@ def _misc_registry():
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({
+        "nsper": _mk_nsper,
+        "tpers": _mk_nsper,
         "healpix": _mk_healpix,
         "rhealpix": _mk_healpix,
         "qsc": _mk_qsc,

@@ -59,3 +59,69 @@ def test_roundtrip(ps):
     assert ok.mean() > 0.95
     assert np.nanmax(np.abs(lon2[ok] - lon[ok])) < 1e-6
     assert np.nanmax(np.abs(lat2[ok] - lat[ok])) < 1e-6
+
+
+# --- nsper / tpers (general perspective) ------------------------------
+
+def test_nsper_gie_golden():
+    """builtins.gie:4775-4808."""
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring("+proj=nsper +a=6400000 +h=1000000")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
+                                  np.array([1.0, -1.0]))
+    assert abs(x[0] - 222239.816114100) < 1e-4
+    assert abs(y[0] - 111153.763991925) < 1e-4
+    assert abs(x[1] + 222239.816114100) < 1e-4
+    assert abs(y[1] + 111153.763991925) < 1e-4
+    trp = compile_projstring("+proj=nsper +R=1 +h=3 +lat_0=90")
+    x, y, _, _ = trp.transform_deg(np.array([45.0]), np.array([45.0]))
+    assert abs(x[0] - 0.4555) < 1e-4 and abs(y[0] + 0.4555) < 1e-4
+
+
+def test_tpers_gie_golden():
+    """builtins.gie:7425-7435."""
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring("+proj=tpers +a=6400000 +h=1000000 +azi=20")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
+                                  np.array([1.0, -1.0]))
+    assert abs(x[0] - 170820.288955531) < 1e-4
+    assert abs(y[0] - 180460.865555805) < 1e-4
+    assert abs(x[1] + 246853.941538942) < 1e-4
+    assert abs(y[1] - 28439.878035775) < 1e-4
+
+
+def test_nsper_tpers_roundtrip():
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    for pstr, lons, lats in [
+        ("+proj=nsper +R=6371000 +h=35785831 +lat_0=40 +lon_0=-100",
+         (-150, -50), (-10, 80)),  # geostationary view
+        ("+proj=tpers +a=6400000 +h=5500000 +lat_0=40 +azi=20 +tilt=30",
+         (-20, 20), (20, 60)),
+    ]:
+        rng = np.random.RandomState(29)
+        lon = rng.uniform(*lons, 400)
+        lat = rng.uniform(*lats, 400)
+        tr = compile_projstring(pstr)
+        x, y, _, _ = tr.transform_deg(lon, lat)
+        lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+        assert np.nanmax(np.abs(lo - lon)) < 1e-8
+        assert np.nanmax(np.abs(la - lat)) < 1e-8
+
+
+def test_nsper_behind_horizon_nan():
+    import numpy as np
+
+    from proj_4_spark.proj import compile_projstring
+
+    tr = compile_projstring("+proj=nsper +a=6400000 +h=1000000")
+    x, y, _, _ = tr.transform_deg(np.array([120.0]), np.array([0.0]))
+    assert np.isnan(x[0]) and np.isnan(y[0])
