@@ -88,12 +88,14 @@ def test_tpers_gie_golden():
     from proj_4_spark.proj import compile_projstring
 
     tr = compile_projstring("+proj=tpers +a=6400000 +h=1000000 +azi=20")
-    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
-                                  np.array([1.0, -1.0]))
-    assert abs(x[0] - 170820.288955531) < 1e-4
-    assert abs(y[0] - 180460.865555805) < 1e-4
-    assert abs(x[1] + 246853.941538942) < 1e-4
-    assert abs(y[1] - 28439.878035775) < 1e-4
+    x, y, _, _ = tr.transform_deg(np.array([2.0, 2.0, -2.0, -2.0]),
+                                  np.array([1.0, -1.0, 1.0, -1.0]))
+    exp = [(170820.288955531, 180460.865555805),
+           (246853.941538942, -28439.878035775),
+           (-246853.941538942, 28439.878035775),
+           (-170820.288955531, -180460.865555805)]
+    for i, (ex, ey) in enumerate(exp):
+        assert abs(x[i] - ex) < 1e-4 and abs(y[i] - ey) < 1e-4
 
 
 def test_nsper_tpers_roundtrip():
