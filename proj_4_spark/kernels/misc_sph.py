@@ -1,0 +1,589 @@
+"""Long-tail spherical projections + the simple-conics family.
+
+Vectorized NumPy re-derivations, one reference file each (all under
+/root/reference/src/projections/): cc, tcc, times, patterson,
+natearth2, comill, collg, crast, fahey, denoy, loxim, nell, nell_h,
+wink1, wink2, urm5, wag7, lask, gins8, august, nicol, larr, fouc_s,
+boggs, hatano, bacon/apian/ortel (bacon.cpp), and sconics.cpp
+(euler, murd1-3, pconic, tissot, vitk1).
+
+All operate (lam, phi) radians -> (x, y) units of a; es forced 0 by
+the registration (matching each reference setup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .common import FORTPI, HALFPI
+
+EPS10 = 1e-10
+
+
+def _newton_theta(phi, k, max_iter=10, tol=1e-7):
+    """theta + sin(theta) = k solve (shared by nell/wink2/boggs...)."""
+    theta = phi.copy()
+    for _ in range(max_iter):
+        V = (theta + np.sin(theta) - k) / (1.0 + np.cos(theta))
+        theta = theta - V
+        if np.all(np.abs(V) < tol):
+            break
+    return theta
+
+
+# --- cylindricals / pseudocylindricals ---------------------------------
+
+def cc_fwd(lam, phi):
+    """cc.cpp: central cylindrical."""
+    bad = np.abs(np.abs(phi) - HALFPI) <= EPS10
+    with np.errstate(invalid="ignore"):
+        y = np.tan(phi)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, y)
+
+
+def cc_inv(x, y):
+    return x, np.arctan(y)
+
+
+def tcc_fwd(lam, phi):
+    """tcc.cpp: transverse central cylindrical (no inverse in ref)."""
+    b = np.cos(phi) * np.sin(lam)
+    bt = 1.0 - b * b
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = b / np.sqrt(bt)
+        y = np.arctan2(np.tan(phi), np.cos(lam))
+    bad = bt < EPS10
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def times_fwd(lam, phi):
+    """times.cpp (Times Atlas)."""
+    T = np.tan(phi / 2.0)
+    S = np.sin(FORTPI * T)
+    return lam * (0.74482 - 0.34588 * S * S), 1.70711 * T
+
+
+def times_inv(x, y):
+    T = y / 1.70711
+    S = np.sin(FORTPI * T)
+    return x / (0.74482 - 0.34588 * S * S), 2.0 * np.arctan(T)
+
+
+_PATT_K = (1.0148, 0.23185, -0.14499, 0.02406)
+
+
+def patterson_fwd(lam, phi):
+    """patterson.cpp polynomial."""
+    K1, K2, K3, K4 = _PATT_K
+    p2 = phi * phi
+    return lam, phi * (K1 + p2 * p2 * (K2 + p2 * (K3 + K4 * p2)))
+
+
+def patterson_inv(x, y, max_iter=100, tol=1e-11):
+    K1, K2, K3, K4 = _PATT_K
+    y = np.clip(y, -1.790857183, 1.790857183)
+    yc = y.copy()
+    for _ in range(max_iter):
+        y2 = yc * yc
+        f = yc * (K1 + y2 * y2 * (K2 + y2 * (K3 + K4 * y2))) - y
+        fder = K1 + y2 * y2 * (5.0 * K2 + y2 * (7.0 * K3 + 9.0 * K4 * y2))
+        yc = yc - f / fder
+        if np.all(np.abs(f / fder) < tol):
+            break
+    return x, yc
+
+
+_NE2_A = (0.84719, -0.13063, -0.04515, 0.05494, -0.02326, 0.00331)
+_NE2_B = (1.01183, -0.02625, 0.01926, -0.00396)
+
+
+def natearth2_fwd(lam, phi):
+    """natearth2.cpp polynomial."""
+    A0, A1, A2, A3, A4, A5 = _NE2_A
+    B0, B1, B2, B3 = _NE2_B
+    p2 = phi * phi
+    p4 = p2 * p2
+    p6 = p2 * p4
+    x = lam * (A0 + A1 * p2 + p6 * p6 * (A2 + A3 * p2 + A4 * p4 + A5 * p6))
+    y = phi * (B0 + p4 * p4 * (B1 + B2 * p2 + B3 * p4))
+    return x, y
+
+
+def natearth2_inv(x, y, max_iter=100, tol=1e-11):
+    A0, A1, A2, A3, A4, A5 = _NE2_A
+    B0, B1, B2, B3 = _NE2_B
+    y = np.clip(y, -0.84719 * 0.535117535153096 * np.pi,
+                0.84719 * 0.535117535153096 * np.pi)
+    yc = y.copy()
+    for _ in range(max_iter):
+        y2 = yc * yc
+        y4 = y2 * y2
+        f = yc * (B0 + y4 * y4 * (B1 + B2 * y2 + B3 * y4)) - y
+        fder = B0 + y4 * y4 * (9.0 * B1 + 11.0 * B2 * y2 + 13.0 * B3 * y4)
+        yc = yc - f / fder
+        if np.all(np.abs(f / fder) < tol):
+            break
+    y2 = yc * yc
+    y4 = y2 * y2
+    y6 = y2 * y4
+    lam = x / (A0 + A1 * y2 + y6 * y6 * (A2 + A3 * y2 + A4 * y4 + A5 * y6))
+    return lam, yc
+
+
+_COMILL_K = (0.9902, 0.1604, -0.03054)
+
+
+def comill_fwd(lam, phi):
+    """comill.cpp (Compact Miller)."""
+    K1, K2, K3 = _COMILL_K
+    p2 = phi * phi
+    return lam, phi * (K1 + p2 * (K2 + K3 * p2))
+
+
+def comill_inv(x, y, max_iter=100, tol=1e-11):
+    K1, K2, K3 = _COMILL_K
+    y = np.clip(y, -0.6000207669862655 * np.pi, 0.6000207669862655 * np.pi)
+    yc = y.copy()
+    for _ in range(max_iter):
+        y2 = yc * yc
+        f = yc * (K1 + y2 * (K2 + K3 * y2)) - y
+        fder = K1 + y2 * (3.0 * K2 + 5.0 * K3 * y2)
+        yc = yc - f / fder
+        if np.all(np.abs(f / fder) < tol):
+            break
+    return x, yc
+
+
+def collg_fwd(lam, phi):
+    """collg.cpp (Collignon): FXC λ√(1−sinφ), FYC(1−√(1−sinφ))."""
+    FXC = 1.12837916709551257390
+    FYC = 1.77245385090551602729
+    s = np.sqrt(np.clip(1.0 - np.sin(phi), 0.0, None))
+    return FXC * lam * s, FYC * (1.0 - s)
+
+
+def collg_inv(x, y):
+    FXC = 1.12837916709551257390
+    FYC = 1.77245385090551602729
+    s = y / FYC - 1.0
+    p = 1.0 - s * s
+    phi = np.arcsin(np.clip(p, -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ss = np.sqrt(np.clip(1.0 - np.sin(phi), 0.0, None))
+        lam = np.where(ss == 0.0, 0.0, x / (FXC * ss))
+    return lam, phi
+
+
+def crast_fwd(lam, phi):
+    """crast.cpp (Craster parabolic)."""
+    XM = 0.97720502380583984317
+    YM = 3.06998012383946546542
+    p3 = phi / 3.0
+    return XM * lam * (2.0 * np.cos(p3 + p3) - 1.0), YM * np.sin(p3)
+
+
+def crast_inv(x, y):
+    RXM = 1.02332670794648848847
+    RYM = 0.32573500793527994772
+    phi = 3.0 * np.arcsin(np.clip(y * RYM, -1.0, 1.0))
+    lam = x * RXM / (2.0 * np.cos((phi + phi) / 3.0) - 1.0)
+    return lam, phi
+
+
+def fahey_fwd(lam, phi):
+    """fahey.cpp."""
+    t = np.tan(0.5 * phi)
+    y = 1.819152 * t
+    x = 0.819152 * lam * np.sqrt(np.clip(1.0 - t * t, 0.0, None))
+    return x, y
+
+
+def fahey_inv(x, y):
+    t = y / 1.819152
+    phi = 2.0 * np.arctan(t)
+    d = 1.0 - t * t
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.where(np.abs(d) < 1e-6, 0.0,
+                       x / (0.819152 * np.sqrt(np.clip(d, 0, None))))
+    return lam, phi
+
+
+def denoy_fwd(lam, phi):
+    """denoy.cpp (fwd only in the reference)."""
+    C0, C1, C3 = 0.95, -0.08333333333333333333, 0.00166666666666666666
+    D1, D5 = 0.9, 0.03
+    al = np.abs(lam)
+    x = lam * np.cos((C0 + al * (C1 + al * al * C3))
+                     * (phi * (D1 + D5 * phi * phi * phi * phi)))
+    return x, phi
+
+
+def loxim_setup(params: dict) -> tuple:
+    """loxim.cpp: (phi1, cosphi1, tanphi1)."""
+    phi1 = float(params.get("lat_1", 0.0)) * np.pi / 180.0
+    cosphi1 = np.cos(phi1)
+    if cosphi1 < EPS10:
+        raise ValueError("loxim: |lat_1| should be < 90")
+    return phi1, float(cosphi1), float(np.tan(FORTPI + 0.5 * phi1))
+
+
+def loxim_fwd(lam, phi, phi1, cosphi1, tanphi1):
+    """loxim.cpp (loximuthal)."""
+    dy = phi - phi1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        a = FORTPI + 0.5 * phi
+        deg = (np.abs(a) < EPS10) | (np.abs(np.abs(a) - HALFPI) < EPS10)
+        x = np.where(deg, 0.0,
+                     lam * dy / np.log(np.tan(a) / tanphi1))
+    x = np.where(np.abs(dy) < EPS10, lam * cosphi1, x)
+    return x, dy
+
+
+def loxim_inv(x, y, phi1, cosphi1, tanphi1):
+    phi = y + phi1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        a = FORTPI + 0.5 * phi
+        deg = (np.abs(a) < EPS10) | (np.abs(np.abs(a) - HALFPI) < EPS10)
+        lam = np.where(deg, 0.0, x * np.log(np.tan(a) / tanphi1) / y)
+    lam = np.where(np.abs(y) < EPS10, x / cosphi1, lam)
+    return lam, phi
+
+
+def nell_fwd(lam, phi):
+    """nell.cpp: seeded Newton for theta + sin theta = 2 sin phi."""
+    k = 2.0 * np.sin(phi)
+    p2 = phi * phi
+    seed = phi * (1.00371 + p2 * (-0.0935382 + p2 * -0.011412))
+    theta = _newton_theta(seed, k)
+    return 0.5 * lam * (1.0 + np.cos(theta)), theta
+
+
+def nell_inv(x, y):
+    lam = 2.0 * x / (1.0 + np.cos(y))
+    phi = np.arcsin(np.clip(0.5 * (y + np.sin(y)), -1.0, 1.0))
+    return lam, phi
+
+
+def nell_h_fwd(lam, phi):
+    """nell_h.cpp."""
+    return 0.5 * lam * (1.0 + np.cos(phi)), 2.0 * (phi - np.tan(0.5 * phi))
+
+
+def nell_h_inv(x, y, max_iter=9, tol=1e-7):
+    p = 0.5 * y
+    phi = np.zeros_like(y)
+    for _ in range(max_iter):
+        c = np.cos(0.5 * phi)
+        V = (phi - np.tan(phi / 2.0) - p) / (1.0 - 0.5 / (c * c))
+        phi = phi - V
+        if np.all(np.abs(V) < tol):
+            break
+    pole = np.abs(p) >= HALFPI - 1e-9
+    phi = np.where(pole, np.sign(y) * HALFPI, phi)
+    lam = np.where(pole, 0.0, 2.0 * x / (1.0 + np.cos(phi)))
+    return lam, phi
+
+
+def wink1_fwd(lam, phi, cosphi1):
+    """wink1.cpp (+lat_ts)."""
+    return 0.5 * lam * (cosphi1 + np.cos(phi)), phi
+
+
+def wink1_inv(x, y, cosphi1):
+    return 2.0 * x / (cosphi1 + np.cos(y)), y
+
+
+def wink2_fwd(lam, phi, cosphi1):
+    """wink2.cpp (+lat_1, fwd only in the reference)."""
+    ybase = phi * 2.0 / np.pi
+    k = np.pi * np.sin(phi)
+    theta = _newton_theta(phi * 1.8, k)
+    theta = theta * 0.5
+    x = 0.5 * lam * (np.cos(theta) + cosphi1)
+    y = FORTPI * (np.sin(theta) + ybase)
+    return x, y
+
+
+def urm5_setup(params: dict) -> tuple:
+    """urm5.cpp: (n, m, rmn, q3)."""
+    if "n" not in params:
+        raise ValueError("urm5: missing parameter n")
+    n = float(params["n"])
+    if not (0.0 < n <= 1.0):
+        raise ValueError("urm5: n should be in ]0,1]")
+    q3 = float(params.get("q", 0.0)) / 3.0
+    alpha = np.radians(float(params.get("alpha", 0.0)))
+    t = n * np.sin(alpha)
+    m = np.cos(alpha) / np.sqrt(1.0 - t * t)
+    return n, float(m), float(1.0 / (m * n)), q3
+
+
+def urm5_fwd(lam, phi, n, m, rmn, q3):
+    p = np.arcsin(np.clip(n * np.sin(phi), -1.0, 1.0))
+    t = p * p
+    return m * lam * np.cos(p), p * (1.0 + t * q3) * rmn
+
+
+def wag7_fwd(lam, phi):
+    """wag7.cpp (fwd only)."""
+    s = 0.90630778703664996 * np.sin(phi)
+    theta = np.arcsin(np.clip(s, -1, 1))
+    ct = np.cos(theta)
+    lam3 = lam / 3.0
+    D = 1.0 / np.sqrt(0.5 * (1.0 + ct * np.cos(lam3)))
+    return 2.66723 * ct * np.sin(lam3) * D, 1.24104 * s * D
+
+
+def lask_fwd(lam, phi):
+    """lask.cpp polynomial (fwd only)."""
+    a10, a12, a32, a14 = 0.975534, -0.119161, -0.0143059, -0.0547009
+    b01, b21, b03 = 1.00384, 0.0802894, 0.0998909
+    b41, b23, b05 = 0.000199025, -0.0285500, -0.0491032
+    l2 = lam * lam
+    p2 = phi * phi
+    x = lam * (a10 + p2 * (a12 + l2 * a32 + p2 * a14))
+    y = phi * (b01 + l2 * (b21 + p2 * b23 + l2 * b41) + p2 * (b03 + p2 * b05))
+    return x, y
+
+
+def gins8_fwd(lam, phi):
+    """gins8.cpp (fwd only)."""
+    Cl, Cp, C12 = 0.000952426, 0.162388, 0.08333333333333333
+    t = phi * phi
+    y = phi * (1.0 + t * C12)
+    x = lam * (1.0 - Cp * t)
+    t = lam * lam
+    x = x * (0.87 - Cl * t * t)
+    return x, y
+
+
+def august_fwd(lam, phi):
+    """august.cpp (fwd only)."""
+    M = 1.333333333333333
+    t = np.tan(0.5 * phi)
+    c1 = np.sqrt(np.clip(1.0 - t * t, 0.0, None))
+    hl = lam * 0.5
+    c = 1.0 + c1 * np.cos(hl)
+    x1 = np.sin(hl) * c1 / c
+    y1 = t / c
+    x12 = x1 * x1
+    y12 = y1 * y1
+    return M * x1 * (3.0 + x12 - 3.0 * y12), M * y1 * (3.0 + 3.0 * x12 - y12)
+
+
+def nicol_fwd(lam, phi):
+    """nicol.cpp (Nicolosi globular, fwd only)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tb = HALFPI / lam - lam / HALFPI
+        c = phi / HALFPI
+        sp = np.sin(phi)
+        d = (1.0 - c * c) / (sp - c)
+        r2 = (tb / d) ** 2
+        m = (tb * sp / d - 0.5 * tb) / (1.0 + r2)
+        n = (sp / r2 + 0.5 * d) / (1.0 + 1.0 / r2)
+        xg = np.sqrt(m * m + np.cos(phi) ** 2 / (1.0 + r2))
+        x = HALFPI * (m + np.where(lam < 0.0, -xg, xg))
+        yg = np.sqrt(np.clip(
+            n * n - (sp * sp / r2 + d * sp - 1.0) / (1.0 + 1.0 / r2),
+            0.0, None))
+        y = HALFPI * (n + np.where(phi < 0.0, yg, -yg))
+    x = np.where(np.abs(lam) < EPS10, 0.0, x)
+    y = np.where(np.abs(lam) < EPS10, phi, y)
+    mer = np.abs(phi) < EPS10
+    x = np.where(mer, lam, x)
+    y = np.where(mer, 0.0, y)
+    edge = np.abs(np.abs(lam) - HALFPI) < EPS10
+    x = np.where(edge, lam * np.cos(phi), x)
+    y = np.where(edge, HALFPI * np.sin(phi), y)
+    pole = np.abs(np.abs(phi) - HALFPI) < EPS10
+    x = np.where(pole, 0.0, x)
+    y = np.where(pole, phi, y)
+    return x, y
+
+
+def larr_fwd(lam, phi):
+    """larr.cpp (Larrivee, fwd only)."""
+    SIXTH = 0.16666666666666666
+    x = 0.5 * lam * (1.0 + np.sqrt(np.cos(phi)))
+    y = phi / (np.cos(0.5 * phi) * np.cos(SIXTH * lam))
+    return x, y
+
+
+def fouc_s_setup(params: dict) -> tuple:
+    n = float(params.get("n", 0.0))
+    if not (0.0 <= n <= 1.0):
+        raise ValueError("fouc_s: n should be in [0,1]")
+    return n, 1.0 - n
+
+
+def fouc_s_fwd(lam, phi, n, n1):
+    """fouc_s.cpp (Foucaut sinusoidal)."""
+    t = np.cos(phi)
+    return lam * t / (n + n1 * t), n * phi + n1 * np.sin(phi)
+
+
+def fouc_s_inv(x, y, n, n1, max_iter=10, tol=1e-7):
+    if n != 0.0:
+        phi = y.copy()
+        for _ in range(max_iter):
+            V = (n * phi + n1 * np.sin(phi) - y) / (n + n1 * np.cos(phi))
+            phi = phi - V
+            if np.all(np.abs(V) < tol):
+                break
+    else:
+        phi = np.arcsin(np.clip(y, -1.0, 1.0))
+    t = np.cos(phi)
+    return x * (n + n1 * t) / t, phi
+
+
+def boggs_fwd(lam, phi):
+    """boggs.cpp (eumorphic, fwd only)."""
+    FXC, FXC2, FYC = 2.00276, 1.11072, 0.49931
+    theta = _newton_theta(phi, np.sin(phi) * np.pi, max_iter=20, tol=1e-7)
+    th = theta * 0.5
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = FXC * lam / (1.0 / np.cos(phi) + FXC2 / np.cos(th))
+    x = np.where(np.abs(np.abs(phi) - HALFPI) < 1e-7, 0.0, x)
+    y = FYC * (phi + np.sqrt(2.0) * np.sin(th))
+    return x, y
+
+
+def hatano_fwd(lam, phi):
+    """hatano.cpp (asymmetrical equal area)."""
+    CN, CS = 2.67595, 2.43763
+    FYCN, FYCS, FXC = 1.75859, 1.93052, 0.85
+    c = np.sin(phi) * np.where(phi < 0.0, CS, CN)
+    theta = _newton_theta(phi, c, max_iter=20, tol=1e-7)
+    th = theta * 0.5
+    x = FXC * lam * np.cos(th)
+    y = np.sin(th) * np.where(th < 0.0, FYCS, FYCN)
+    return x, y
+
+
+def hatano_inv(x, y):
+    RYCN, RYCS = 0.56863737426006061674, 0.51799515156538134803
+    RCN, RCS = 0.37369906014686373063, 0.41023453108141924738
+    RXC = 1.17647058823529411764
+    th = y * np.where(y < 0.0, RYCS, RYCN)
+    th = np.arcsin(np.clip(th, -1.0, 1.0))
+    lam = RXC * x / np.cos(th)
+    th = th + th
+    phi = (th + np.sin(th)) * np.where(y < 0.0, RCS, RCN)
+    phi = np.arcsin(np.clip(phi, -1.0, 1.0))
+    return lam, phi
+
+
+def bacon_fwd(lam, phi, bacn: bool, ortl: bool):
+    """bacon.cpp (bacon/apian/ortel globulars, fwd only)."""
+    HLFPI2 = 2.46740110027233965467
+    y = np.where(bacn, HALFPI * np.sin(phi), phi)
+    ax = np.abs(lam)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = 0.5 * (HLFPI2 / ax + ax)
+        xg = ax - f + np.sqrt(np.clip(f * f - y * y, 0.0, None))
+        if ortl:
+            xo = np.sqrt(np.clip(HLFPI2 - phi * phi + EPS10, 0, None)) \
+                + ax - HALFPI
+            xg = np.where(ax >= HALFPI, xo, xg)
+    x = np.where(ax >= EPS10, np.where(lam < 0.0, -xg, xg), 0.0)
+    return x, y
+
+
+# --- simple conics (sconics.cpp) ---------------------------------------
+
+@dataclass(frozen=True)
+class SconicsConsts:
+    type: str
+    n: float
+    rho_c: float
+    rho_0: float
+    c1: float
+    c2: float
+    sig: float
+
+
+def sconics_setup(params: dict, phi0: float, typ: str) -> SconicsConsts:
+    """sconics.cpp:157-221."""
+    if "lat_1" not in params or "lat_2" not in params:
+        raise ValueError(f"{typ}: lat_1 and lat_2 should be specified")
+    p1 = np.radians(float(params["lat_1"]))
+    p2 = np.radians(float(params["lat_2"]))
+    sig = 0.5 * (p2 + p1)
+    del_ = 0.5 * (p2 - p1)
+    if abs(del_) < EPS10 or abs(sig) < EPS10:
+        raise ValueError(f"{typ}: |lat_1 - lat_2| and |lat_1 + lat_2| "
+                         "should be > 0")
+    c1 = c2 = 0.0
+    if typ == "tissot":
+        n = np.sin(sig)
+        cs = np.cos(del_)
+        rho_c = n / cs + cs / n
+        rho_0 = np.sqrt((rho_c - 2.0 * np.sin(phi0)) / n)
+    elif typ == "murd1":
+        rho_c = np.sin(del_) / (del_ * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+        n = np.sin(sig)
+    elif typ == "murd2":
+        cs = np.sqrt(np.cos(del_))
+        rho_c = cs / np.tan(sig)
+        rho_0 = rho_c + np.tan(sig - phi0)
+        n = np.sin(sig) * cs
+    elif typ == "murd3":
+        rho_c = del_ / (np.tan(sig) * np.tan(del_)) + sig
+        rho_0 = rho_c - phi0
+        n = np.sin(sig) * np.sin(del_) * np.tan(del_) / (del_ * del_)
+    elif typ == "euler":
+        n = np.sin(sig) * np.sin(del_) / del_
+        hd = del_ * 0.5
+        rho_c = hd / (np.tan(hd) * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+    elif typ == "pconic":
+        n = np.sin(sig)
+        c2 = np.cos(del_)
+        c1 = 1.0 / np.tan(sig)
+        d0 = phi0 - sig
+        if abs(d0) - EPS10 >= HALFPI:
+            raise ValueError("pconic: |lat_0 - 0.5*(lat_1+lat_2)| "
+                             "should be < 90")
+        rho_c = 0.0
+        rho_0 = c2 * (c1 - np.tan(d0))
+    else:  # vitk1
+        cs = np.tan(del_)
+        n = cs * np.sin(sig) / del_
+        rho_c = del_ / (cs * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+    return SconicsConsts(type=typ, n=float(n), rho_c=float(rho_c),
+                         rho_0=float(rho_0), c1=float(c1), c2=float(c2),
+                         sig=float(sig))
+
+
+def sconics_fwd(lam, phi, C: SconicsConsts):
+    """sconics.cpp:69-87."""
+    if C.type == "murd2":
+        rho = C.rho_c + np.tan(C.sig - phi)
+    elif C.type == "pconic":
+        rho = C.c2 * (C.c1 - np.tan(phi - C.sig))
+    else:
+        rho = C.rho_c - phi
+    ln = lam * C.n
+    return rho * np.sin(ln), C.rho_0 - rho * np.cos(ln)
+
+
+def sconics_inv(x, y, C: SconicsConsts):
+    """sconics.cpp:89-118."""
+    yy = C.rho_0 - y
+    rho = np.hypot(x, yy)
+    if C.n < 0.0:
+        rho = -rho
+        x = -x
+        yy = -yy
+    lam = np.arctan2(x, yy) / C.n
+    if C.type == "pconic":
+        phi = np.arctan(C.c1 - rho / C.c2) + C.sig
+    elif C.type == "murd2":
+        phi = C.sig - np.arctan(rho - C.rho_c)
+    else:
+        phi = C.rho_c - rho
+    return lam, phi

@@ -733,6 +733,85 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_misc_sph(op, params, ell, k0, phi0):
+    """Long-tail sphericals + simple conics (kernels/misc_sph.py).
+    All force es=0 like their reference setups; ops the reference
+    leaves without an inverse fall through to the generic Newton."""
+    from .kernels import misc_sph as MS
+
+    pid = op.proj_id
+    simple = {
+        "cc": (MS.cc_fwd, MS.cc_inv),
+        "tcc": (MS.tcc_fwd, None),
+        "times": (MS.times_fwd, MS.times_inv),
+        "patterson": (MS.patterson_fwd, MS.patterson_inv),
+        "natearth2": (MS.natearth2_fwd, MS.natearth2_inv),
+        "comill": (MS.comill_fwd, MS.comill_inv),
+        "collg": (MS.collg_fwd, MS.collg_inv),
+        "crast": (MS.crast_fwd, MS.crast_inv),
+        "fahey": (MS.fahey_fwd, MS.fahey_inv),
+        "denoy": (MS.denoy_fwd, None),
+        "nell": (MS.nell_fwd, MS.nell_inv),
+        "nell_h": (MS.nell_h_fwd, MS.nell_h_inv),
+        "wag7": (MS.wag7_fwd, None),
+        "lask": (MS.lask_fwd, None),
+        "gins8": (MS.gins8_fwd, None),
+        "august": (MS.august_fwd, None),
+        "nicol": (MS.nicol_fwd, None),
+        "larr": (MS.larr_fwd, None),
+        "boggs": (MS.boggs_fwd, None),
+        "hatano": (MS.hatano_fwd, MS.hatano_inv),
+    }
+    if pid in simple:
+        fwd, inv = simple[pid]
+        op.fwd_k = lambda x, y, z, t: (*fwd(x, y), z)
+        op.inv_k = (lambda x, y, z, t: (*inv(x, y), z)) if inv else None
+    elif pid == "loxim":
+        phi1, cosphi1, tanphi1 = MS.loxim_setup(params)
+        op.fwd_k = lambda x, y, z, t: (
+            *MS.loxim_fwd(x, y, phi1, cosphi1, tanphi1), z)
+        op.inv_k = lambda x, y, z, t: (
+            *MS.loxim_inv(x, y, phi1, cosphi1, tanphi1), z)
+    elif pid in ("wink1", "wink2"):
+        key = "lat_ts" if pid == "wink1" else "lat_1"
+        cosphi1 = float(np.cos(np.radians(float(params.get(key, 0.0)))))
+        if pid == "wink1":
+            op.fwd_k = lambda x, y, z, t: (*MS.wink1_fwd(x, y, cosphi1), z)
+            op.inv_k = lambda x, y, z, t: (*MS.wink1_inv(x, y, cosphi1), z)
+        else:
+            op.fwd_k = lambda x, y, z, t: (*MS.wink2_fwd(x, y, cosphi1), z)
+            op.inv_k = None
+    elif pid == "urm5":
+        n, m, rmn, q3 = MS.urm5_setup(params)
+        op.fwd_k = lambda x, y, z, t: (*MS.urm5_fwd(x, y, n, m, rmn, q3), z)
+        op.inv_k = None
+    elif pid == "fouc_s":
+        n, n1 = MS.fouc_s_setup(params)
+        op.fwd_k = lambda x, y, z, t: (*MS.fouc_s_fwd(x, y, n, n1), z)
+        op.inv_k = lambda x, y, z, t: (*MS.fouc_s_inv(x, y, n, n1), z)
+    elif pid in ("bacon", "apian", "ortel"):
+        bacn = pid == "bacon"
+        ortl = pid == "ortel"
+        op.fwd_k = lambda x, y, z, t: (*MS.bacon_fwd(x, y, bacn, ortl), z)
+        op.inv_k = None
+    elif pid in ("euler", "murd1", "murd2", "murd3", "pconic", "tissot",
+                 "vitk1"):
+        C = MS.sconics_setup(params, phi0, pid)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*MS.sconics_fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*MS.sconics_inv(x, y, C), z)
+    else:  # pragma: no cover
+        raise NotImplementedError(pid)
+
+
+_MISC_SPH_IDS = ("cc", "tcc", "times", "patterson", "natearth2", "comill",
+                 "collg", "crast", "fahey", "denoy", "loxim", "nell",
+                 "nell_h", "wink1", "wink2", "urm5", "wag7", "lask",
+                 "gins8", "august", "nicol", "larr", "fouc_s", "boggs",
+                 "hatano", "bacon", "apian", "ortel", "euler", "murd1",
+                 "murd2", "murd3", "pconic", "tissot", "vitk1")
+
+
 def _mk_nsper(op, params, ell, k0, phi0):
     from .kernels import azimuthal as A
 
@@ -1018,6 +1097,7 @@ def _misc_registry():
     from .kernels import misc_proj as M
 
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
+    reg.update({pid: _mk_misc_sph for pid in _MISC_SPH_IDS})
     reg.update({
         "nsper": _mk_nsper,
         "tpers": _mk_nsper,
