@@ -587,3 +587,469 @@ def sconics_inv(x, y, C: SconicsConsts):
     else:
         phi = C.rho_c - rho
     return lam, phi
+
+
+# --- batch 2: geos, goode, tcea/ocea, tobmerc, lagrng, vandg2-4,
+#     tpeqd, airy ------------------------------------------------------
+
+@dataclass(frozen=True)
+class GeosConsts:
+    radius_g: float
+    radius_g_1: float
+    C: float
+    radius_p: float
+    radius_p2: float
+    radius_p_inv2: float
+    flip_axis: bool
+    spherical: bool
+
+
+def geos_setup(params: dict, ell) -> GeosConsts:
+    """geos.cpp setup: h (satellite height), sweep axis."""
+    h = float(params.get("h", 0.0))
+    sweep = str(params.get("sweep", "y"))
+    if sweep not in ("x", "y"):
+        raise ValueError("geos: sweep should be x or y")
+    rg1 = h / ell.a
+    if rg1 <= 0 or rg1 > 1e10:
+        raise ValueError("geos: invalid value for h")
+    rg = 1.0 + rg1
+    C = rg * rg - 1.0
+    if ell.es != 0.0:
+        rp = np.sqrt(1.0 - ell.es)
+        return GeosConsts(radius_g=rg, radius_g_1=rg1, C=C,
+                          radius_p=float(rp), radius_p2=1.0 - ell.es,
+                          radius_p_inv2=1.0 / (1.0 - ell.es),
+                          flip_axis=sweep == "x", spherical=False)
+    return GeosConsts(radius_g=rg, radius_g_1=rg1, C=C, radius_p=1.0,
+                      radius_p2=1.0, radius_p_inv2=1.0,
+                      flip_axis=sweep == "x", spherical=True)
+
+
+def geos_fwd(lam, phi, C: GeosConsts):
+    """geos.cpp s_forward/e_forward with the visibility check."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.spherical:
+            cp = np.cos(phi)
+            Vx = np.cos(lam) * cp
+            Vy = np.sin(lam) * cp
+            Vz = np.sin(phi)
+            vis = (C.radius_g - Vx) * Vx - Vy * Vy - Vz * Vz >= 0.0
+        else:
+            phi_c = np.arctan(C.radius_p2 * np.tan(phi))
+            r = C.radius_p / np.hypot(C.radius_p * np.cos(phi_c),
+                                      np.sin(phi_c))
+            Vx = r * np.cos(lam) * np.cos(phi_c)
+            Vy = r * np.sin(lam) * np.cos(phi_c)
+            Vz = r * np.sin(phi_c)
+            vis = ((C.radius_g - Vx) * Vx - Vy * Vy
+                   - Vz * Vz * C.radius_p_inv2) >= 0.0
+        tmp = C.radius_g - Vx
+        if C.flip_axis:
+            x = C.radius_g_1 * np.arctan(Vy / np.hypot(Vz, tmp))
+            y = C.radius_g_1 * np.arctan(Vz / tmp)
+        else:
+            x = C.radius_g_1 * np.arctan(Vy / tmp)
+            y = C.radius_g_1 * np.arctan(Vz / np.hypot(Vy, tmp))
+    return np.where(vis, x, np.nan), np.where(vis, y, np.nan)
+
+
+def geos_inv(x, y, C: GeosConsts):
+    """geos.cpp s_inverse/e_inverse (quadratic ray-ellipsoid hit)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Vx = -1.0
+        if C.flip_axis:
+            Vz = np.tan(y / C.radius_g_1)
+            Vy = np.tan(x / C.radius_g_1) * np.hypot(1.0, Vz)
+        else:
+            Vy = np.tan(x / C.radius_g_1)
+            Vz = np.tan(y / C.radius_g_1) * np.hypot(1.0, Vy)
+        az = Vz / C.radius_p
+        a = Vy * Vy + az * az + Vx * Vx
+        b = 2.0 * C.radius_g * Vx
+        det = b * b - 4.0 * a * C.C
+        ok = det >= 0.0
+        k = (-b - np.sqrt(np.clip(det, 0, None))) / (2.0 * a)
+        Vx2 = C.radius_g + k * Vx
+        Vy2 = Vy * k
+        Vz2 = Vz * k
+        lam = np.arctan2(Vy2, Vx2)
+        phi = np.arctan(Vz2 * np.cos(lam) / Vx2)
+        if not C.spherical:
+            phi = np.arctan(C.radius_p_inv2 * np.tan(phi))
+    return np.where(ok, lam, np.nan), np.where(ok, phi, np.nan)
+
+
+_GOODE_Y_COR = 0.05280
+_GOODE_PHI_LIM = 0.71093078197902358062
+
+
+def goode_fwd(lam, phi, moll_C):
+    """goode.cpp: sinusoidal below 40d44', Mollweide above (shifted)."""
+    from .misc_proj import moll_fwd
+
+    xs = lam * np.cos(phi)
+    ys = phi
+    xm, ym = moll_fwd(lam, phi, moll_C)
+    ym = ym - np.where(phi >= 0.0, _GOODE_Y_COR, -_GOODE_Y_COR)
+    use_sinu = np.abs(phi) <= _GOODE_PHI_LIM
+    return np.where(use_sinu, xs, xm), np.where(use_sinu, ys, ym)
+
+
+def goode_inv(x, y, moll_C):
+    from .misc_proj import moll_inv
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ls = x / np.cos(y)
+        ps = y
+        ym = y + np.where(y >= 0.0, _GOODE_Y_COR, -_GOODE_Y_COR)
+        lm, pm = moll_inv(x, ym, moll_C)
+    use_sinu = np.abs(y) <= _GOODE_PHI_LIM
+    return np.where(use_sinu, ls, lm), np.where(use_sinu, ps, pm)
+
+
+def tcea_fwd(lam, phi, k0: float, phi0: float):
+    """tcea.cpp."""
+    return (np.cos(phi) * np.sin(lam) / k0,
+            k0 * (np.arctan2(np.tan(phi), np.cos(lam)) - phi0))
+
+
+def tcea_inv(x, y, k0: float, phi0: float):
+    yy = y / k0 + phi0
+    xx = x * k0
+    t = np.sqrt(np.clip(1.0 - xx * xx, 0.0, None))
+    phi = np.arcsin(np.clip(t * np.sin(yy), -1.0, 1.0))
+    lam = np.arctan2(xx, t * np.cos(yy))
+    return lam, phi
+
+
+@dataclass(frozen=True)
+class OceaConsts:
+    rok: float
+    rtk: float
+    sinphi: float
+    cosphi: float
+    lam0: float  # derived pole longitude + pi/2; adopted by proj.py
+
+
+def ocea_setup(params: dict, k0: float, phi0: float) -> OceaConsts:
+    """ocea.cpp: oblique pole from 1 point + azimuth or 2 points."""
+    if "alpha" in params:
+        alpha = np.pi + np.radians(float(params["alpha"]))
+        lonz = np.radians(float(params.get("lonc", 0.0)))
+        lam_p = np.arctan2(-np.cos(alpha),
+                           -np.sin(phi0) * np.sin(alpha)) + lonz
+        phi_p = np.arcsin(np.clip(np.cos(phi0) * np.sin(alpha), -1, 1))
+    else:
+        p1 = np.radians(float(params.get("lat_1", 0.0)))
+        p2 = np.radians(float(params.get("lat_2", 0.0)))
+        l1 = np.radians(float(params.get("lon_1", 0.0)))
+        l2 = np.radians(float(params.get("lon_2", 0.0)))
+        lam_p = np.arctan2(
+            np.cos(p1) * np.sin(p2) * np.cos(l1)
+            - np.sin(p1) * np.cos(p2) * np.cos(l2),
+            np.sin(p1) * np.cos(p2) * np.sin(l2)
+            - np.cos(p1) * np.sin(p2) * np.sin(l1))
+        if l1 == -HALFPI:
+            lam_p = -lam_p
+        tan_p1 = np.tan(p1)
+        cosd = np.cos(lam_p - l1)
+        if abs(tan_p1) < EPS10:
+            phi_p = -HALFPI if cosd >= 0.0 else HALFPI
+        else:
+            phi_p = np.arctan(-cosd / tan_p1)
+    return OceaConsts(rok=1.0 / k0, rtk=k0, sinphi=float(np.sin(phi_p)),
+                      cosphi=float(np.cos(phi_p)),
+                      lam0=float(lam_p + HALFPI))
+
+
+def ocea_fwd(lam, phi, C: OceaConsts):
+    """ocea.cpp s_forward."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.sin(lam)
+        t = np.cos(lam)
+        x = np.arctan((np.tan(phi) * C.cosphi + C.sinphi * s) / t)
+        x = np.where(t < 0.0, x + np.pi, x) * C.rtk
+        y = C.rok * (C.sinphi * np.sin(phi)
+                     - C.cosphi * np.cos(phi) * s)
+    return x, y
+
+
+def ocea_inv(x, y, C: OceaConsts):
+    yy = y / C.rok
+    xx = x / C.rtk
+    t = np.sqrt(np.clip(1.0 - yy * yy, 0.0, None))
+    s = np.sin(xx)
+    phi = np.arcsin(np.clip(yy * C.sinphi + t * C.cosphi * s, -1, 1))
+    lam = np.arctan2(t * C.sinphi * s - yy * C.cosphi, t * np.cos(xx))
+    return lam, phi
+
+
+def tobmerc_fwd(lam, phi, k0: float):
+    """tobmerc.cpp."""
+    bad = np.abs(phi) >= HALFPI
+    cp = np.cos(phi)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = k0 * lam * cp * cp
+        y = k0 * np.arcsinh(np.tan(phi))
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def tobmerc_inv(x, y, k0: float):
+    phi = np.arctan(np.sinh(y / k0))
+    cp = np.cos(phi)
+    return x / k0 / (cp * cp), phi
+
+
+def lagrng_setup(params: dict) -> tuple:
+    """lagrng.cpp: (a1, rw, hrw)."""
+    w = float(params.get("W", 2.0))
+    if w <= 0:
+        raise ValueError("lagrng: W should be > 0")
+    phi1 = np.radians(float(params.get("lat_1", 0.0)))
+    s1 = np.sin(phi1)
+    if abs(abs(s1) - 1.0) < EPS10:
+        raise ValueError("lagrng: |lat_1| should be < 90")
+    hrw = 0.5 / w
+    a1 = ((1.0 - s1) / (1.0 + s1)) ** hrw
+    return float(a1), 1.0 / w, hrw
+
+
+def lagrng_fwd(lam, phi, a1, rw, hrw):
+    """lagrng.cpp s_forward."""
+    sp = np.sin(phi)
+    pole = np.abs(np.abs(sp) - 1.0) < EPS10
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = a1 * ((1.0 + sp) / (1.0 - sp)) ** hrw
+        lw = lam * rw
+        c = 0.5 * (v + 1.0 / v) + np.cos(lw)
+        x = 2.0 * np.sin(lw) / c
+        y = (v - 1.0 / v) / c
+    bad = c < EPS10
+    x = np.where(pole, 0.0, np.where(bad, np.nan, x))
+    y = np.where(pole, np.where(phi < 0, -2.0, 2.0),
+                 np.where(bad, np.nan, y))
+    return x, y
+
+
+def vandg2_fwd(lam, phi, vdg3: bool):
+    """vandg2.cpp (van der Grinten II/III, fwd only)."""
+    TOL = 1e-10
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bt = np.abs(2.0 / np.pi * phi)
+        ct = np.sqrt(np.clip(1.0 - bt * bt, 0.0, None))
+        at = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        if vdg3:
+            x1 = bt / (1.0 + ct)
+            x = np.pi * (np.sqrt(at * at + 1.0 - x1 * x1) - at)
+            y = np.pi * x1
+        else:
+            x1 = (ct * np.sqrt(1.0 + at * at) - at * ct * ct) \
+                / (1.0 + at * at * bt * bt)
+            x = np.pi * x1
+            y = np.pi * np.sqrt(np.clip(1.0 - x1 * (x1 + 2.0 * at) + TOL,
+                                        0.0, None))
+        x = np.where(lam < 0.0, -x, x)
+        y = np.where(phi < 0.0, -y, y)
+        mer = np.abs(lam) < TOL
+        x = np.where(mer, 0.0, x)
+        y = np.where(mer, np.pi * np.where(phi < 0, -bt, bt) / (1.0 + ct), y)
+    return x, y
+
+
+def vandg4_fwd(lam, phi):
+    """vandg4.cpp (fwd only)."""
+    TOL = 1e-10
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bt = np.abs(2.0 / np.pi * phi)
+        bt2 = bt * bt
+        ct = 0.5 * (bt * (8.0 - bt * (2.0 + bt2)) - 5.0) / (bt2 * (bt - 1.0))
+        ct2 = ct * ct
+        dt = 2.0 / np.pi * lam
+        dt = dt + 1.0 / dt
+        dt = np.sqrt(np.clip(dt * dt - 4.0, 0.0, None))
+        dt = np.where((np.abs(lam) - HALFPI) < 0.0, -dt, dt)
+        dt2 = dt * dt
+        x1 = (bt + ct) ** 2
+        t = bt + 3.0 * ct
+        ft = x1 * (bt2 + ct2 * dt2 - 1.0) + (1.0 - bt2) * (
+            bt2 * (t * t + 4.0 * ct2) + ct2 * (12.0 * bt * ct + 4.0 * ct2))
+        x1 = (dt * (x1 + ct2 - 1.0)
+              + 2.0 * np.sqrt(np.clip(ft, 0.0, None))) / (4.0 * x1 + dt2)
+        x = HALFPI * x1
+        y = HALFPI * np.sqrt(np.clip(
+            1.0 + dt * np.abs(x1) - x1 * x1, 0.0, None))
+        x = np.where(lam < 0.0, -x, x)
+        y = np.where(phi < 0.0, -y, y)
+    eq = np.abs(phi) < TOL
+    mer = (np.abs(lam) < TOL) | (np.abs(np.abs(phi) - HALFPI) < TOL)
+    x = np.where(eq, lam, np.where(mer, 0.0, x))
+    y = np.where(eq, 0.0, np.where(mer, phi, y))
+    return x, y
+
+
+@dataclass(frozen=True)
+class TpeqdConsts:
+    cp1: float
+    sp1: float
+    cp2: float
+    sp2: float
+    dlam2: float
+    cs: float
+    sc: float
+    ccs: float
+    z02: float
+    hz0: float
+    thz0: float
+    rhshz0: float
+    r2z0: float
+    ca: float
+    sa: float
+    lp: float
+    lamc: float
+    lam0: float  # adopted by proj.py
+
+
+def tpeqd_setup(params: dict) -> TpeqdConsts:
+    """tpeqd.cpp setup (two-point equidistant)."""
+    from .common import adjlon
+
+    p1 = np.radians(float(params.get("lat_1", 0.0)))
+    l1 = np.radians(float(params.get("lon_1", 0.0)))
+    p2 = np.radians(float(params.get("lat_2", 0.0)))
+    l2 = np.radians(float(params.get("lon_2", 0.0)))
+    if p1 == p2 and l1 == l2:
+        raise ValueError("tpeqd: the 2 points should be distinct")
+    lam0 = float(adjlon(np.array([0.5 * (l1 + l2)]))[0])
+    dlam2 = float(adjlon(np.array([l2 - l1]))[0])
+    cp1, cp2 = np.cos(p1), np.cos(p2)
+    sp1, sp2 = np.sin(p1), np.sin(p2)
+    cs = cp1 * sp2
+    sc = sp1 * cp2
+    ccs = cp1 * cp2 * np.sin(dlam2)
+    csm = cs - sc * np.cos(dlam2)
+    z02 = np.arctan2(np.hypot(cp2 * np.sin(dlam2), csm),
+                     sp1 * sp2 + cp1 * cp2 * np.cos(dlam2))
+    if z02 == 0.0:
+        raise ValueError("tpeqd: |lat_1|, |lat_2| should be < 90")
+    hz0 = 0.5 * z02
+    A12 = np.arctan2(cp2 * np.sin(dlam2), csm)
+    pp = np.arcsin(np.clip(cp1 * np.sin(A12), -1, 1))
+    lp = float(adjlon(np.array(
+        [np.arctan2(cp1 * np.cos(A12), sp1) - hz0]))[0])
+    lamc = HALFPI - np.arctan2(np.sin(A12) * sp1, np.cos(A12)) - dlam2 * 0.5
+    return TpeqdConsts(cp1=float(cp1), sp1=float(sp1), cp2=float(cp2),
+                       sp2=float(sp2), dlam2=float(dlam2 * 0.5),
+                       cs=float(cs), sc=float(sc), ccs=float(ccs),
+                       z02=float(z02 * z02), hz0=float(hz0),
+                       thz0=float(np.tan(hz0)),
+                       rhshz0=float(0.5 / np.sin(hz0)),
+                       r2z0=float(0.5 / z02), ca=float(np.cos(pp)),
+                       sa=float(np.sin(pp)), lp=lp, lamc=float(lamc),
+                       lam0=lam0)
+
+
+def tpeqd_fwd(lam, phi, C: TpeqdConsts):
+    """tpeqd.cpp s_forward."""
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    dl1 = lam + C.dlam2
+    dl2 = lam - C.dlam2
+    z1 = np.arccos(np.clip(C.sp1 * sp + C.cp1 * cp * np.cos(dl1), -1, 1))
+    z2 = np.arccos(np.clip(C.sp2 * sp + C.cp2 * cp * np.cos(dl2), -1, 1))
+    z1 = z1 * z1
+    z2 = z2 * z2
+    t = z1 - z2
+    x = C.r2z0 * t
+    t = C.z02 - t
+    y = C.r2z0 * np.sqrt(np.clip(4.0 * C.z02 * z2 - t * t, 0.0, None))
+    neg = (C.ccs * sp - cp * (C.cs * np.sin(dl1)
+                              - C.sc * np.sin(dl2))) < 0.0
+    return x, np.where(neg, -y, y)
+
+
+def tpeqd_inv(x, y, C: TpeqdConsts):
+    """tpeqd.cpp s_inverse."""
+    cz1 = np.cos(np.hypot(y, x + C.hz0))
+    cz2 = np.cos(np.hypot(y, x - C.hz0))
+    s = cz1 + cz2
+    d = cz1 - cz2
+    lam = -np.arctan2(d, s * C.thz0)
+    phi = np.arccos(np.clip(np.hypot(C.thz0 * s, d) * C.rhshz0, -1, 1))
+    phi = np.where(y < 0.0, -phi, phi)
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    lam = lam - C.lp
+    sc = np.cos(lam)
+    phi_out = np.arcsin(np.clip(C.sa * sp + C.ca * cp * sc, -1, 1))
+    lam_out = np.arctan2(cp * np.sin(lam),
+                         C.sa * cp * sc - C.ca * sp) + C.lamc
+    return lam_out, phi_out
+
+
+@dataclass(frozen=True)
+class AiryConsts:
+    mode: str
+    Cb: float
+    sinph0: float
+    cosph0: float
+    p_halfpi: float
+    no_cut: bool
+
+
+def airy_setup(params: dict, phi0: float) -> AiryConsts:
+    """airy.cpp setup."""
+    beta = 0.5 * (HALFPI - np.radians(float(params.get("lat_b", 0.0))))
+    if abs(beta) < EPS10:
+        Cb = -0.5
+    else:
+        Cb = 1.0 / np.tan(beta)
+        Cb = Cb * Cb * np.log(np.cos(beta))
+    if abs(abs(phi0) - HALFPI) < EPS10:
+        mode = "s_pole" if phi0 < 0 else "n_pole"
+        p_halfpi = -HALFPI if phi0 < 0 else HALFPI
+    elif abs(phi0) < EPS10:
+        mode, p_halfpi = "equit", 0.0
+    else:
+        mode, p_halfpi = "obliq", 0.0
+    return AiryConsts(mode=mode, Cb=float(Cb), sinph0=float(np.sin(phi0)),
+                      cosph0=float(np.cos(phi0)), p_halfpi=p_halfpi,
+                      no_cut="no_cut" in params)
+
+
+def airy_fwd(lam, phi, C: AiryConsts):
+    """airy.cpp s_forward (fwd only in the reference)."""
+    sinlam = np.sin(lam)
+    coslam = np.cos(lam)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.mode in ("equit", "obliq"):
+            sinphi = np.sin(phi)
+            cosphi = np.cos(phi)
+            cosz = cosphi * coslam
+            if C.mode == "obliq":
+                cosz = C.sinph0 * sinphi + C.cosph0 * cosz
+            bad = (~C.no_cut) & (cosz < -EPS10)
+            s = 1.0 - cosz
+            t = 0.5 * (1.0 + cosz)
+            Krho = np.where(np.abs(s) > EPS10,
+                            -np.log(t) / s - C.Cb / t, 0.5 - C.Cb)
+            x = Krho * cosphi * sinlam
+            if C.mode == "obliq":
+                y = Krho * (C.cosph0 * sinphi
+                            - C.sinph0 * cosphi * coslam)
+            else:
+                y = Krho * sinphi
+        else:
+            ph = np.abs(C.p_halfpi - phi)
+            bad = (~C.no_cut) & ((ph - EPS10) > HALFPI)
+            ph = ph * 0.5
+            t = np.tan(ph)
+            Krho = -2.0 * (np.log(np.cos(ph)) / t + t * C.Cb)
+            x = Krho * sinlam
+            y = Krho * coslam
+            if C.mode == "n_pole":
+                y = -y
+            small = ph <= EPS10
+            x = np.where(small, 0.0, x)
+            y = np.where(small, 0.0, y)
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)

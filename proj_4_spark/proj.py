@@ -733,6 +733,44 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_geos(op, params, ell, k0, phi0):
+    from .kernels import misc_sph as MS
+
+    C = MS.geos_setup(params, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*MS.geos_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*MS.geos_inv(x, y, C), z)
+
+
+def _mk_goode(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels import misc_sph as MS
+
+    moll_C = M.moll_setup(HALFPI)
+    op.fwd_k = lambda x, y, z, t: (*MS.goode_fwd(x, y, moll_C), z)
+    op.inv_k = lambda x, y, z, t: (*MS.goode_inv(x, y, moll_C), z)
+
+
+def _mk_ocea(op, params, ell, k0, phi0):
+    from .kernels import misc_sph as MS
+
+    C = MS.ocea_setup(params, op.k0, phi0)
+    op.lam0 = C.lam0  # pole-derived (ocea.cpp)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*MS.ocea_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*MS.ocea_inv(x, y, C), z)
+
+
+def _mk_tpeqd(op, params, ell, k0, phi0):
+    from .kernels import misc_sph as MS
+
+    C = MS.tpeqd_setup(params)
+    op.lam0 = C.lam0  # midpoint of the two control points (tpeqd.cpp)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*MS.tpeqd_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*MS.tpeqd_inv(x, y, C), z)
+
+
 def _mk_misc_sph(op, params, ell, k0, phi0):
     """Long-tail sphericals + simple conics (kernels/misc_sph.py).
     All force es=0 like their reference setups; ops the reference
@@ -762,6 +800,36 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         "boggs": (MS.boggs_fwd, None),
         "hatano": (MS.hatano_fwd, MS.hatano_inv),
     }
+    if pid == "tcea":
+        kk, p0 = op.k0, phi0
+        op.fwd_k = lambda x, y, z, t: (*MS.tcea_fwd(x, y, kk, p0), z)
+        op.inv_k = lambda x, y, z, t: (*MS.tcea_inv(x, y, kk, p0), z)
+        return
+    if pid == "tobmerc":
+        kk = op.k0
+        op.fwd_k = lambda x, y, z, t: (*MS.tobmerc_fwd(x, y, kk), z)
+        op.inv_k = lambda x, y, z, t: (*MS.tobmerc_inv(x, y, kk), z)
+        return
+    if pid == "lagrng":
+        a1, rw, hrw = MS.lagrng_setup(params)
+        op.fwd_k = lambda x, y, z, t: (*MS.lagrng_fwd(x, y, a1, rw, hrw), z)
+        op.inv_k = None
+        return
+    if pid in ("vandg2", "vandg3"):
+        vdg3 = pid == "vandg3"
+        op.fwd_k = lambda x, y, z, t: (*MS.vandg2_fwd(x, y, vdg3), z)
+        op.inv_k = None
+        return
+    if pid == "vandg4":
+        op.fwd_k = lambda x, y, z, t: (*MS.vandg4_fwd(x, y), z)
+        op.inv_k = None
+        return
+    if pid == "airy":
+        C = MS.airy_setup(params, phi0)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*MS.airy_fwd(x, y, C), z)
+        op.inv_k = None
+        return
     if pid in simple:
         fwd, inv = simple[pid]
         op.fwd_k = lambda x, y, z, t: (*fwd(x, y), z)
@@ -804,7 +872,9 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("cc", "tcc", "times", "patterson", "natearth2", "comill",
+_MISC_SPH_IDS = ("tcea", "tobmerc", "lagrng", "vandg2", "vandg3",
+                 "vandg4", "airy",
+                 "cc", "tcc", "times", "patterson", "natearth2", "comill",
                  "collg", "crast", "fahey", "denoy", "loxim", "nell",
                  "nell_h", "wink1", "wink2", "urm5", "wag7", "lask",
                  "gins8", "august", "nicol", "larr", "fouc_s", "boggs",
@@ -1099,6 +1169,10 @@ def _misc_registry():
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({pid: _mk_misc_sph for pid in _MISC_SPH_IDS})
     reg.update({
+        "geos": _mk_geos,
+        "goode": _mk_goode,
+        "ocea": _mk_ocea,
+        "tpeqd": _mk_tpeqd,
         "nsper": _mk_nsper,
         "tpers": _mk_nsper,
         "healpix": _mk_healpix,

@@ -131,3 +131,78 @@ def test_misc_sph_roundtrip(pstr):
     assert m.mean() > 0.95
     assert np.nanmax(np.abs(lo[m] - lon[m])) < 1e-6
     assert np.nanmax(np.abs(la[m] - lat[m])) < 1e-6
+
+
+# --- batch 2: geos, goode, tcea/ocea, tobmerc, lagrng, vandg2-4,
+#     tpeqd, airy (goldens from builtins.gie) --------------------------
+
+GOLDENS2 = [
+    ("+proj=airy +a=6400000", 2.0, 1.0, 189109.886908621, 94583.752387504),
+    ("+proj=airy +a=6400000", 2.0, -1.0, 189109.886908621, -94583.752387504),
+    ("+proj=geos +ellps=GRS80 +h=35785831", 2.0, 1.0, 222527.0703658, 110551.303413329),
+    ("+proj=geos +ellps=GRS80 +h=35785831", 2.0, -1.0, 222527.0703658, -110551.303413329),
+    ("+proj=goode +a=6400000", 2.0, 1.0, 223368.119026632, 111701.072127637),
+    ("+proj=goode +a=6400000", 2.0, -1.0, 223368.119026632, -111701.072127637),
+    ("+proj=lagrng +a=6400000 +W=2 +lat_1=0.5", 2.0, 1.0, 111703.375917226, 27929.831908033),
+    ("+proj=lagrng +a=6400000 +W=2 +lat_1=0.5", 2.0, -1.0, 111699.122088816, -83784.178013358),
+    ("+proj=ocea +a=6400000 +lat_1=0.5 +lat_2=2", 2.0, 1.0, 19994423.837934088, 223322.760576728),
+    ("+proj=ocea +a=6400000 +lat_1=0.5 +lat_2=2", 2.0, -1.0, 20217962.128015257, 223322.760576729),
+    ("+proj=tcea +a=6400000", 2.0, 1.0, 223322.760576727, 111769.145040586),
+    ("+proj=tcea +a=6400000", 2.0, -1.0, 223322.760576727, -111769.145040586),
+    ("+proj=tobmerc +ellps=sphere", 2.0, 1.0, 222322.01165633308, 111200.52003058406),
+    ("+proj=tobmerc +ellps=sphere", 2.0, -1.0, 222322.01165633308, -111200.52003058446),
+    ("+proj=tpeqd +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2.0, 1.0, -27750.758831679, -222599.403691777),
+    ("+proj=tpeqd +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2.0, -1.0, -250434.937024036, -222655.938193266),
+    ("+proj=vandg2 +a=6400000", 2.0, 1.0, 223395.247850437, 111718.491037226),
+    ("+proj=vandg2 +a=6400000", 2.0, -1.0, 223395.247850437, -111718.491037226),
+    ("+proj=vandg3 +a=6400000", 2.0, 1.0, 223395.249552831, 111704.519904421),
+    ("+proj=vandg3 +a=6400000", 2.0, -1.0, 223395.249552831, -111704.519904421),
+    ("+proj=vandg4 +R=6400000", 2.0, 1.0, 223374.577294355, 111701.195484154),
+    ("+proj=vandg4 +R=6400000", 2.0, -1.0, 223374.577294355, -111701.195484154),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS2)
+def test_misc_sph2_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+INV_OPS2 = [
+    ("+proj=geos +ellps=GRS80 +h=35785831", (-60, 60), (-60, 60)),
+    ("+proj=geos +R=6371000 +h=35785831 +sweep=x", (-60, 60), (-60, 60)),
+    ("+proj=goode +R=6371000", (-170, 170), (-85, 85)),
+    ("+proj=tcea +R=6371000 +k_0=0.9", (-60, 60), (-80, 80)),
+    ("+proj=ocea +R=6371000 +lat_1=30 +lat_2=50 +lon_1=-20 +lon_2=40",
+     (-120, 120), (-60, 60)),
+    ("+proj=ocea +R=6371000 +alpha=45 +lonc=10 +lat_0=40",
+     (-120, 120), (-60, 60)),
+    ("+proj=tobmerc +R=6371000", (-170, 170), (-80, 80)),
+    ("+proj=tpeqd +R=6371000 +lat_1=30 +lon_1=-10 +lat_2=50 +lon_2=30",
+     (-60, 80), (-50, 80)),
+]
+
+
+@pytest.mark.parametrize("pstr,lons,lats", INV_OPS2)
+def test_misc_sph2_roundtrip(pstr, lons, lats):
+    rng = np.random.RandomState(37)
+    lon = rng.uniform(*lons, 400)
+    lat = rng.uniform(*lats, 400)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    m = np.isfinite(x.astype(float)) & np.isfinite(lo)
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    assert m.mean() > 0.95
+    assert np.nanmax(dlon[m]) < 1e-7
+    assert np.nanmax(np.abs(la - lat)[m]) < 1e-7
+
+
+def test_geos_behind_limb_nan():
+    """geos visibility check: the far side of the Earth is invisible
+    from the satellite."""
+    tr = compile_projstring("+proj=geos +ellps=GRS80 +h=35785831")
+    x, y, _, _ = tr.transform_deg(np.array([150.0]), np.array([0.0]))
+    assert np.isnan(x[0]) and np.isnan(y[0])
