@@ -1053,3 +1053,231 @@ def airy_fwd(lam, phi, C: AiryConsts):
             x = np.where(small, 0.0, x)
             y = np.where(small, 0.0, y)
     return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+# --- batch 3: Putnins family, McBryde-Thomas family, oea ---------------
+
+def putp2_fwd(lam, phi):
+    """putp2.cpp: Newton for phi' then x = C_x λ (cosφ' − ½)."""
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+    PI3 = 1.0471975511965977
+    p = C_p * np.sin(phi)
+    p2 = phi * phi
+    ph = phi * (0.615709 + p2 * (0.00909953 + p2 * 0.0046292))
+    for _ in range(10):
+        c = np.cos(ph)
+        s = np.sin(ph)
+        V = (ph + s * (c - 1.0) - p) / (1.0 + c * (c - 1.0) - s * s)
+        ph = ph - V
+        if np.all(np.abs(V) < EPS10):
+            break
+    ph = np.where(np.abs(ph) > PI3, np.sign(ph) * PI3, ph)
+    return C_x * lam * (np.cos(ph) - 0.5), C_y * np.sin(ph)
+
+
+def putp2_inv(x, y):
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+    ph = np.arcsin(np.clip(y / C_y, -1.0, 1.0))
+    c = np.cos(ph)
+    lam = x / (C_x * (c - 0.5))
+    phi = np.arcsin(np.clip((ph + np.sin(ph) * (c - 1.0)) / C_p, -1.0, 1.0))
+    return lam, phi
+
+
+def putp3_fwd(lam, phi, A):
+    """putp3.cpp (putp3: A=4/pi^2*..., putp3p: half)."""
+    C = 0.79788456
+    return C * lam * (1.0 - A * phi * phi), C * phi
+
+
+def putp3_inv(x, y, A):
+    C = 0.79788456
+    phi = y / C
+    return x / (C * (1.0 - A * phi * phi)), phi
+
+
+def putp4p_fwd(lam, phi, C_x, C_y):
+    """putp4p.cpp (putp4p / weren share the kernel)."""
+    ph = np.arcsin(np.clip(0.883883476 * np.sin(phi), -1.0, 1.0))
+    ph3 = ph / 3.0
+    return C_x * lam * np.cos(ph) / np.cos(ph3), C_y * np.sin(ph3)
+
+
+def putp4p_inv(x, y, C_x, C_y):
+    ph3 = np.arcsin(np.clip(y / C_y, -1.0, 1.0))
+    ph = ph3 * 3.0
+    lam = x * np.cos(ph3) / (C_x * np.cos(ph))
+    phi = np.arcsin(np.clip(1.13137085 * np.sin(ph), -1.0, 1.0))
+    return lam, phi
+
+
+def putp5_fwd(lam, phi, A, B):
+    """putp5.cpp (putp5: A=2,B=1; putp5p: A=1.5,B=.5)."""
+    C, D = 1.01346, 1.2158542
+    return C * lam * (A - B * np.sqrt(1.0 + D * phi * phi)), C * phi
+
+
+def putp5_inv(x, y, A, B):
+    C, D = 1.01346, 1.2158542
+    phi = y / C
+    return x / (C * (A - B * np.sqrt(1.0 + D * phi * phi))), phi
+
+
+def putp6_fwd(lam, phi, C_x, C_y, A, B, D):
+    """putp6.cpp Newton."""
+    CON_POLE = 1.732050807568877
+    p = B * np.sin(phi)
+    ph = phi * 1.10265779  # reference seed: phi *= 1.10265779
+    for _ in range(10):
+        r = np.sqrt(1.0 + ph * ph)
+        V = ((A - r) * ph - np.log(ph + r) - p) / (A - 2.0 * r)
+        ph = ph - V
+        if np.all(np.abs(V) < EPS10):
+            break
+    ph = np.where(np.abs(V) >= EPS10,
+                  np.where(p < 0.0, -CON_POLE, CON_POLE), ph)
+    r = np.sqrt(1.0 + ph * ph)
+    return C_x * lam * (D - r), C_y * ph
+
+
+def putp6_inv(x, y, C_x, C_y, A, B, D):
+    ph = y / C_y
+    r = np.sqrt(1.0 + ph * ph)
+    lam = x / (C_x * (D - r))
+    phi = np.arcsin(np.clip(((A - r) * ph - np.log(ph + r)) / B, -1.0, 1.0))
+    return lam, phi
+
+
+def mbt_fps_fwd(lam, phi):
+    """mbt_fps.cpp Newton."""
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C_x, C_y = 0.22248, 1.44492
+    C1_2 = 0.33333333333333333333333333
+    k = C3 * np.sin(phi)
+    ph = phi.copy()
+    for _ in range(10):
+        t = ph / C2
+        V = (C1 * np.sin(t) + np.sin(ph) - k) / (C1_2 * np.cos(t)
+                                                 + np.cos(ph))
+        ph = ph - V
+        if np.all(np.abs(V) < 1e-7):
+            break
+    t = ph / C2
+    return C_x * lam * (1.0 + 3.0 * np.cos(ph) / np.cos(t)), C_y * np.sin(t)
+
+
+def mbt_fps_inv(x, y):
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C_x, C_y = 0.22248, 1.44492
+    t = np.arcsin(np.clip(y / C_y, -1.0, 1.0))
+    ph = C2 * t
+    lam = x / (C_x * (1.0 + 3.0 * np.cos(ph) / np.cos(t)))
+    phi = np.arcsin(np.clip((C1 * np.sin(t) + np.sin(ph)) / C3, -1.0, 1.0))
+    return lam, phi
+
+
+def mbtfpp_fwd(lam, phi):
+    """mbtfpp.cpp."""
+    CSy, FXC, FYC = 0.95257934441568037152, 0.92582009977255146156, \
+        3.40168025708304504493
+    C23, C13 = 2.0 / 3.0, 1.0 / 3.0
+    ph = np.arcsin(np.clip(CSy * np.sin(phi), -1.0, 1.0))
+    return FXC * lam * (2.0 * np.cos(C23 * ph) - 1.0), FYC * np.sin(C13 * ph)
+
+
+def mbtfpp_inv(x, y):
+    CSy, FXC, FYC = 0.95257934441568037152, 0.92582009977255146156, \
+        3.40168025708304504493
+    C23, C13 = 2.0 / 3.0, 1.0 / 3.0
+    ph = np.arcsin(np.clip(y / FYC, -1.0, 1.0)) / C13
+    lam = x / (FXC * (2.0 * np.cos(C23 * ph) - 1.0))
+    phi = np.arcsin(np.clip(np.sin(ph) / CSy, -1.0, 1.0))
+    return lam, phi
+
+
+def mbtfpq_fwd(lam, phi):
+    """mbtfpq.cpp Newton: C θ + sin θ... (quartic)."""
+    C, FYC, FXC = 1.70710678118654752440, 1.87475828462269495505, \
+        0.31245971410378249250
+    c = C * np.sin(phi)
+    th = phi.copy()
+    for _ in range(20):
+        V = (np.sin(0.5 * th) + np.sin(th) - c) \
+            / (0.5 * np.cos(0.5 * th) + np.cos(th))
+        th = th - V
+        if np.all(np.abs(V) < 1e-7):
+            break
+    return (FXC * lam * (1.0 + 2.0 * np.cos(th) / np.cos(0.5 * th)),
+            FYC * np.sin(0.5 * th))
+
+
+def mbtfpq_inv(x, y):
+    C, RC = 1.70710678118654752440, 0.58578643762690495119
+    RYC, RXC = 0.53340209679417701685, 3.20041258076506210122
+    th = 2.0 * np.arcsin(np.clip(RYC * y, -1.0, 1.0))
+    lam = RXC * x / (1.0 + 2.0 * np.cos(th) / np.cos(0.5 * th))
+    t = np.sin(0.5 * th)
+    phi = np.arcsin(np.clip(RC * (t + np.sin(th)), -1.0, 1.0))
+    return lam, phi
+
+
+@dataclass(frozen=True)
+class OeaConsts:
+    n: float
+    m: float
+    theta: float
+    sp0: float
+    cp0: float
+    rn: float
+    rm: float
+    two_r_n: float
+    two_r_m: float
+    hn: float
+    hm: float
+
+
+def oea_setup(params: dict, phi0: float) -> OeaConsts:
+    """oea.cpp (oblated equal area): +n, +m, +theta."""
+    n = float(params.get("n", 0.0))
+    m = float(params.get("m", 0.0))
+    if n <= 0.0 or m <= 0.0:
+        raise ValueError("oea: n and m should be > 0")
+    theta = np.radians(float(params.get("theta", 0.0)))
+    return OeaConsts(n=n, m=m, theta=float(theta),
+                     sp0=float(np.sin(phi0)), cp0=float(np.cos(phi0)),
+                     rn=1.0 / n, rm=1.0 / m, two_r_n=2.0 / n,
+                     two_r_m=2.0 / m, hn=0.5 * n, hm=0.5 * m)
+
+
+def oea_fwd(lam, phi, C: OeaConsts):
+    """oea.cpp s_forward."""
+    cp = np.cos(phi)
+    sp = np.sin(phi)
+    cl = np.cos(lam)
+    Az = np.arctan2(cp * np.sin(lam),
+                    C.cp0 * sp - C.sp0 * cp * cl) + C.theta
+    shz = np.sin(0.5 * np.arccos(np.clip(C.sp0 * sp + C.cp0 * cp * cl,
+                                         -1, 1)))
+    M = np.arcsin(np.clip(shz * np.sin(Az), -1, 1))
+    N = np.arcsin(np.clip(shz * np.cos(Az) * np.cos(M)
+                          / np.cos(M * C.two_r_m), -1, 1))
+    y = C.n * np.sin(N * C.two_r_n)
+    x = C.m * np.sin(M * C.two_r_m) * np.cos(N) / np.cos(N * C.two_r_n)
+    return x, y
+
+
+def oea_inv(x, y, C: OeaConsts):
+    """oea.cpp s_inverse."""
+    N = C.hn * np.arcsin(np.clip(y * C.rn, -1, 1))
+    M = C.hm * np.arcsin(np.clip(x * C.rm * np.cos(N * C.two_r_n)
+                                 / np.cos(N), -1, 1))
+    xp = 2.0 * np.sin(M)
+    yp = 2.0 * np.sin(N) * np.cos(M * C.two_r_m) / np.cos(M)
+    Az = np.arctan2(xp, yp) - C.theta
+    cAz = np.cos(Az)
+    z = 2.0 * np.arcsin(np.clip(0.5 * np.hypot(xp, yp), -1, 1))
+    sz = np.sin(z)
+    cz = np.cos(z)
+    phi = np.arcsin(np.clip(C.sp0 * cz + C.cp0 * sz * cAz, -1, 1))
+    lam = np.arctan2(sz * np.sin(Az), C.cp0 * cz - C.sp0 * sz * cAz)
+    return lam, phi

@@ -830,6 +830,52 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (*MS.airy_fwd(x, y, C), z)
         op.inv_k = None
         return
+    if pid == "putp2":
+        op.fwd_k = lambda x, y, z, t: (*MS.putp2_fwd(x, y), z)
+        op.inv_k = lambda x, y, z, t: (*MS.putp2_inv(x, y), z)
+        return
+    if pid in ("putp3", "putp3p"):
+        A = (4.0 if pid == "putp3" else 2.0) * 0.1013211836
+        op.fwd_k = lambda x, y, z, t: (*MS.putp3_fwd(x, y, A), z)
+        op.inv_k = lambda x, y, z, t: (*MS.putp3_inv(x, y, A), z)
+        return
+    if pid in ("putp4p", "weren"):
+        cx, cy = ((0.874038744, 3.883251825) if pid == "putp4p"
+                  else (1.0, 4.442882938))
+        op.fwd_k = lambda x, y, z, t: (*MS.putp4p_fwd(x, y, cx, cy), z)
+        op.inv_k = lambda x, y, z, t: (*MS.putp4p_inv(x, y, cx, cy), z)
+        return
+    if pid in ("putp5", "putp5p"):
+        A, B = (2.0, 1.0) if pid == "putp5" else (1.5, 0.5)
+        op.fwd_k = lambda x, y, z, t: (*MS.putp5_fwd(x, y, A, B), z)
+        op.inv_k = lambda x, y, z, t: (*MS.putp5_inv(x, y, A, B), z)
+        return
+    if pid in ("putp6", "putp6p"):
+        if pid == "putp6":
+            cx, cy, A, B, D = 1.01346, 0.91910, 4.0,                 2.1471437182129378784, 2.0
+        else:
+            cx, cy, A, B, D = 0.44329, 0.80404, 6.0, 5.61125, 3.0
+        op.fwd_k = lambda x, y, z, t: (*MS.putp6_fwd(x, y, cx, cy, A, B, D), z)
+        op.inv_k = lambda x, y, z, t: (*MS.putp6_inv(x, y, cx, cy, A, B, D), z)
+        return
+    if pid == "mbt_fps":
+        op.fwd_k = lambda x, y, z, t: (*MS.mbt_fps_fwd(x, y), z)
+        op.inv_k = lambda x, y, z, t: (*MS.mbt_fps_inv(x, y), z)
+        return
+    if pid == "mbtfpp":
+        op.fwd_k = lambda x, y, z, t: (*MS.mbtfpp_fwd(x, y), z)
+        op.inv_k = lambda x, y, z, t: (*MS.mbtfpp_inv(x, y), z)
+        return
+    if pid == "mbtfpq":
+        op.fwd_k = lambda x, y, z, t: (*MS.mbtfpq_fwd(x, y), z)
+        op.inv_k = lambda x, y, z, t: (*MS.mbtfpq_inv(x, y), z)
+        return
+    if pid == "oea":
+        C = MS.oea_setup(params, phi0)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*MS.oea_fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*MS.oea_inv(x, y, C), z)
+        return
     if pid in simple:
         fwd, inv = simple[pid]
         op.fwd_k = lambda x, y, z, t: (*fwd(x, y), z)
@@ -872,7 +918,10 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("tcea", "tobmerc", "lagrng", "vandg2", "vandg3",
+_MISC_SPH_IDS = ("putp2", "putp3", "putp3p", "putp4p", "weren",
+                 "putp5", "putp5p", "putp6", "putp6p", "mbt_fps",
+                 "mbtfpp", "mbtfpq", "oea",
+                 "tcea", "tobmerc", "lagrng", "vandg2", "vandg3",
                  "vandg4", "airy",
                  "cc", "tcc", "times", "patterson", "natearth2", "comill",
                  "collg", "crast", "fahey", "denoy", "loxim", "nell",

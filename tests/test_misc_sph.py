@@ -206,3 +206,77 @@ def test_geos_behind_limb_nan():
     tr = compile_projstring("+proj=geos +ellps=GRS80 +h=35785831")
     x, y, _, _ = tr.transform_deg(np.array([150.0]), np.array([0.0]))
     assert np.isnan(x[0]) and np.isnan(y[0])
+
+
+# --- batch 3: Putnins / McBryde-Thomas families + oea ------------------
+
+GOLDENS3 = [
+    ("+proj=mbt_fps +a=6400000", 2.0, 1.0, 198798.17612985, 125512.017254531),
+    ("+proj=mbt_fps +a=6400000", 2.0, -1.0, 198798.17612985, -125512.017254531),
+    ("+proj=mbtfpp +a=6400000", 2.0, 1.0, 206804.78692982, 120649.762565793),
+    ("+proj=mbtfpp +a=6400000", 2.0, -1.0, 206804.78692982, -120649.762565793),
+    ("+proj=mbtfpq +a=6400000", 2.0, 1.0, 209391.854738393, 119161.040199055),
+    ("+proj=mbtfpq +a=6400000", 2.0, -1.0, 209391.854738393, -119161.040199055),
+    ("+proj=oea +a=6400000 +n=1 +m=2 +theta=3", 2.0, 1.0, 228926.872097864, 99870.488430076),
+    ("+proj=oea +a=6400000 +n=1 +m=2 +theta=3", 2.0, -1.0, 217242.58403694, -123247.885607475),
+    ("+proj=putp2 +a=6400000", 2.0, 1.0, 211638.039634339, 117895.03304338),
+    ("+proj=putp2 +a=6400000", 2.0, -1.0, 211638.039634339, -117895.03304338),
+    ("+proj=putp3 +a=6400000", 2.0, 1.0, 178227.115507794, 89124.560786088),
+    ("+proj=putp3 +a=6400000", 2.0, -1.0, 178227.115507794, -89124.560786088),
+    ("+proj=putp3p +a=6400000", 2.0, 1.0, 178238.118539985, 89124.560786088),
+    ("+proj=putp3p +a=6400000", 2.0, -1.0, 178238.118539985, -89124.560786088),
+    ("+proj=putp4p +a=6400000", 2.0, 1.0, 195241.477349386, 127796.782307926),
+    ("+proj=putp4p +a=6400000", 2.0, -1.0, 195241.477349386, -127796.782307926),
+    ("+proj=putp5 +a=6400000", 2.0, 1.0, 226367.213380562, 113204.568558475),
+    ("+proj=putp5 +a=6400000", 2.0, -1.0, 226367.213380562, -113204.568558475),
+    ("+proj=putp5p +a=6400000", 2.0, 1.0, 226388.175248756, 113204.568558475),
+    ("+proj=putp5p +a=6400000", 2.0, -1.0, 226388.175248756, -113204.568558475),
+    ("+proj=putp6 +a=6400000", 2.0, 1.0, 226369.395133403, 110218.523796521),
+    ("+proj=putp6 +a=6400000", 2.0, -1.0, 226369.395133403, -110218.523796521),
+    ("+proj=putp6p +a=6400000", 2.0, 1.0, 198034.195132195, 125989.475461323),
+    ("+proj=putp6p +a=6400000", 2.0, -1.0, 198034.195132195, -125989.475461323),
+    ("+proj=weren +a=6400000", 2.0, 1.0, 223378.515757634, 146214.093042288),
+    ("+proj=weren +a=6400000", 2.0, -1.0, 223378.515757634, -146214.093042288),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS3)
+def test_misc_sph3_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+BATCH3_RT = ["+proj=putp2 +R=6371000", "+proj=putp3 +R=6371000",
+             "+proj=putp3p +R=6371000", "+proj=putp4p +R=6371000",
+             "+proj=weren +R=6371000", "+proj=putp5 +R=6371000",
+             "+proj=putp5p +R=6371000", "+proj=putp6 +R=6371000",
+             "+proj=putp6p +R=6371000", "+proj=mbt_fps +R=6371000",
+             "+proj=mbtfpp +R=6371000", "+proj=mbtfpq +R=6371000"]
+
+
+@pytest.mark.parametrize("pstr", BATCH3_RT)
+def test_misc_sph3_roundtrip(pstr):
+    rng = np.random.RandomState(41)
+    lon = rng.uniform(-170, 170, 300)
+    lat = rng.uniform(-80, 80, 300)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-6
+    assert np.nanmax(np.abs(la - lat)) < 1e-6
+
+
+def test_oea_roundtrip_design_domain():
+    """oea (oblated equal-area) is a continent-scale projection; the
+    inverse is exact in the region around the center (the far field
+    folds through the principal asin branch, as in the reference)."""
+    tr = compile_projstring(
+        "+proj=oea +R=6371000 +n=2 +m=1 +theta=30 +lat_0=40")
+    rng = np.random.RandomState(41)
+    lon = rng.uniform(-40, 40, 1000)
+    lat = rng.uniform(10, 70, 1000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon) + np.abs(la - lat)) < 1e-9
