@@ -1348,3 +1348,273 @@ def igh_inv(x, y, C: IghConsts):
     lam = np.where(ok, lam, np.nan)
     phi = np.where(ok, phi, np.nan)
     return lam, phi
+
+
+# ----------------------------------------------- mod_ster family
+
+# fixed complex coefficient tables (mod_ster.cpp:128-248)
+_MODSTER_TABLES = {
+    "mil_os": (np.array([0.924500 + 0j, 0j, 0.019430 + 0j]),
+               np.radians(20.0), np.radians(18.0), None, None),
+    "lee_os": (np.array([0.721316 + 0j, 0j, -0.0088162 - 0.00617325j]),
+               np.radians(-165.0), np.radians(-10.0), None, None),
+    "gs48": (np.array([0.98879 + 0j, 0j, -0.050909 + 0j, 0j,
+                       0.075528 + 0j]),
+             np.radians(-96.0), np.radians(39.0), 6370997.0, 0.0),
+    "alsk_e": (np.array([0.9945303 + 0j, 0.0052083 - 0.0027404j,
+                         0.0072721 + 0.0048181j, -0.0151089 - 0.1932526j,
+                         0.0642675 - 0.1381226j, 0.3582802 - 0.2884586j]),
+               np.radians(-152.0), np.radians(64.0), 6378206.4, 0.00676866),
+    "alsk_s": (np.array([0.9972523 + 0j, 0.0052513 - 0.0041175j,
+                         0.0074606 + 0.0048125j, -0.0153783 - 0.1968253j,
+                         0.0636871 - 0.1408027j, 0.3660976 - 0.2937382j]),
+               np.radians(-152.0), np.radians(64.0), 6370997.0, 0.0),
+    "gs50_e": (np.array([0.9827497 + 0j, 0.0210669 + 0.0053804j,
+                         -0.1031415 - 0.0571664j, -0.0323337 - 0.0322847j,
+                         0.0502303 + 0.1211983j, 0.0251805 + 0.0895678j,
+                         -0.0012315 - 0.1416121j, 0.0072202 - 0.1317091j,
+                         -0.0194029 + 0.0759677j, -0.0210072 + 0.0834037j]),
+               np.radians(-120.0), np.radians(45.0), 6378206.4, 0.00676866),
+    "gs50_s": (np.array([0.9842990 + 0j, 0.0211642 + 0.0037608j,
+                         -0.1036018 - 0.0575102j, -0.0329095 - 0.0320119j,
+                         0.0499471 + 0.1223335j, 0.0260460 + 0.0899805j,
+                         0.0007388 - 0.1435792j, 0.0075848 - 0.1334108j,
+                         -0.0216473 + 0.0776645j, -0.0225161 + 0.0853673j]),
+               np.radians(-120.0), np.radians(45.0), 6370997.0, 0.0),
+}
+
+
+@dataclass(frozen=True)
+class ModSterConsts:
+    zcoeff: np.ndarray
+    schio: float
+    cchio: float
+    e: float
+    phi0: float
+
+
+def mod_ster_setup(zcoeff, phi0: float, e: float, es: float) -> ModSterConsts:
+    """mod_ster.cpp:106-126: conformal latitude of the center."""
+    if es != 0.0:
+        esphi = e * np.sin(phi0)
+        chio = 2.0 * np.arctan(np.tan((HALFPI + phi0) * 0.5)
+                               * ((1.0 - esphi) / (1.0 + esphi))
+                               ** (e * 0.5)) - HALFPI
+    else:
+        chio = phi0
+    return ModSterConsts(zcoeff=np.asarray(zcoeff), schio=float(np.sin(chio)),
+                         cchio=float(np.cos(chio)), e=e, phi0=phi0)
+
+
+def mod_ster_fwd(lam, phi, C: ModSterConsts):
+    """mod_ster.cpp:22-50: conformal-sphere stereographic, then the
+    complex distortion polynomial."""
+    sinlon = np.sin(lam)
+    coslon = np.cos(lam)
+    esphi = C.e * np.sin(phi)
+    chi = 2.0 * np.arctan(np.tan((HALFPI + phi) * 0.5)
+                          * ((1.0 - esphi) / (1.0 + esphi))
+                          ** (C.e * 0.5)) - HALFPI
+    schi = np.sin(chi)
+    cchi = np.cos(chi)
+    denom = 1.0 + C.schio * schi + C.cchio * cchi * coslon
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = 2.0 / np.where(denom == 0, np.nan, denom)
+        p = (s * cchi * sinlon) \
+            + 1j * (s * (C.cchio * schi - C.schio * cchi * coslon))
+        out = _zpoly1(p, C.zcoeff)
+    return out.real, out.imag
+
+
+def mod_ster_inv(x, y, C: ModSterConsts, max_iter: int = 20,
+                 tol: float = 1e-12):
+    """mod_ster.cpp:52-104: complex Newton then conformal-to-geodetic
+    fixed point."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = x + 1j * y
+        target = p.copy()
+        for _ in range(max_iter):
+            f, fp = _zpolyd1(p, C.zcoeff)
+            f = f - target
+            dp = -f / fp
+            p = p + dp
+            if np.all(np.abs(dp.real) + np.abs(dp.imag) <= tol):
+                break
+        rh = np.hypot(p.real, p.imag)
+        z = 2.0 * np.arctan(0.5 * rh)
+        sinz = np.sin(z)
+        cosz = np.cos(z)
+        chi = np.arcsin(np.clip(
+            cosz * C.schio + p.imag * sinz * C.cchio
+            / np.where(rh == 0, 1.0, rh), -1, 1))
+        phi = chi.copy()
+        for _ in range(max_iter):
+            esphi = C.e * np.sin(phi)
+            dphi = 2.0 * np.arctan(np.tan((HALFPI + chi) * 0.5)
+                                   * ((1.0 + esphi) / (1.0 - esphi))
+                                   ** (C.e * 0.5)) - HALFPI - phi
+            phi = phi + dphi
+            if np.all(np.abs(dphi) <= tol):
+                break
+        lam = np.arctan2(p.real * sinz,
+                         rh * C.cchio * cosz - p.imag * C.schio * sinz)
+    center = np.abs(rh) <= tol
+    lam = np.where(center, 0.0, lam)
+    phi = np.where(center, C.phi0, phi)
+    return lam, phi
+
+
+# ----------------------------------------------- lcca / ccon / rpoly
+
+@dataclass(frozen=True)
+class LccaConsts:
+    en: np.ndarray
+    l: float
+    M0: float
+    r0: float
+    C: float
+    k0: float
+
+
+def lcca_setup(ell: Ellipsoid, k0: float, phi0: float) -> LccaConsts:
+    """lcca.cpp:127-155 (LCC alternative, EST-97)."""
+    if phi0 == 0.0:
+        raise ValueError("lcca: lat_0 should be different from 0")
+    en = enfn(ell.n)
+    ll = np.sin(phi0)
+    M0 = float(mlfn(np.float64(phi0), np.float64(ll),
+                    np.float64(np.cos(phi0)), en))
+    s2p0 = ll * ll
+    R0 = 1.0 / (1.0 - ell.es * s2p0)
+    N0 = np.sqrt(R0)
+    R0 = R0 * ell.one_es * N0
+    r0 = N0 / np.tan(phi0)
+    Cc = 1.0 / (6.0 * R0 * N0)
+    return LccaConsts(en=en, l=float(ll), M0=M0, r0=float(r0),
+                      C=float(Cc), k0=k0)
+
+
+def lcca_fwd(lam, phi, C: LccaConsts):
+    S = mlfn(phi, np.sin(phi), np.cos(phi), C.en) - C.M0
+    dr = S * (1.0 + S * S * C.C)
+    r = C.r0 - dr
+    ll = lam * C.l
+    return C.k0 * r * np.sin(ll), C.k0 * (C.r0 - r * np.cos(ll))
+
+
+def lcca_inv(x, y, C: LccaConsts, max_iter: int = 10, tol: float = 1e-12):
+    x = x / C.k0
+    y = y / C.k0
+    theta = np.arctan2(x, C.r0 - y)
+    dr = y - x * np.tan(0.5 * theta)
+    lam = theta / C.l
+    S = dr.copy()
+    for _ in range(max_iter):
+        dif = (S * (1.0 + S * S * C.C) - dr) / (1.0 + 3.0 * S * S * C.C)
+        S = S - dif
+        if np.all(np.abs(dif) < tol):
+            break
+    phi = inv_mlfn(S + C.M0, C.en)
+    return lam, phi
+
+
+def ccon_setup(params: dict) -> tuple:
+    """ccon.cpp: (phi1, sinphi1, ctgphi1)."""
+    phi1 = np.radians(float(params.get("lat_1", 0.0)))
+    if abs(phi1) < EPS10:
+        raise ValueError("ccon: |lat_1| should be > 0")
+    return float(phi1), float(np.sin(phi1)), \
+        float(np.cos(phi1) / np.sin(phi1))
+
+
+def ccon_fwd(lam, phi, phi1, sinphi1, ctgphi1):
+    r = ctgphi1 - np.tan(phi - phi1)
+    return r * np.sin(lam * sinphi1), ctgphi1 - r * np.cos(lam * sinphi1)
+
+
+def ccon_inv(x, y, phi1, sinphi1, ctgphi1):
+    yy = ctgphi1 - y
+    phi = phi1 - np.arctan(np.hypot(x, yy) - ctgphi1)
+    lam = np.arctan2(x, yy) / sinphi1
+    return lam, phi
+
+
+def rpoly_setup(params: dict) -> tuple:
+    """rpoly.cpp: (mode, fxa, fxb)."""
+    phi1 = abs(np.radians(float(params.get("lat_ts", 0.0))))
+    mode = phi1 > 1e-9
+    if mode:
+        fxb = 0.5 * np.sin(phi1)
+        fxa = 0.5 / fxb
+    else:
+        fxa = fxb = 0.0
+    return mode, float(fxa), float(fxb)
+
+
+def rpoly_fwd(lam, phi, mode, fxa, fxb, phi0):
+    """rpoly.cpp (rectangular polyconic, fwd only)."""
+    if mode:
+        fa = np.tan(lam * fxb) * fxa
+    else:
+        fa = 0.5 * lam
+    eq = np.abs(phi) < 1e-9
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cot = 1.0 / np.tan(phi)
+        fa2 = 2.0 * np.arctan(fa * np.sin(phi))
+        x = np.sin(fa2) * cot
+        y = phi - phi0 + (1.0 - np.cos(fa2)) * cot
+    x = np.where(eq, fa + fa, x)
+    y = np.where(eq, -phi0, y)
+    return x, y
+
+
+# ----------------------------------------------- gstmerc
+
+@dataclass(frozen=True)
+class GstmercConsts:
+    n1: float
+    n2: float
+    c: float
+    XS: float
+    YS: float
+    e: float
+    a: float
+    ra: float
+
+
+def gstmerc_setup(ell: Ellipsoid, k0: float, phi0: float) -> GstmercConsts:
+    """gstmerc.cpp:53-74 (Gauss-Schreiber TM, Reunion grid)."""
+    es, e = ell.es, ell.e
+    n1 = np.sqrt(1.0 + es * np.cos(phi0) ** 4 / (1.0 - es))
+    phic = np.arcsin(np.sin(phi0) / n1)
+    sp = np.sin(phi0) / n1
+    c = (np.log(float(tsfn(np.float64(-phic), np.float64(-sp), 0.0)))
+         - n1 * np.log(float(tsfn(np.float64(-phi0),
+                                  np.float64(-np.sin(phi0)), e))))
+    n2 = k0 * ell.a * np.sqrt(1.0 - es) / (1.0 - es * np.sin(phi0) ** 2)
+    return GstmercConsts(n1=float(n1), n2=float(n2), c=float(c), XS=0.0,
+                         YS=float(-n2 * phic), e=e, a=ell.a,
+                         ra=1.0 / ell.a)
+
+
+def gstmerc_fwd(lam, phi, C: GstmercConsts):
+    """gstmerc.cpp:24-38."""
+    L = C.n1 * lam
+    Ls = C.c + C.n1 * np.log(tsfn(-phi, -np.sin(phi), C.e))
+    sinLs1 = np.sin(L) / np.cosh(Ls)
+    Ls1 = np.log(tsfn(-np.arcsin(sinLs1), -sinLs1, 0.0))
+    x = (C.XS + C.n2 * Ls1) * C.ra
+    y = (C.YS + C.n2 * np.arctan(np.sinh(Ls) / np.cos(L))) * C.ra
+    return x, y
+
+
+def gstmerc_inv(x, y, C: GstmercConsts):
+    """gstmerc.cpp:40-52."""
+    L = np.arctan(np.sinh((x * C.a - C.XS) / C.n2)
+                  / np.cos((y * C.a - C.YS) / C.n2))
+    sinC = np.sin((y * C.a - C.YS) / C.n2) \
+        / np.cosh((x * C.a - C.XS) / C.n2)
+    LC = np.log(tsfn(-np.arcsin(sinC), -sinC, 0.0))
+    lam = L / C.n1
+    phi = -phi2((np.exp((LC - C.c) / C.n1)), C.e)
+    return lam, phi

@@ -733,6 +733,61 @@ def _mk_omerc(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*NG.omerc_inv(x, y, C), z)
 
 
+def _mk_mod_ster(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    pid = op.proj_id
+    if pid in ("mil_os", "lee_os"):
+        zc, lam0, p0, a_fix, es_fix = M._MODSTER_TABLES[pid]
+        op.ell = _E.from_a_es(op.ell.a, 0.0)
+    else:
+        variant = "_e" if ell.es != 0.0 else "_s"
+        zc, lam0, p0, a_fix, es_fix = M._MODSTER_TABLES[pid + variant]             if pid != "gs48" else M._MODSTER_TABLES["gs48"]
+        op.ell = _E.from_a_es(a_fix, es_fix)
+    op.lam0 = lam0
+    op.phi0 = p0
+    C = M.mod_ster_setup(zc, p0, op.ell.e, op.ell.es)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.mod_ster_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.mod_ster_inv(x, y, C), z)
+
+
+def _mk_lcca(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.lcca_setup(ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.lcca_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.lcca_inv(x, y, C), z)
+
+
+def _mk_ccon(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    p1, s1, ct1 = M.ccon_setup(params)
+    op.fwd_k = lambda x, y, z, t: (*M.ccon_fwd(x, y, p1, s1, ct1), z)
+    op.inv_k = lambda x, y, z, t: (*M.ccon_inv(x, y, p1, s1, ct1), z)
+
+
+def _mk_rpoly(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    mode, fxa, fxb = M.rpoly_setup(params)
+    p0 = phi0
+    op.fwd_k = lambda x, y, z, t: (*M.rpoly_fwd(x, y, mode, fxa, fxb, p0), z)
+    op.inv_k = None
+
+
+def _mk_gstmerc(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.gstmerc_setup(ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.gstmerc_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.gstmerc_inv(x, y, C), z)
+
+
 def _mk_geos(op, params, ell, k0, phi0):
     from .kernels import misc_sph as MS
 
@@ -1218,6 +1273,15 @@ def _misc_registry():
     reg = {pid: _mk_pcyl for pid in _PCYL_IDS}
     reg.update({pid: _mk_misc_sph for pid in _MISC_SPH_IDS})
     reg.update({
+        "mil_os": _mk_mod_ster,
+        "lee_os": _mk_mod_ster,
+        "gs48": _mk_mod_ster,
+        "alsk": _mk_mod_ster,
+        "gs50": _mk_mod_ster,
+        "lcca": _mk_lcca,
+        "ccon": _mk_ccon,
+        "rpoly": _mk_rpoly,
+        "gstmerc": _mk_gstmerc,
         "geos": _mk_geos,
         "goode": _mk_goode,
         "ocea": _mk_ocea,

@@ -280,3 +280,61 @@ def test_oea_roundtrip_design_domain():
     x, y, _, _ = tr.transform_deg(lon, lat)
     lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
     assert np.nanmax(np.abs(lo - lon) + np.abs(la - lat)) < 1e-9
+
+
+# --- batch 4: mod_ster family, lcca, ccon, rpoly, gstmerc --------------
+
+GOLDENS4 = [
+    ("+proj=alsk +ellps=clrk66", -160.0, 55.0, -513253.146950842, -968928.031867943),
+    ("+proj=alsk +ellps=clrk66", -160.0, 70.0, -305001.133897637, 687494.464958651),
+    ("+proj=gs48 +R=6370997", -119.0, 40.0, -1923908.446529346, 355874.658944479),
+    ("+proj=gs48 +R=6370997", -70.0, 64.0, 1354020.375109298, 3040846.007866525),
+    ("+proj=gs50 +ellps=clrk66", -160.0, 65.0, -1874628.537740233, 2660907.942291015),
+    ("+proj=gs50 +ellps=clrk66", -130.0, 45.0, -771831.518853336, 48465.166491305),
+    ("+proj=gstmerc +R=6400000", 2.0, 1.0, 223413.466406322, 111769.145040586),
+    ("+proj=gstmerc +R=6400000", 2.0, -1.0, 223413.466406322, -111769.145040587),
+    ("+proj=lcca +ellps=GRS80 +lat_0=1 +lat_1=0.5 +lat_2=2", 2.0, 1.0, 222605.285770237, 67.806007272),
+    ("+proj=lcca +ellps=GRS80 +lat_0=1 +lat_1=0.5 +lat_2=2", 2.0, -1.0, 222740.037637937, -221125.539829602),
+    ("+proj=lee_os +R=6400000", 2.0, 1.0, -25564478.952605054, 154490848.8286255),
+    ("+proj=lee_os +R=6400000", 2.0, -1.0, 30115393.938574642, 125193997.43970197),
+    ("+proj=mil_os +R=6400000", 2.0, 1.0, -1908527.949594205, -1726237.473061448),
+    ("+proj=mil_os +R=6400000", 2.0, -1.0, -1916673.022918485, -1943133.888125523),
+    ("+proj=rpoly +a=6400000", 2.0, 1.0, 223368.098302014, 111769.110486991),
+    ("+proj=rpoly +a=6400000", 2.0, -1.0, 223368.098302014, -111769.110486991),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS4)
+def test_misc_sph4_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+BATCH4_RT = [
+    ("+proj=mil_os +R=6378137", (-20, 60), (-20, 55)),
+    ("+proj=lee_os +R=6378137", (165, 195), (-40, 20)),
+    ("+proj=gs48 +R=6370997", (-125, -70), (25, 50)),
+    ("+proj=alsk +ellps=clrk66", (-180, -130), (50, 72)),
+    ("+proj=alsk +R=6370997", (-180, -130), (50, 72)),
+    ("+proj=gs50 +ellps=clrk66", (-180, -65), (18, 72)),
+    ("+proj=gs50 +R=6370997", (-180, -65), (18, 72)),
+    ("+proj=lcca +ellps=GRS80 +lat_0=35", (-30, 30), (10, 60)),
+    ("+proj=ccon +R=6371000 +lat_1=52", (-30, 30), (20, 80)),
+    ("+proj=gstmerc +ellps=intl +lat_0=-21.116666667 "
+     "+lon_0=55.53333333 +k_0=1", (50, 60), (-26, -16)),
+]
+
+
+@pytest.mark.parametrize("pstr,lons,lats", BATCH4_RT)
+def test_misc_sph4_roundtrip(pstr, lons, lats):
+    rng = np.random.RandomState(43)
+    lon = rng.uniform(*lons, 300)
+    lat = rng.uniform(*lats, 300)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    assert np.nanmax(dlon) < 1e-7
+    assert np.nanmax(np.abs(la - lat)) < 1e-7
