@@ -232,3 +232,126 @@ def inv(x, y, C: QscConsts):
                 / (C.one_minus_f * xa))
             out_phi = np.where(invert, -out_phi, out_phi)
     return out_lam, out_phi
+
+
+# ------------------------------------------------------------------- s2
+
+# ValidFaceXYZtoUV / FaceUVtoXYZ (s2.cpp:95-140; standard S2 layout)
+
+def _face_xyz_to_uv(face: int, x, y, z):
+    if face == FACE_FRONT:
+        return y / x, z / x
+    if face == FACE_RIGHT:
+        return -x / y, z / y
+    if face == FACE_TOP:
+        return -x / z, -y / z
+    if face == FACE_BACK:
+        return z / x, y / x
+    if face == FACE_LEFT:
+        return z / y, -x / y
+    return -y / z, -x / z  # bottom
+
+
+def _face_uv_to_xyz(face: int, u, v):
+    one = np.ones_like(u)
+    if face == FACE_FRONT:
+        return one, u, v
+    if face == FACE_RIGHT:
+        return -u, one, v
+    if face == FACE_TOP:
+        return -u, -v, one
+    if face == FACE_BACK:
+        return -one, -v, -u
+    if face == FACE_LEFT:
+        return v, -one, -u
+    return v, u, -one  # bottom
+
+
+_S2_TAN_EPS = 1.0 / float(1 << 53)
+
+
+def _uv_to_st(u, kind: str):
+    """UVtoST (s2.cpp:73-94)."""
+    if kind == "linear":
+        return 0.5 * (u + 1.0)
+    if kind == "quadratic":
+        return np.where(u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(np.clip(1.0 - 3.0 * u,
+                                                    0, None)))
+    if kind == "tangent":
+        return (2.0 / np.pi) * (np.arctan(u) + np.pi / 4.0)
+    return u
+
+
+def _st_to_uv(s, kind: str):
+    """STtoUV (s2.cpp:50-72)."""
+    if kind == "linear":
+        return 2.0 * s - 1.0
+    if kind == "quadratic":
+        return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+    if kind == "tangent":
+        t = np.tan(0.5 * np.pi * s - 0.25 * np.pi)
+        return t + _S2_TAN_EPS * t
+    return s
+
+
+@dataclass(frozen=True)
+class S2Consts:
+    face: int
+    kind: str
+    es: float
+    a: float
+    b: float
+    one_minus_f: float
+    one_minus_f_squared: float
+
+
+def s2_setup(params: dict, ell, lam0: float, phi0: float) -> S2Consts:
+    """s2.cpp setup: face from the projection center, UVtoST kind."""
+    kind = str(params.get("UVtoST", "quadratic"))
+    if kind not in ("linear", "quadratic", "tangent", "none"):
+        raise ValueError("s2: UVtoST should be linear, quadratic, "
+                         "tangent, or none")
+    base = setup(ell, lam0, phi0)  # reuse qsc face selection
+    return S2Consts(face=base.face, kind=kind, es=ell.es, a=ell.a,
+                    b=base.b, one_minus_f=base.one_minus_f,
+                    one_minus_f_squared=base.one_minus_f_squared)
+
+
+def s2_fwd(lam, phi, C: S2Consts):
+    """s2.cpp s2_forward: geocentric-lat shift, face UV, UVtoST.
+    Output is the raw (s, t) pair (PJ_IO_UNITS_PROJECTED)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.es != 0.0:
+            lat = np.arctan(C.one_minus_f_squared * np.tan(phi))
+        else:
+            lat = phi
+        coslat = np.cos(lat)
+        x = coslat * np.cos(lam)
+        y = coslat * np.sin(lam)
+        z = np.sin(lat)
+        u, v = _face_xyz_to_uv(C.face, x, y, z)
+        s = _uv_to_st(u, C.kind)
+        t = _uv_to_st(v, C.kind)
+    return s, t
+
+
+def s2_inv(x, y, C: S2Consts):
+    """s2.cpp s2_inverse."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        u = _st_to_uv(x, C.kind)
+        v = _st_to_uv(y, C.kind)
+        q, r, s = _face_uv_to_xyz(C.face, u, v)
+        norm = np.sqrt(q * q + r * r + s * s)
+        q, r, s = q / norm, r / norm, s / norm
+        phi = np.arccos(np.clip(-s, -1, 1)) - HALFPI
+        lam = np.arctan2(r, q)
+        if C.es != 0.0:
+            invert = phi < 0.0
+            tanphi = np.tan(phi)
+            xa = C.b / np.sqrt(tanphi * tanphi + C.one_minus_f_squared)
+            phi = np.arctan(np.sqrt(np.clip(C.a * C.a - xa * xa, 0, None))
+                            / (C.one_minus_f * xa))
+            phi = np.where(invert, -phi, phi)
+    return lam, phi

@@ -494,6 +494,55 @@ def compile_operation(params: dict) -> Operation:
 
         op.fwd_k = _topo_fwd
         op.inv_k = _topo_inv
+    elif proj_id == "geogoffset":
+        # arc-second geographic offsets (transformations/affine.cpp
+        # geogoffset entry)
+        arc = DEG_TO_RAD / 3600.0
+        dlon = float(params.get("dlon", 0.0)) * arc
+        dlat = float(params.get("dlat", 0.0)) * arc
+        dh = float(params.get("dh", 0.0))
+        op.left, op.right = RADIANS, RADIANS
+        op.fwd_k = lambda x, y, z, t: (x + dlon, y + dlat, z + dh)
+        op.inv_k = lambda x, y, z, t: (x - dlon, y - dlat, z - dh)
+    elif proj_id == "vertoffset":
+        # EPSG 1046 "Vertical Offset and Slope"
+        # (transformations/vertoffset.cpp)
+        arc = DEG_TO_RAD / 3600.0
+        slope_lon = float(params.get("slope_lon", 0.0)) * arc
+        slope_lat = float(params.get("slope_lat", 0.0)) * arc
+        zoff = float(params.get("dh", 0.0))
+        s0 = math.sin(op.phi0)
+        omess = 1.0 - ell.es * s0 * s0
+        rho0 = ell.a * (1.0 - ell.es) / (omess * math.sqrt(omess))
+        nu0 = ell.a / math.sqrt(omess)
+        p0, l0 = op.phi0, op.lam0
+        op.left, op.right = RADIANS, RADIANS
+
+        def _voff(y, x):
+            return (zoff + slope_lat * rho0 * (y - p0)
+                    + slope_lon * nu0 * x * np.cos(y))
+
+        # fwd output re-adds lam0 / inv pre-subtracts it: only z moves
+        # (vertoffset.cpp:49-76)
+        op.fwd_k = lambda x, y, z, t: (x + l0, y, z + _voff(y, x))
+        op.inv_k = lambda x, y, z, t: (x - l0, y, z - _voff(y, x - l0))
+    elif proj_id == "set":
+        # conversions/set.cpp: pin selected channels to fixed values
+        v = {i: float(params[f"v_{i}"]) for i in (1, 2, 3, 4)
+             if f"v_{i}" in params}
+        op.left, op.right = WHATEVER, WHATEVER
+
+        def _set(x, y, z, t, v=v):
+            if 1 in v:
+                x = np.full_like(x, v[1])
+            if 2 in v:
+                y = np.full_like(y, v[2])
+            if 3 in v:
+                z = np.full_like(z, v[3])
+            return x, y, z
+
+        op.fwd_k = _set
+        op.inv_k = _set
     elif proj_id == "molodensky":
         from .kernels import molodensky as k_molo
 
@@ -1008,6 +1057,21 @@ def _mk_healpix(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*k_hp.inv(x, y, C), z)
 
 
+def _mk_s2(op, params, ell, k0, phi0):
+    from .kernels import qsc as k_qsc
+
+    C = k_qsc.s2_setup(params, ell, op.lam0, phi0)
+    # the s2 projection consumes ABSOLUTE longitude: the reference
+    # sets from_greenwich = -lam0 to cancel the lam0 subtraction
+    # (s2.cpp setup), and emits raw (s, t) without the semimajor scale
+    # (PJ_IO_UNITS_PROJECTED)
+    op.from_greenwich = -op.lam0
+    op.right = PROJECTED
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_qsc.s2_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*k_qsc.s2_inv(x, y, C), z)
+
+
 def _mk_qsc(op, params, ell, k0, phi0):
     from .kernels import qsc as k_qsc
 
@@ -1290,6 +1354,7 @@ def _misc_registry():
         "tpers": _mk_nsper,
         "healpix": _mk_healpix,
         "rhealpix": _mk_healpix,
+        "s2": _mk_s2,
         "qsc": _mk_qsc,
         "som": _mk_som,
         "lsat": _mk_som,

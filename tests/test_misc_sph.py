@@ -338,3 +338,64 @@ def test_misc_sph4_roundtrip(pstr, lons, lats):
     dlon = np.abs((lo - lon + 180) % 360 - 180)
     assert np.nanmax(dlon) < 1e-7
     assert np.nanmax(np.abs(la - lat)) < 1e-7
+
+
+# --- s2 cube-face projection + offset conversions ----------------------
+
+S2_GOLDENS = [
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 0.0, 0.0, 0.5, 0.5),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 0.0, 45.19242321598196, 0.5, 1.0),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 0.0, -45.19242321598196, 0.5, 0.0),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", -45.0, 0.0, 0.0, 0.5),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 45.0, 0.0, 1.0, 0.5),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", -45.0, -35.446011426401625, 0.0, 0.0),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 45.0, -35.446011426401625, 1.0, 0.0),
+    ("+proj=s2 +ellps=WGS84 +lat_0=0 +lon_0=0 +UVtoST=linear", 45.0, 35.446011426401625, 1.0, 1.0),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", S2_GOLDENS)
+def test_s2_projection_gie_golden(pstr, lon, lat, ex, ey):
+    """s2.cpp (raw (s,t) output, PJ_IO_UNITS_PROJECTED)."""
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-9 and abs(y[0] - ey) < 1e-9, (x[0], y[0])
+
+
+@pytest.mark.parametrize("kind", ["linear", "quadratic", "tangent", "none"])
+def test_s2_projection_roundtrip(kind):
+    rng = np.random.RandomState(47)
+    lon = rng.uniform(-40, 40, 500)
+    lat = rng.uniform(-40, 40, 500)
+    tr = compile_projstring(f"+proj=s2 +ellps=WGS84 +UVtoST={kind}")
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+def test_geogoffset_and_vertoffset_and_set():
+    from proj_4_spark.proj import compile_projstring as C
+
+    tr = C("+proj=geogoffset +ellps=GRS80 +dlon=3600 +dlat=-3600 +dh=10")
+    lo, la, h, _ = tr.transform_deg(np.array([10.0]), np.array([50.0]),
+                                    np.array([100.0]))
+    assert abs(lo[0] - 11) < 1e-9 and abs(la[0] - 49) < 1e-9 \
+        and abs(h[0] - 110) < 1e-9
+    lo, la, h, _ = tr.transform_deg(lo, la, h, direction="inv")
+    assert abs(lo[0] - 10) < 1e-9 and abs(h[0] - 100) < 1e-9
+
+    tr = C("+proj=vertoffset +ellps=GRS80 +lat_0=46 +lon_0=13 "
+           "+dh=11.0 +slope_lat=-0.3 +slope_lon=-0.1")
+    lo, la, h, _ = tr.transform_deg(np.array([13.5]), np.array([46.5]),
+                                    np.array([100.0]))
+    assert abs(lo[0] - 13.5) < 1e-9  # lon/lat pass through
+    assert h[0] != 100.0
+    lo2, la2, h2, _ = tr.transform_deg(lo, la, h, direction="inv")
+    assert abs(h2[0] - 100.0) < 1e-9
+
+    tr = C("+proj=set +v_3=42")
+    x, y, z, _ = tr.transform(np.array([1.0]), np.array([2.0]),
+                              np.array([3.0]))
+    assert (x[0], y[0], z[0]) == (1.0, 2.0, 42.0)
