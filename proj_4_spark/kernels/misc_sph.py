@@ -1281,3 +1281,126 @@ def oea_inv(x, y, C: OeaConsts):
     phi = np.arcsin(np.clip(C.sp0 * cz + C.cp0 * sz * cAz, -1, 1))
     lam = np.arctan2(sz * np.sin(Az), C.cp0 * cz - C.sp0 * sz * cAz)
     return lam, phi
+
+
+# --- Adams / Guyou / Peirce quincuncial family (adams.cpp) -------------
+
+_RSQRT2 = 0.7071067811865475244008443620
+_PEIRCE_SHD = 1.8540746773013719 * 2.0
+
+
+def _ell_int_5(phi):
+    """Incomplete elliptic integral F(phi, m=0.5) via the reference's
+    Chebyshev-style recurrence (adams.cpp:45-66)."""
+    C0 = 2.19174570831038
+    C = (-8.58691003636495e-07, 2.02692115653689e-07,
+         3.12960480765314e-05, 5.30394739921063e-05,
+         -0.0012804644680613, -0.00575574836830288, 0.0914203033408211)
+    y = phi * (2.0 / np.pi)
+    y = 2.0 * y * y - 1.0
+    y2 = 2.0 * y
+    d1 = np.zeros_like(phi)
+    d2 = np.zeros_like(phi)
+    for c in C:
+        d1, d2 = y2 * d1 - d2 + c, d1
+    return phi * (y * d1 - d2 + 0.5 * C0)
+
+
+def adams_fwd(lam, phi, mode: str, pqshape: str = "diamond",
+              scrollx: float = 0.0, scrolly: float = 0.0):
+    """adams.cpp:68-250, vectorized: a/b angles per mode, the elliptic
+    integral, and the Peirce fold/rotate/scroll plumbing."""
+    TOL = 1e-9
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bad = np.zeros(lam.shape, dtype=bool)
+        if mode == "guyou":
+            bad |= (np.abs(lam) - TOL) > HALFPI
+            sl = np.sin(lam)
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            a = np.arccos(np.clip((cp * sl - sp) * _RSQRT2, -1, 1))
+            b = np.arccos(np.clip((cp * sl + sp) * _RSQRT2, -1, 1))
+            sm = lam < 0.0
+            sn = phi < 0.0
+        elif mode == "peirce_q":
+            if pqshape == "nhemisphere":
+                bad |= phi < -TOL
+            if pqshape == "shemisphere":
+                bad |= phi > -TOL
+            sl = np.sin(lam)
+            cl = np.cos(lam)
+            cp = np.cos(phi)
+            a = np.arccos(np.clip(cp * (sl + cl) * _RSQRT2, -1, 1))
+            b = np.arccos(np.clip(cp * (sl - cl) * _RSQRT2, -1, 1))
+            sm = sl < 0.0
+            sn = cl > 0.0
+        elif mode == "adams_hemi":
+            sp = np.sin(phi)
+            bad |= (np.abs(lam) - TOL) > HALFPI
+            av = np.cos(phi) * np.sin(lam)
+            sm = (sp + av) < 0.0
+            sn = (sp - av) < 0.0
+            a = np.arccos(np.clip(av, -1, 1))
+            b = HALFPI - phi
+        elif mode == "adams_ws1":
+            sp = np.tan(0.5 * phi)
+            bv = np.cos(np.arcsin(np.clip(sp, -1, 1))) * np.sin(0.5 * lam)
+            a = np.arccos(np.clip((bv - sp) * _RSQRT2, -1, 1))
+            b = np.arccos(np.clip((bv + sp) * _RSQRT2, -1, 1))
+            sm = lam < 0.0
+            sn = phi < 0.0
+        else:  # adams_ws2
+            spp = np.tan(0.5 * phi)
+            av = np.cos(np.arcsin(np.clip(spp, -1, 1))) * np.sin(0.5 * lam)
+            sm = (spp + av) < 0.0
+            sn = (spp - av) < 0.0
+            b = np.arccos(np.clip(spp, -1, 1))
+            a = np.arccos(np.clip(av, -1, 1))
+        m = np.arcsin(np.clip(np.sqrt(np.clip(
+            1.0 + np.minimum(0.0, np.cos(a + b)), 0, None)), -1, 1))
+        m = np.where(sm, -m, m)
+        n = np.arcsin(np.clip(np.sqrt(np.abs(
+            1.0 - np.maximum(0.0, np.cos(a - b)))), -1, 1))
+        n = np.where(sn, -n, n)
+        x = _ell_int_5(m)
+        y = _ell_int_5(n)
+        if mode == "guyou":
+            pole = np.abs(np.abs(phi) - HALFPI) < TOL
+            x = np.where(pole, 0.0, x)
+            y = np.where(pole, np.where(phi < 0, -1.85407, 1.85407), y)
+        if mode == "peirce_q":
+            shd = _PEIRCE_SHD
+            if pqshape in ("square", "diamond"):
+                south = phi < 0.0
+                seg1 = south & (lam < -0.75 * np.pi)
+                seg2 = south & (lam >= -0.75 * np.pi) & (lam < -0.25 * np.pi)
+                seg3 = south & (lam >= -0.25 * np.pi) & (lam < 0.25 * np.pi)
+                seg4 = south & (lam >= 0.25 * np.pi) & (lam < 0.75 * np.pi)
+                seg5 = south & (lam >= 0.75 * np.pi)
+                y = np.where(seg1 | seg5, shd - y, y)
+                x = np.where(seg2, -shd - x, x)
+                y = np.where(seg3, -shd - y, y)
+                x = np.where(seg4, shd - x, x)
+            if pqshape == "square":
+                x, y = _RSQRT2 * (x - y), _RSQRT2 * (x + y)
+            if pqshape == "horizontal":
+                x = np.where(phi < 0.0, shd - x, x)
+                x = x - shd / 2.0
+                if scrollx != 0.0:
+                    xt = shd / 2.0 * 2.0
+                    x = x + scrollx * (xt * 2.0)
+                    x = np.where(x >= xt, x - shd * 2.0,
+                                 np.where(x < -xt, x + shd * 2.0, x))
+            if pqshape == "vertical":
+                y = np.where(phi < 0.0, shd - y, y)
+                y = y - shd / 2.0
+                if scrolly != 0.0:
+                    yt = shd / 2.0 * 2.0
+                    y = y + scrolly * (yt * 2.0)
+                    y = np.where(y >= yt, y - shd * 2.0,
+                                 np.where(y < -yt, y + shd * 2.0, y))
+        if mode in ("adams_hemi", "adams_ws2"):
+            x, y = _RSQRT2 * (x - y), _RSQRT2 * (x + y)
+    x = np.where(bad, np.nan, x)
+    y = np.where(bad, np.nan, y)
+    return x, y

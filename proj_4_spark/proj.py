@@ -934,6 +934,20 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (*MS.airy_fwd(x, y, C), z)
         op.inv_k = None
         return
+    if pid in ("guyou", "peirce_q", "adams_hemi", "adams_ws1",
+               "adams_ws2"):
+        pqshape = str(params.get("shape", "diamond"))
+        if pid == "peirce_q" and pqshape not in (
+                "square", "diamond", "nhemisphere", "shemisphere",
+                "horizontal", "vertical"):
+            raise ValueError("peirce_q: invalid +shape")
+        scrollx = float(params.get("scrollx", 0.0))
+        scrolly = float(params.get("scrolly", 0.0))
+        mode = pid
+        op.fwd_k = lambda x, y, z, t: (
+            *MS.adams_fwd(x, y, mode, pqshape, scrollx, scrolly), z)
+        op.inv_k = None  # ws2/peirce Newton inverses via generic fallback
+        return
     if pid == "putp2":
         op.fwd_k = lambda x, y, z, t: (*MS.putp2_fwd(x, y), z)
         op.inv_k = lambda x, y, z, t: (*MS.putp2_inv(x, y), z)
@@ -1022,7 +1036,9 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("putp2", "putp3", "putp3p", "putp4p", "weren",
+_MISC_SPH_IDS = ("guyou", "peirce_q", "adams_hemi", "adams_ws1",
+                 "adams_ws2",
+                 "putp2", "putp3", "putp3p", "putp4p", "weren",
                  "putp5", "putp5p", "putp6", "putp6p", "mbt_fps",
                  "mbtfpp", "mbtfpq", "oea",
                  "tcea", "tobmerc", "lagrng", "vandg2", "vandg3",

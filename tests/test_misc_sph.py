@@ -399,3 +399,95 @@ def test_geogoffset_and_vertoffset_and_set():
     x, y, z, _ = tr.transform(np.array([1.0]), np.array([2.0]),
                               np.array([3.0]))
     assert (x[0], y[0], z[0]) == (1.0, 2.0, 42.0)
+
+
+# --- Adams / Guyou / Peirce quincuncial family -------------------------
+
+# sampled from the reference's dedicated gie files (guyou.gie,
+# adams_*.gie, peirce_q.gie); those files quote expectations at
+# centimeter precision, so compare at 6 mm
+ADAMS_GOLDENS = [
+    ("+proj=guyou +R=6370997", -89.3858632536, -85.7390309668, -671252.534, -11805089.168),
+    ("+proj=guyou +R=6370997", -9.2490763384, -71.0229026677, -448842.813, -8910142.058),
+    ("+proj=guyou +R=6370997", 70.3874078634, -56.919896657, 5230934.598, -9486837.736),
+    ("+proj=guyou +R=6370997", -29.6345258809, -41.8794443052, -2831674.368, -5185997.953),
+    ("+proj=guyou +R=6370997", 50.750905623, -27.8467488939, 5649446.347, -3807241.841),
+    ("+proj=guyou +R=6370997", -49.8326118713, -12.2344952465, -5830239.587, -1625964.636),
+    ("+proj=guyou +R=6370997", 30.3541137581, 0.7990141229, 3454411.853, 95128.412),
+    ("+proj=guyou +R=6370997", -69.8245239316, 15.4247668791, -8603644.646, 2333402.982),
+    ("+proj=guyou +R=6370997", 10.1908900667, 29.4473999043, 1055041.336, 3373090.24),
+    ("+proj=guyou +R=6370997", -89.475732599, 43.2756199739, -11568961.17, 9589089.555),
+    ("+proj=guyou +R=6370997", -9.1047501907, 59.4124031484, -649264.745, 7231297.403),
+    ("+proj=guyou +R=6370997", 70.6228216997, 73.0662960367, 2561247.727, 10868246.628),
+    ("+proj=adams_hemi +R=6370997", -89.9433443609, -87.0825895518, -2032451.307, -14670658.595),
+    ("+proj=adams_hemi +R=6370997", -9.6128015323, -68.4874678083, -646826.577, -8904263.293),
+    ("+proj=adams_hemi +R=6370997", 70.8357778632, -59.475124822, 5450054.504, -8962420.257),
+    ("+proj=adams_hemi +R=6370997", -29.706584503, -42.3050919341, -2859905.278, -5199352.562),
+    ("+proj=adams_hemi +R=6370997", 50.4426160267, -28.7604876417, 5473507.294, -3935831.832),
+    ("+proj=adams_hemi +R=6370997", -49.2718060884, -12.0872143872, -5769460.92, -1657984.518),
+    ("+proj=adams_hemi +R=6370997", 30.9157771281, 1.5084105801, 3524936.009, 181088.864),
+    ("+proj=adams_hemi +R=6370997", -69.5919903841, 16.3857419518, -8573212.789, 2923178.6),
+    ("+proj=adams_hemi +R=6370997", 10.4236001839, 31.4267077934, 1072418.207, 3612634.442),
+    ("+proj=adams_hemi +R=6370997", -89.3631524858, 43.6013437171, -8456598.089, 8145902.918),
+    ("+proj=adams_hemi +R=6370997", -9.9177724571, 59.095166226, -790135.18, 7330448.667),
+    ("+proj=adams_hemi +R=6370997", 70.8431571594, 72.0862933562, 4145342.784, 10857384.689),
+    ("+proj=adams_ws1 +R=6370997", -159.5146913398, -89.9552061084, -350717.162, -11748881.092),
+    ("+proj=adams_ws1 +R=6370997", 0.8271647968, -69.2722085113, 38107.829, -5095338.557),
+    ("+proj=adams_ws1 +R=6370997", 160.6088986258, -52.1795359483, 10009756.247, -4978006.469),
+    ("+proj=adams_ws1 +R=6370997", -49.5480487278, -42.2232882391, -2682493.692, -2679394.683),
+    ("+proj=adams_ws1 +R=6370997", 110.2074536086, -24.737125682, 6529985.921, -1741419.588),
+    ("+proj=adams_ws1 +R=6370997", -99.9990872016, -15.4549241428, -5889334.034, -1034038.536),
+    ("+proj=adams_ws1 +R=6370997", 60.7806464601, 1.9656672403, 3458637.676, 117050.207),
+    ("+proj=adams_ws1 +R=6370997", -149.0300160729, 12.0779530345, -9393645.594, 925474.868),
+    ("+proj=adams_ws1 +R=6370997", 10.8523072346, 31.6410734176, 591047.237, 1847096.134),
+    ("+proj=adams_ws1 +R=6370997", 170.1397977064, 47.5954473956, 10925947.772, 4426508.24),
+    ("+proj=adams_ws1 +R=6370997", -39.0306006434, 56.2379702434, -1998881.092, 3793906.979),
+    ("+proj=adams_ws1 +R=6370997", 120.5528704261, 77.5805939292, 4968887.256, 8186300.038),
+    ("+proj=adams_ws2 +R=6370997", -169.9316998581, -89.6983443874, -2757243.603, -13694037.516),
+    ("+proj=adams_ws2 +R=6370997", 0.4315853824, -71.5575178388, 19979.237, -5441012.049),
+    ("+proj=adams_ws2 +R=6370997", 170.5027767145, -51.5189598167, 9675637.514, -6026539.807),
+    ("+proj=adams_ws2 +R=6370997", -29.1962960438, -42.8806359633, -1563179.016, -2646665.138),
+    ("+proj=adams_ws2 +R=6370997", 140.5571385114, -23.627247594, 8905477.819, -2232473.683),
+    ("+proj=adams_ws2 +R=6370997", -59.3174344116, -13.540030444, -3361462.25, -813740.055),
+    ("+proj=adams_ws2 +R=6370997", 110.398614589, 5.0514461622, 6706729.32, 371990.508),
+    ("+proj=adams_ws2 +R=6370997", -89.977306616, 16.3601816158, -5252963.299, 1091861.766),
+    ("+proj=adams_ws2 +R=6370997", 80.554887202, 35.66988177, 4518398.282, 2388864.639),
+    ("+proj=adams_ws2 +R=6370997", -119.3388991582, 43.6373394362, -6814813.949, 3556870.147),
+    ("+proj=adams_ws2 +R=6370997", 50.1593218026, 61.5209991783, 2518306.294, 4378497.037),
+    ("+proj=adams_ws2 +R=6370997", -149.063383649, 72.7063403889, -6827251.647, 7569191.962),
+    ("+proj=peirce_q +R=6370997 +shape=square", -159.2003712209, -89.5537263306, -16684778.66, 16659858.26),
+    ("+proj=peirce_q +R=6370997 +shape=square", -159.956389328, 71.5181717183, -1879442.18, 874815.08),
+    ("+proj=peirce_q +R=6370997 +shape=diamond", -139.5485387788, -78.1437071317, -858427.3, 22617785.91),
+    ("+proj=peirce_q +R=6370997 +shape=horizontal", -119.6070748182, -86.3003323104, 12170099.87, 203314.63),
+    ("+proj=peirce_q +R=6370997 +shape=horizontal", -119.684493215, 73.8160145972, -13386255.49, 897126.81),
+    ("+proj=peirce_q +R=6370997 +shape=horizontal +scrollx=0.75", -99.1733290138, -76.2249333909, 1519430.13, 245348.39),
+    ("+proj=peirce_q +R=6370997 +shape=vertical", -79.2799350968, -83.869211803, -670454.3, 11939230.67),
+    ("+proj=peirce_q +R=6370997 +shape=vertical", -79.758967297, 75.0775591038, -1642126.09, -12108950.91),
+    ("+proj=peirce_q +R=6370997 +shape=vertical +scrolly=-0.25", -59.2065888779, -74.4787205556, -1491756.45, 888974.5),
+    ("+proj=peirce_q +R=6370997 +shape=nhemisphere", -59.3247479059, 76.5851745566, -1288854.48, -764485.02),
+    ("+proj=peirce_q +R=6370997 +shape=shemisphere", -39.4027491539, -73.669325879, -1160556.37, -1412792.72),
+    ("+proj=peirce_q +shape=square", -135.0, -45.0, -16723842.30316008, -11424272.045841),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", ADAMS_GOLDENS)
+def test_adams_family_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 6e-3 and abs(y[0] - ey) < 6e-3, (x[0], y[0])
+
+
+def test_adams_ws2_generic_inverse_roundtrip():
+    """The reference only ships a Newton inverse for adams_ws2; our
+    generic 2D Newton covers the mid-latitude domain."""
+    tr = compile_projstring("+proj=adams_ws2 +R=6370997")
+    rng = np.random.RandomState(53)
+    lon = rng.uniform(-120, 120, 200)
+    lat = rng.uniform(-60, 60, 200)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    m = np.isfinite(lo)
+    assert m.mean() > 0.9
+    assert np.nanmax(np.abs(lo[m] - lon[m])) < 1e-6
+    assert np.nanmax(np.abs(la[m] - lat[m])) < 1e-6
