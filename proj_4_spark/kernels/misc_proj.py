@@ -1618,3 +1618,264 @@ def gstmerc_inv(x, y, C: GstmercConsts):
     lam = L / C.n1
     phi = -phi2((np.exp((LC - C.c) / C.n1)), C.e)
     return lam, phi
+
+
+# -------------------------------- generic interrupted compositions
+# (igh_o.cpp, imoll.cpp, imoll_o.cpp — same skeleton as igh)
+
+_DD = {d: d * np.pi / 180.0 for d in (10, 20, 40, 50, 60, 80, 90, 100,
+                                      110, 130, 140, 150, 160, 180)}
+_I_EPS = 1e-10
+
+
+@dataclass(frozen=True)
+class InterruptedConsts:
+    kind: str  # 'igh_o' | 'imoll' | 'imoll_o'
+    moll: MollConsts
+    dy0: float
+    zones: tuple  # idx0 -> (is_moll, lam0, x0, y0)
+    boundaries: tuple = ()  # imoll kinds: inverse zone x boundaries
+
+
+def interrupted_setup(kind: str) -> InterruptedConsts:
+    moll = moll_setup(HALFPI)
+    d = _DD
+    if kind == "igh_o":
+        _, yb = moll_fwd(np.array([0.0]), np.array([IGH_PHI_B]), moll)
+        dy0 = float(IGH_PHI_B - yb[0])
+        zones = (
+            (True, -d[140], -d[140], dy0), (True, -d[10], -d[10], dy0),
+            (True, d[130], d[130], dy0),
+            (False, -d[140], -d[140], 0.0), (False, -d[10], -d[10], 0.0),
+            (False, d[130], d[130], 0.0),
+            (False, -d[110], -d[110], 0.0), (False, d[20], d[20], 0.0),
+            (False, d[150], d[150], 0.0),
+            (True, -d[110], -d[110], -dy0), (True, d[20], d[20], -dy0),
+            (True, d[150], d[150], -dy0),
+        )
+    elif kind == "imoll":
+        dy0 = 0.0
+        lam0s = [-d[100], np.radians(30.0), -d[160], -d[60], d[20], d[140]]
+        x0 = [v for v in lam0s]
+        eps = _I_EPS
+
+        def off(z1, z2, lam, p1, p2):
+            x1, _ = moll_fwd(np.array([lam - lam0s[z1 - 1]]),
+                             np.array([p1]), moll)
+            x2, _ = moll_fwd(np.array([lam - lam0s[z2 - 1]]),
+                             np.array([p2]), moll)
+            return (float(x2[0]) + x0[z2 - 1]) - (float(x1[0]) + x0[z1 - 1])
+
+        # seam matching (imoll.cpp "Adjust zones", order-sensitive)
+        x0[2] += off(3, 1, -d[160], -eps, eps)
+        x0[1] += off(2, 1, -d[40], eps, eps)
+        x0[3] += off(4, 1, -d[100], -eps, eps)
+        x0[4] += off(5, 2, -d[20], -eps, eps)
+        x0[5] += off(6, 2, d[80], -eps, eps)
+        zones = tuple((True, lam0s[i], x0[i], 0.0) for i in range(6))
+    else:  # imoll_o
+        dy0 = 0.0
+        lam0s = [-d[140], -d[10], d[130], -d[110], d[20], d[150]]
+        x0 = [v for v in lam0s]
+        eps = _I_EPS
+
+        def off(z1, z2, lam, p1, p2):
+            x1, _ = moll_fwd(np.array([lam - lam0s[z1 - 1]]),
+                             np.array([p1]), moll)
+            x2, _ = moll_fwd(np.array([lam - lam0s[z2 - 1]]),
+                             np.array([p2]), moll)
+            return (float(x2[0]) + x0[z2 - 1]) - (float(x1[0]) + x0[z1 - 1])
+
+        x0[1] += off(2, 1, -d[90], eps, eps)
+        x0[2] += off(3, 2, d[60], eps, eps)
+        x0[3] += off(4, 1, -d[180], -eps, eps)
+        x0[4] += off(5, 2, -d[60], -eps, eps)
+        x0[5] += off(6, 3, d[90], -eps, eps)
+        zones = tuple((True, lam0s[i], x0[i], 0.0) for i in range(6))
+    C0 = InterruptedConsts(kind=kind, moll=moll, dy0=dy0, zones=zones)
+    if kind == "igh_o":
+        return C0
+    # inverse zone x boundaries: forward at the seam +- eps, averaged
+    # (imoll.cpp compute_zone_x_boundary)
+    eps = _I_EPS
+
+    def xbound(lam, phi):
+        x1, _ = interrupted_fwd(np.array([lam - eps]), np.array([phi]), C0)
+        x2, _ = interrupted_fwd(np.array([lam + eps]), np.array([phi]), C0)
+        return 0.5 * (float(x1[0]) + float(x2[0]))
+
+    if kind == "imoll":
+        boundaries = (xbound(-d[40], eps), xbound(-d[100], -eps),
+                      xbound(-d[20], -eps), xbound(d[80], -eps))
+    else:
+        boundaries = (xbound(-d[90], eps), xbound(d[60], eps),
+                      xbound(-d[60], -eps), xbound(d[90], -eps))
+    return InterruptedConsts(kind=kind, moll=moll, dy0=dy0, zones=zones,
+                             boundaries=boundaries)
+
+
+def _izone_fwd(kind: str, lam, phi):
+    d = _DD
+    z = np.empty(lam.shape, dtype=np.int64)
+    if kind == "igh_o":
+        top = phi >= IGH_PHI_B
+        mid = (phi >= 0) & ~top
+        low = (phi >= -IGH_PHI_B) & (phi < 0)
+        bot = phi < -IGH_PHI_B
+        for m, base, lo, hi in ((top, 1, -d[90], d[60]),
+                                (mid, 4, -d[90], d[60]),
+                                (low, 7, -d[60], d[90]),
+                                (bot, 10, -d[60], d[90])):
+            lm = lam[m]
+            z[m] = np.where(lm <= lo, base,
+                            np.where(lm >= hi, base + 2, base + 1))
+    elif kind == "imoll":
+        north = phi >= 0
+        z[north] = np.where(lam[north] <= -d[40], 1, 2)
+        s = ~north
+        lm = lam[s]
+        z[s] = np.where(lm <= -d[100], 3,
+                        np.where(lm <= -d[20], 4,
+                                 np.where(lm <= d[80], 5, 6)))
+    else:  # imoll_o
+        north = phi >= 0
+        lm = lam[north]
+        z[north] = np.where(lm <= -d[90], 1, np.where(lm >= d[60], 3, 2))
+        s = ~north
+        lm = lam[s]
+        z[s] = np.where(lm <= -d[60], 4, np.where(lm >= d[90], 6, 5))
+    return z
+
+
+def interrupted_fwd(lam, phi, C: InterruptedConsts):
+    z = _izone_fwd(C.kind, lam, phi)
+    zi = z - 1
+    is_moll = np.array([zz[0] for zz in C.zones])[zi]
+    lam0 = np.array([zz[1] for zz in C.zones])[zi]
+    x0 = np.array([zz[2] for zz in C.zones])[zi]
+    y0 = np.array([zz[3] for zz in C.zones])[zi]
+    lrel = lam - lam0
+    xs = lrel * np.cos(phi)
+    ys = phi
+    xm, ym = moll_fwd(lrel, phi, C.moll)
+    x = np.where(is_moll, xm, xs) + x0
+    y = np.where(is_moll, ym, ys) + y0
+    return x, y
+
+
+# per-zone validity rules (lam, phi) -> bool, mirrored from the
+# reference switch blocks
+def _irules(kind: str):
+    d = _DD
+    e = _I_EPS
+    if kind == "igh_o":
+        return {
+            1: lambda la, ph: ((la >= -d[180] - e) & (la <= -d[90] + e))
+            | ((la >= d[160] - e) & (la <= d[180] + e)
+               & (ph >= d[50] - e) & (ph <= d[90] + e)),
+            2: lambda la, ph: (la >= -d[90] - e) & (la <= d[60] + e),
+            3: lambda la, ph: ((la >= d[60] - e) & (la <= d[180] + e))
+            | ((la >= -d[180] - e) & (la <= -d[160] + e)
+               & (ph >= d[50] - e) & (ph <= d[90] + e)),
+            4: lambda la, ph: (la >= -d[180] - e) & (la <= -d[90] + e),
+            5: lambda la, ph: (la >= -d[90] - e) & (la <= d[60] + e),
+            6: lambda la, ph: (la >= d[60] - e) & (la <= d[180] + e),
+            7: lambda la, ph: (la >= -d[180] - e) & (la <= -d[60] + e),
+            8: lambda la, ph: (la >= -d[60] - e) & (la <= d[90] + e),
+            9: lambda la, ph: (la >= d[90] - e) & (la <= d[180] + e),
+            10: lambda la, ph: (la >= -d[180] - e) & (la <= -d[60] + e),
+            11: lambda la, ph: ((la >= -d[60] - e) & (la <= d[90] + e))
+            | ((la >= d[90] - e) & (la <= d[100] + e)
+               & (ph >= -d[90] - e) & (ph <= -d[40] + e)),
+            12: lambda la, ph: (la >= d[90] - e) & (la <= d[180] + e),
+        }
+    if kind == "imoll":
+        return {
+            1: lambda la, ph: (la >= -d[180] - e) & (la <= -d[40] + e)
+            & (ph >= -e),
+            2: lambda la, ph: (la >= -d[40] - e) & (la <= d[180] + e)
+            & (ph >= -e),
+            3: lambda la, ph: (la >= -d[180] - e) & (la <= -d[100] + e)
+            & (ph <= e),
+            4: lambda la, ph: (la >= -d[100] - e) & (la <= -d[20] + e)
+            & (ph <= e),
+            5: lambda la, ph: (la >= -d[20] - e) & (la <= d[80] + e)
+            & (ph <= e),
+            6: lambda la, ph: (la >= d[80] - e) & (la <= d[180] + e)
+            & (ph <= e),
+        }
+    return {
+        1: lambda la, ph: (la >= -d[180] - e) & (la <= -d[90] + e)
+        & (ph >= -e),
+        2: lambda la, ph: (la >= -d[90] - e) & (la <= d[60] + e)
+        & (ph >= -e),
+        3: lambda la, ph: (la >= d[60] - e) & (la <= d[180] + e)
+        & (ph >= -e),
+        4: lambda la, ph: (la >= -d[180] - e) & (la <= -d[60] + e)
+        & (ph <= e),
+        5: lambda la, ph: (la >= -d[60] - e) & (la <= d[90] + e)
+        & (ph <= e),
+        6: lambda la, ph: (la >= d[90] - e) & (la <= d[180] + e)
+        & (ph <= e),
+    }
+
+
+def interrupted_inv(x, y, C: InterruptedConsts):
+    d = _DD
+    e = _I_EPS
+    z = np.zeros(x.shape, dtype=np.int64)
+    if C.kind == "igh_o":
+        y90 = C.dy0 + np.sqrt(2.0)
+        inside = (y <= y90 + e) & (y >= -y90 + e)
+        top = inside & (y >= IGH_PHI_B)
+        mid = inside & (y >= 0) & ~top
+        low = inside & (y >= -IGH_PHI_B) & (y < 0)
+        bot = inside & (y < -IGH_PHI_B)
+        for m, base, lo, hi in ((top, 1, -d[90], d[60]),
+                                (mid, 4, -d[90], d[60]),
+                                (low, 7, -d[60], d[90]),
+                                (bot, 10, -d[60], d[90])):
+            xm = x[m]
+            z[m] = np.where(xm <= lo, base,
+                            np.where(xm >= hi, base + 2, base + 1))
+    elif C.kind == "imoll":
+        b12, b34, b45, b56 = C.boundaries
+        y90 = np.sqrt(2.0)
+        inside = (y <= y90 + e) & (y >= -y90 + e)
+        north = inside & (y >= 0)
+        z[north] = np.where(x[north] <= b12, 1, 2)
+        s = inside & ~north
+        xm = x[s]
+        z[s] = np.where(xm <= b34, 3,
+                        np.where(xm <= b45, 4,
+                                 np.where(xm <= b56, 5, 6)))
+    else:
+        b12, b23, b45, b56 = C.boundaries
+        y90 = np.sqrt(2.0)
+        inside = (y <= y90 + e) & (y >= -y90 + e)
+        north = inside & (y >= 0)
+        xm = x[north]
+        z[north] = np.where(xm <= b12, 1, np.where(xm <= b23, 2, 3))
+        s = inside & ~north
+        xm = x[s]
+        z[s] = np.where(xm <= b45, 4, np.where(xm <= b56, 5, 6))
+    zi = np.maximum(z - 1, 0)
+    is_moll = np.array([zz[0] for zz in C.zones])[zi]
+    lam0 = np.array([zz[1] for zz in C.zones])[zi]
+    x0 = np.array([zz[2] for zz in C.zones])[zi]
+    y0 = np.array([zz[3] for zz in C.zones])[zi]
+    xr = x - x0
+    yr = y - y0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ls, ps = xr / np.cos(yr), yr
+        lm, pm = moll_inv(xr, yr, C.moll)
+    lam = np.where(is_moll, lm, ls) + lam0
+    phi = np.where(is_moll, pm, ps)
+    ok = np.zeros(x.shape, dtype=bool)
+    for zz, rule in _irules(C.kind).items():
+        m = z == zz
+        if m.any():
+            ok[m] = rule(lam[m], phi[m])
+    lam = np.where(ok, lam, np.nan)
+    phi = np.where(ok, phi, np.nan)
+    return lam, phi

@@ -1147,6 +1147,17 @@ def _mk_som(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*k_som.inv(x, y, C), z)
 
 
+def _mk_interrupted(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    op.ell = _E.from_a_es(op.ell.a, 0.0)  # spherical forced
+    C = M.interrupted_setup(op.proj_id)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.interrupted_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
+
+
 def _mk_igh(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
     from .kernels.ellipsoid import Ellipsoid as _E
@@ -1376,6 +1387,9 @@ def _misc_registry():
         "lsat": _mk_som,
         "misrsom": _mk_som,
         "igh": _mk_igh,
+        "igh_o": _mk_interrupted,
+        "imoll": _mk_interrupted,
+        "imoll_o": _mk_interrupted,
         "cass": _mk_cass,
         "poly": _mk_poly,
         "bonne": _mk_bonne,

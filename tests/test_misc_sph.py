@@ -491,3 +491,52 @@ def test_adams_ws2_generic_inverse_roundtrip():
     assert m.mean() > 0.9
     assert np.nanmax(np.abs(lo[m] - lon[m])) < 1e-6
     assert np.nanmax(np.abs(la[m] - lat[m])) < 1e-6
+
+
+# --- interrupted variants: igh_o, imoll, imoll_o -----------------------
+
+INTERRUPTED_GOLDENS = [
+    ("+proj=igh_o +a=6400000", 2.0, 1.0, 223197.992883418, 111701.072127637),
+    ("+proj=igh_o +a=6400000", 2.0, -1.0, 223708.371313058, -111701.072127637),
+    ("+proj=igh_o +a=6400000", -2.0, 1.0, -223538.245169845, 111701.072127637),
+    ("+proj=igh_o +a=6400000", -2.0, -1.0, -223027.866740205, -111701.072127637),
+    ("+proj=igh_o +a=6400000", -140.0, 22.0, -15638150.097869191, 2457423.586808016),
+    ("+proj=igh_o +a=6400000", 170.0, 70.0, 16560870.317293623, 7463176.386461447),
+    ("+proj=imoll +a=6400000", 2.0, 1.0, -912080.2838111484, 124066.28343385954),
+    ("+proj=imoll +a=6400000", 2.0, -1.0, -912174.7682896153, -124066.28343385954),
+    ("+proj=imoll +a=6400000", -2.0, 1.0, -1314307.6810947747, 124066.28343385954),
+    ("+proj=imoll +a=6400000", -2.0, -1.0, -1314402.165573242, -124066.28343385954),
+    ("+proj=imoll +a=6400000", -39.99, 0.1, -5135117.070745013, 12406.8672748194),
+    ("+proj=imoll +a=6400000", -40.01, 0.1, -5137140.677694758, 12406.8672748194),
+    ("+proj=imoll_o +a=6400000", 2.0, 1.0, -1357849.196080366, 124066.28343385954),
+    ("+proj=imoll_o +a=6400000", 2.0, -1.0, -1357565.7426449617, -124066.28343385954),
+    ("+proj=imoll_o +a=6400000", -2.0, 1.0, -1760076.5933639924, 124066.28343385954),
+    ("+proj=imoll_o +a=6400000", -2.0, -1.0, -1759793.1399285884, -124066.28343385954),
+    ("+proj=imoll_o +a=6400000", -89.99, 0.1, -10608821.988700796, 12406.8672748194),
+    ("+proj=imoll_o +a=6400000", -90.01, 0.1, -10610845.595650543, 12406.8672748194),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", INTERRUPTED_GOLDENS)
+def test_interrupted_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+@pytest.mark.parametrize("pstr", ["+proj=igh_o +a=6400000",
+                                  "+proj=imoll +a=6400000",
+                                  "+proj=imoll_o +a=6400000"])
+def test_interrupted_roundtrip(pstr):
+    """Globe-wide through the per-zone inverse with the seam-matched
+    x offsets and validity gates."""
+    rng = np.random.RandomState(59)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
+    assert np.isnan(lo).mean() == 0.0
