@@ -1879,3 +1879,118 @@ def interrupted_inv(x, y, C: InterruptedConsts):
     lam = np.where(ok, lam, np.nan)
     phi = np.where(ok, phi, np.nan)
     return lam, phi
+
+
+# ------------------------------------------------------------ calcofi
+
+_CAL_DEG_TO_LINE = 5.0
+_CAL_DEG_TO_STATION = 15.0
+_CAL_LINE_TO_RAD = 0.0034906585039886592
+_CAL_STATION_TO_RAD = 0.0011635528346628863
+_CAL_O_LINE = 80.0
+_CAL_O_STATION = 60.0
+_CAL_O_LAMBDA = -2.1144663887911301
+_CAL_O_PHI = 0.59602993955606354
+_CAL_ROT = 0.52359877559829882
+_RAD_TO_DEG_ = 180.0 / np.pi
+
+
+def calcofi_fwd(lam, phi, es: float):
+    """CalCOFI line/station grid (calcofi.cpp e/s forward)."""
+    e = np.sqrt(es)
+    rot = _CAL_ROT
+    bad = np.abs(np.abs(phi) - HALFPI) <= EPS10
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if es != 0.0:
+            my = -np.log(tsfn(phi, np.sin(phi), e))
+            oy = -np.log(float(tsfn(np.float64(_CAL_O_PHI),
+                                    np.float64(np.sin(_CAL_O_PHI)), e)))
+        else:
+            my = np.log(np.tan(FORTPI + 0.5 * phi))
+            oy = float(np.log(np.tan(FORTPI + 0.5 * _CAL_O_PHI)))
+        l1 = (my - oy) * np.tan(rot)
+        l2 = -lam - l1 + _CAL_O_LAMBDA
+        ry = l2 * np.cos(rot) * np.sin(rot) + my
+        if es != 0.0:
+            ry = phi2(np.exp(-ry), e)
+        else:
+            ry = HALFPI - 2.0 * np.arctan(np.exp(-ry))
+        x = _CAL_O_LINE - _RAD_TO_DEG_ * (ry - _CAL_O_PHI) \
+            * _CAL_DEG_TO_LINE / np.cos(rot)
+        y = _CAL_O_STATION + _RAD_TO_DEG_ * (ry - phi) \
+            * _CAL_DEG_TO_STATION / np.sin(rot)
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def calcofi_inv(x, y, es: float):
+    """calcofi.cpp e/s inverse."""
+    e = np.sqrt(es)
+    rot = _CAL_ROT
+    ry = _CAL_O_PHI - _CAL_LINE_TO_RAD * (x - _CAL_O_LINE) * np.cos(rot)
+    phi = ry - _CAL_STATION_TO_RAD * (y - _CAL_O_STATION) * np.sin(rot)
+    if es != 0.0:
+        oym = -np.log(float(tsfn(np.float64(_CAL_O_PHI),
+                                 np.float64(np.sin(_CAL_O_PHI)), e)))
+        rym = -np.log(tsfn(ry, np.sin(ry), e))
+        xym = -np.log(tsfn(phi, np.sin(phi), e))
+    else:
+        oym = float(np.log(np.tan(FORTPI + 0.5 * _CAL_O_PHI)))
+        rym = np.log(np.tan(FORTPI + 0.5 * ry))
+        xym = np.log(np.tan(FORTPI + 0.5 * phi))
+    l1 = (xym - oym) * np.tan(rot)
+    l2 = (rym - xym) / (np.cos(rot) * np.sin(rot))
+    lam = _CAL_O_LAMBDA - (l1 + l2)
+    return lam, phi
+
+
+# ---------------------------------------------------------- col_urban
+
+@dataclass(frozen=True)
+class ColUrbanConsts:
+    h0: float
+    rho0: float
+    A: float
+    B: float
+    C: float
+    D: float
+    es: float
+    phi0: float
+
+
+def col_urban_setup(params: dict, ell: Ellipsoid,
+                    phi0: float) -> ColUrbanConsts:
+    """EPSG Colombia Urban (col_urban.cpp:55-80)."""
+    es = ell.es
+    h0 = float(params.get("h_0", 0.0)) / ell.a
+    s0 = np.sin(phi0)
+    nu0 = 1.0 / np.sqrt(1.0 - es * s0 * s0)
+    A = 1.0 + h0 / nu0
+    rho0 = (1.0 - es) / (1.0 - es * s0 * s0) ** 1.5
+    B = np.tan(phi0) / (2.0 * rho0 * nu0)
+    C = 1.0 + h0
+    D = rho0 * (1.0 + h0 / (1.0 - es))
+    return ColUrbanConsts(h0=h0, rho0=float(rho0), A=float(A), B=float(B),
+                          C=float(C), D=float(D), es=es, phi0=phi0)
+
+
+def col_urban_fwd(lam, phi, C: ColUrbanConsts):
+    """col_urban.cpp:25-42."""
+    cosphi = np.cos(phi)
+    sinphi = np.sin(phi)
+    nu = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
+    lnc = lam * nu * cosphi
+    x = C.A * lnc
+    sm = np.sin(0.5 * (phi + C.phi0))
+    rho_m = (1.0 - C.es) / (1.0 - C.es * sm * sm) ** 1.5
+    G = 1.0 + C.h0 / rho_m
+    y = G * C.rho0 * ((phi - C.phi0) + C.B * lnc * lnc)
+    return x, y
+
+
+def col_urban_inv(x, y, C: ColUrbanConsts):
+    """col_urban.cpp:44-53."""
+    phi = C.phi0 + y / C.D - C.B * (x / C.C) ** 2
+    sinphi = np.sin(phi)
+    nu = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
+    lam = x / (C.C * nu * np.cos(phi))
+    return lam, phi

@@ -558,6 +558,57 @@ def compile_operation(params: dict) -> Operation:
         op.left, op.right = RADIANS, RADIANS
         op.fwd_k = lambda x, y, z, t: (x, geoc_fwd(y, one_es), z)
         op.inv_k = lambda x, y, z, t: (x, geoc_inv(y, one_es), z)
+    elif proj_id == "xyzgridshift":
+        # 3D cartesian grid shift (transformations/xyzgridshift.cpp):
+        # geocentric in/out; the (dx,dy,dz) grid is indexed by the
+        # geodetic coordinates of the grid_ref CRS
+        from .kernels import gridshift as k_grid
+
+        name = params.get("grids")
+        if not name:
+            raise ValueError("xyzgridshift: missing +grids")
+        grid = GRID_REGISTRY.get(str(name))
+        if grid is None:
+            raise FileNotFoundError(
+                f"xyzgridshift: grid '{name}' not in GRID_REGISTRY")
+        mult = float(params.get("multiplier", 1.0))
+        grid_ref_is_input = str(params.get("grid_ref",
+                                           "input_crs")) == "input_crs"
+        cartC = k_cart.setup({}, ell)
+        op.left, op.right = CARTESIAN, CARTESIAN
+
+        def _gvals(X, Y, Z):
+            la, ph, _ = k_cart.inv(X, Y, Z, cartC)
+            d = k_grid._bilinear(grid, la, ph)
+            ok = k_grid.in_grid(grid, la, ph)
+            return (np.where(ok, d[..., 0] * mult, np.nan),
+                    np.where(ok, d[..., 1] * mult, np.nan),
+                    np.where(ok, d[..., 2] * mult, np.nan))
+
+        def _direct(X, Y, Z, factor):
+            dx, dy, dz = _gvals(X, Y, Z)
+            return X + factor * dx, Y + factor * dy, Z + factor * dz
+
+        def _iterative(X, Y, Z, factor, max_iter=10):
+            px, py, pz = X.copy(), Y.copy(), Z.copy()
+            for _ in range(max_iter):
+                dx, dy, dz = _gvals(px, py, pz)
+                dx, dy, dz = factor * dx, factor * dy, factor * dz
+                err = ((px - X - dx) ** 2 + (py - Y - dy) ** 2
+                       + (pz - Z - dz) ** 2)
+                px = X + dx
+                py = Y + dy
+                pz = Z + dz
+                if np.all(np.isnan(err) | (err < 1e-10)):
+                    break
+            return px, py, pz
+
+        if grid_ref_is_input:
+            op.fwd_k = lambda x, y, z, t: _direct(x, y, z, 1.0)
+            op.inv_k = lambda x, y, z, t: _iterative(x, y, z, -1.0)
+        else:
+            op.fwd_k = lambda x, y, z, t: _iterative(x, y, z, 1.0)
+            op.inv_k = lambda x, y, z, t: _direct(x, y, z, -1.0)
     elif proj_id in ("hgridshift", "vgridshift"):
         # grid-based datum shift; grids resolve through GRID_REGISTRY
         # (the Spark deployment broadcasts the arrays; the reference
@@ -1158,6 +1209,29 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
 
 
+def _mk_calcofi(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    # line/station output: a=1, no offsets, +over (calcofi.cpp setup)
+    es = op.ell.es
+    op.ell = _E.from_a_es(1.0, es)
+    op.lam0 = 0.0
+    op.x0 = op.y0 = 0.0
+    op.over = True
+    op.fwd_k = lambda x, y, z, t: (*M.calcofi_fwd(x, y, es), z)
+    op.inv_k = lambda x, y, z, t: (*M.calcofi_inv(x, y, es), z)
+
+
+def _mk_col_urban(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.col_urban_setup(params, ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.col_urban_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.col_urban_inv(x, y, C), z)
+
+
 def _mk_igh(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
     from .kernels.ellipsoid import Ellipsoid as _E
@@ -1386,6 +1460,8 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "calcofi": _mk_calcofi,
+        "col_urban": _mk_col_urban,
         "igh": _mk_igh,
         "igh_o": _mk_interrupted,
         "imoll": _mk_interrupted,

@@ -540,3 +540,79 @@ def test_interrupted_roundtrip(pstr):
     assert np.nanmax(np.abs(lo - lon)) < 1e-9
     assert np.nanmax(np.abs(la - lat)) < 1e-9
     assert np.isnan(lo).mean() == 0.0
+
+
+# --- calcofi, col_urban, xyzgridshift ---------------------------------
+
+def test_calcofi_gie_golden():
+    """builtins.gie calcofi block: line/station units (no a scale)."""
+    tr = compile_projstring("+proj=calcofi +ellps=GRS80")
+    x, y, _, _ = tr.transform_deg(np.array([2.0, -2.0]),
+                                  np.array([1.0, -1.0]))
+    assert abs(x[0] - 508.44487215) < 1e-6
+    assert abs(y[0] + 1171.764860418) < 1e-6
+    assert abs(x[1] - 507.369719137) < 1e-6
+    assert abs(y[1] + 1106.178201483) < 1e-6
+    lo, la, _, _ = tr.transform_deg(np.array([200.0]), np.array([100.0]),
+                                    direction="inv")
+    assert abs(lo[0] + 110.363307925) < 1e-6
+    assert abs(la[0] - 12.032056976) < 1e-6
+
+
+def test_calcofi_roundtrip():
+    tr = compile_projstring("+proj=calcofi +ellps=GRS80")
+    rng = np.random.RandomState(61)
+    lon = rng.uniform(-130, -110, 300)
+    lat = rng.uniform(28, 40, 300)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+def test_col_urban_bogota_roundtrip():
+    """EPSG Colombia Urban (Bogota parameters); the reference inverse
+    is the approximate EPSG GN 7-2 formula (~0.3 mm)."""
+    tr = compile_projstring(
+        "+proj=col_urban +ellps=GRS80 +lat_0=4.68048611111111 "
+        "+lon_0=-74.1465916666667 +h_0=2550 "
+        "+x_0=92334.879 +y_0=109320.965")
+    rng = np.random.RandomState(67)
+    lon = rng.uniform(-74.3, -74.0, 200)
+    lat = rng.uniform(4.5, 4.9, 200)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-8
+    assert np.nanmax(np.abs(la - lat)) < 1e-8
+
+
+def test_xyzgridshift_roundtrip():
+    """cart-fused 3D grid shift with a synthetic (dx,dy,dz) grid:
+    direct forward, iterative inverse (xyzgridshift.cpp)."""
+    from proj_4_spark import proj as P
+    from proj_4_spark.kernels.gridshift import Grid
+
+    n = 41
+    lonr = np.linspace(np.radians(-10), np.radians(30), n)
+    latr = np.linspace(np.radians(35), np.radians(70), n)
+    LO, LA = np.meshgrid(lonr, latr)
+    vals = np.stack([2.0 + np.sin(LO), -1.5 + np.cos(LA),
+                     0.5 + np.sin(LO + LA)], axis=-1)
+    P.GRID_REGISTRY["test_xyz"] = Grid(
+        lon0=float(lonr[0]), lat0=float(latr[0]),
+        dlon=float(lonr[1] - lonr[0]), dlat=float(latr[1] - latr[0]),
+        values=vals)
+    tr = compile_projstring(
+        "+proj=pipeline +step +proj=cart +ellps=GRS80 "
+        "+step +proj=xyzgridshift +ellps=GRS80 +grids=test_xyz")
+    rng = np.random.RandomState(71)
+    lon = rng.uniform(-5, 25, 200)
+    lat = rng.uniform(40, 65, 200)
+    X, Y, Z, _ = tr.transform_deg(lon, lat, np.zeros(200))
+    tr0 = compile_projstring("+proj=cart +ellps=GRS80")
+    X0, _, _, _ = tr0.transform_deg(lon, lat, np.zeros(200))
+    assert 1.0 < np.nanmin(X - X0) and np.nanmax(X - X0) < 3.0  # ~2+sin
+    lo, la, h, _ = tr.transform_deg(X, Y, Z, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-10
+    assert np.nanmax(np.abs(la - lat)) < 1e-10
+    assert np.nanmax(np.abs(h)) < 1e-5
