@@ -1994,3 +1994,214 @@ def col_urban_inv(x, y, C: ColUrbanConsts):
     nu = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
     lam = x / (C.C * nu * np.cos(phi))
     return lam, phi
+
+
+# ------------------------------------------------------------- labrd
+
+@dataclass(frozen=True)
+class LabrdConsts:
+    kRg: float
+    p0s: float
+    A: float
+    C: float
+    Ca: float
+    Cb: float
+    Cc: float
+    Cd: float
+    e: float
+    es: float
+    one_es: float
+    k0: float
+    phi0: float
+
+
+def labrd_setup(params: dict, ell: Ellipsoid, k0: float,
+                phi0: float) -> LabrdConsts:
+    """Laborde Madagascar (labrd.cpp:95-137)."""
+    if phi0 == 0.0:
+        raise ValueError("labrd: lat_0 should be different from 0")
+    Az = np.radians(float(params.get("azi", 0.0)))
+    sinp = np.sin(phi0)
+    t = 1.0 - ell.es * sinp * sinp
+    N = 1.0 / np.sqrt(t)
+    R = ell.one_es * N / t
+    kRg = k0 * np.sqrt(N * R)
+    p0s = np.arctan(np.sqrt(R / N) * np.tan(phi0))
+    A = sinp / np.sin(p0s)
+    te = ell.e * sinp
+    C = (0.5 * ell.e * A * np.log((1.0 + te) / (1.0 - te))
+         - A * np.log(np.tan(FORTPI + 0.5 * phi0))
+         + np.log(np.tan(FORTPI + 0.5 * p0s)))
+    t2 = Az + Az
+    Cb = 1.0 / (12.0 * kRg * kRg)
+    Ca = (1.0 - np.cos(t2)) * Cb
+    Cb = Cb * np.sin(t2)
+    return LabrdConsts(kRg=float(kRg), p0s=float(p0s), A=float(A),
+                       C=float(C), Ca=float(Ca), Cb=float(Cb),
+                       Cc=float(3.0 * (Ca * Ca - Cb * Cb)),
+                       Cd=float(6.0 * Ca * Cb), e=ell.e, es=ell.es,
+                       one_es=ell.one_es, k0=k0, phi0=phi0)
+
+
+def labrd_fwd(lam, phi, C: LabrdConsts):
+    """labrd.cpp:25-58."""
+    V1 = C.A * np.log(np.tan(FORTPI + 0.5 * phi))
+    t = C.e * np.sin(phi)
+    V2 = 0.5 * C.e * C.A * np.log((1.0 + t) / (1.0 - t))
+    ps = 2.0 * (np.arctan(np.exp(V1 - V2 + C.C)) - FORTPI)
+    I1 = ps - C.p0s
+    cosps = np.cos(ps)
+    cosps2 = cosps * cosps
+    sinps = np.sin(ps)
+    sinps2 = sinps * sinps
+    I4 = C.A * cosps
+    I2 = 0.5 * C.A * I4 * sinps
+    I3 = I2 * C.A * C.A * (5.0 * cosps2 - sinps2) / 12.0
+    I6 = I4 * C.A * C.A
+    I5 = I6 * (cosps2 - sinps2) / 6.0
+    I6 = I6 * C.A * C.A * (5.0 * cosps2 * cosps2
+                           + sinps2 * (sinps2 - 18.0 * cosps2)) / 120.0
+    t = lam * lam
+    x = C.kRg * lam * (I4 + t * (I5 + t * I6))
+    y = C.kRg * (I1 + t * (I2 + t * I3))
+    x2 = x * x
+    y2 = y * y
+    V1 = 3.0 * x * y2 - x * x2
+    V2 = y * y2 - 3.0 * x2 * y
+    return x + C.Ca * V1 + C.Cb * V2, y + C.Ca * V2 - C.Cb * V1
+
+
+def labrd_inv(x, y, C: LabrdConsts, max_iter: int = 20, tol: float = 1e-10):
+    """labrd.cpp:60-93."""
+    x2 = x * x
+    y2 = y * y
+    V1 = 3.0 * x * y2 - x * x2
+    V2 = y * y2 - 3.0 * x2 * y
+    V3 = x * (5.0 * y2 * y2 + x2 * (-10.0 * y2 + x2))
+    V4 = y * (5.0 * x2 * x2 + y2 * (-10.0 * x2 + y2))
+    xx = x + (-C.Ca * V1 - C.Cb * V2 + C.Cc * V3 + C.Cd * V4)
+    yy = y + (C.Cb * V1 - C.Ca * V2 - C.Cd * V3 + C.Cc * V4)
+    ps = C.p0s + yy / C.kRg
+    pe = ps + C.phi0 - C.p0s
+    for _ in range(max_iter):
+        V1 = C.A * np.log(np.tan(FORTPI + 0.5 * pe))
+        tpe = C.e * np.sin(pe)
+        V2 = 0.5 * C.e * C.A * np.log((1.0 + tpe) / (1.0 - tpe))
+        t = ps - 2.0 * (np.arctan(np.exp(V1 - V2 + C.C)) - FORTPI)
+        pe = pe + t
+        if np.all(np.abs(t) < tol):
+            break
+    t = C.e * np.sin(pe)
+    t = 1.0 - t * t
+    Re = C.one_es / (t * np.sqrt(t))
+    t = np.tan(ps)
+    t2 = t * t
+    s = C.kRg * C.kRg
+    d = Re * C.k0 * C.kRg
+    I7 = t / (2.0 * d)
+    I8 = t * (5.0 + 3.0 * t2) / (24.0 * d * s)
+    d = np.cos(ps) * C.kRg * C.A
+    I9 = 1.0 / d
+    d = d * s
+    I10 = (1.0 + 2.0 * t2) / (6.0 * d)
+    I11 = (5.0 + t2 * (28.0 + 24.0 * t2)) / (120.0 * d * s)
+    x2 = xx * xx
+    phi = pe + x2 * (-I7 + I8 * x2)
+    lam = xx * (I9 + x2 * (-I10 + x2 * I11))
+    return lam, phi
+
+
+# -------------------------------------------------------------- bipc
+
+_BIPC = dict(
+    lamB=-0.34894976726250681539, n=0.63055844881274687180,
+    F=1.89724742567461030582, Azab=0.81650043674686363166,
+    Azba=1.82261843856185925133, T=1.27246578267089012270,
+    rhoc=1.20709121521568721927, cAzc=0.69691523038678375519,
+    sAzc=0.71715351331143607555, C45=0.70710678118654752469,
+    S45=0.70710678118654752410, C20=0.93969262078590838411,
+    S20=-0.34202014332566873287, R110=1.91986217719376253360,
+    R104=1.81514242207410275904)
+
+
+def bipc_fwd(lam, phi, noskew: bool):
+    """Bipolar oblique conic conformal (bipc.cpp s_forward)."""
+    B = _BIPC
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cphi = np.cos(phi)
+        sphi = np.sin(phi)
+        sdlam = B["lamB"] - lam
+        cdlam = np.cos(sdlam)
+        sdlam = np.sin(sdlam)
+        polar = np.abs(np.abs(phi) - HALFPI) < EPS10
+        tphi = np.where(polar, np.inf, sphi / np.where(cphi == 0, 1.0, cphi))
+        Az = np.where(polar, np.where(phi < 0.0, np.pi, 0.0),
+                      np.arctan2(sdlam, B["C45"] * (tphi - cdlam)))
+        tag = Az > B["Azba"]
+        # tag branch (Azab pole)
+        sd2 = np.sin(lam + B["R110"])
+        cd2 = np.cos(lam + B["R110"])
+        z_t = B["S20"] * sphi + B["C20"] * cphi * cd2
+        Az_t = np.where(polar, Az,
+                        np.arctan2(sd2, B["C20"] * tphi - B["S20"] * cd2))
+        # non-tag branch (Azba pole)
+        z_f = B["S45"] * (sphi + cphi * cdlam)
+        z = np.where(tag, z_t, z_f)
+        bad = np.abs(z) > 1.000000001
+        z = np.arccos(np.clip(z, -1.0, 1.0))
+        Az = np.where(tag, Az_t, Az)
+        Av = np.where(tag, B["Azab"], B["Azba"])
+        ybase = np.where(tag, B["rhoc"], -B["rhoc"])
+        t = np.tan(0.5 * z) ** B["n"]
+        r = B["F"] * t
+        al = 0.5 * (B["R104"] - z)
+        bad |= al < 0.0
+        al = (t + np.clip(al, 0, None) ** B["n"]) / B["T"]
+        bad |= np.abs(al) > 1.000000001
+        al = np.arccos(np.clip(al, -1.0, 1.0))
+        tt = B["n"] * (Av - Az)
+        r = np.where(np.abs(tt) < al,
+                     r / np.cos(al + np.where(tag, tt, -tt)), r)
+        x = r * np.sin(tt)
+        y = ybase + np.where(tag, -r, r) * np.cos(tt)
+        if noskew:
+            x, y = (-x * B["cAzc"] - y * B["sAzc"],
+                    -y * B["cAzc"] + x * B["sAzc"])
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def bipc_inv(x, y, noskew: bool, max_iter: int = 10, tol: float = 1e-10):
+    """bipc.cpp s_inverse."""
+    B = _BIPC
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if noskew:
+            x, y = (-x * B["cAzc"] + y * B["sAzc"],
+                    -y * B["cAzc"] - x * B["sAzc"])
+        neg = x < 0.0
+        yy = np.where(neg, B["rhoc"] - y, y + B["rhoc"])
+        s = np.where(neg, B["S20"], B["S45"])
+        c = np.where(neg, B["C20"], B["C45"])
+        Av = np.where(neg, B["Azab"], B["Azba"])
+        r = np.hypot(x, yy)
+        rp = r.copy()
+        rl = r.copy()
+        Az = np.arctan2(x, yy)
+        fAz = np.abs(Az)
+        z = np.zeros_like(r)
+        for _ in range(max_iter):
+            z = 2.0 * np.arctan((r / B["F"]) ** (1.0 / B["n"]))
+            al = np.arccos(np.clip(
+                (np.tan(0.5 * z) ** B["n"]
+                 + np.tan(0.5 * (B["R104"] - z)) ** B["n"]) / B["T"],
+                -1.0, 1.0))
+            r = np.where(fAz < al,
+                         rp * np.cos(al + np.where(neg, Az, -Az)), r)
+            if np.all(np.abs(rl - r) < tol):
+                break
+            rl = r
+        Az = Av - Az / B["n"]
+        phi = np.arcsin(np.clip(s * np.cos(z) + c * np.sin(z) * np.cos(Az),
+                                -1.0, 1.0))
+        lam = np.arctan2(np.sin(Az), c / np.tan(z) - s * np.cos(Az))
+        lam = np.where(neg, lam - B["R110"], B["lamB"] - lam)
+    return lam, phi

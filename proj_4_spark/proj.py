@@ -1209,6 +1209,25 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
 
 
+def _mk_labrd(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.labrd_setup(params, ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.labrd_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.labrd_inv(x, y, C), z)
+
+
+def _mk_bipc(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    op.ell = _E.from_a_es(op.ell.a, 0.0)
+    noskew = "ns" in params
+    op.fwd_k = lambda x, y, z, t: (*M.bipc_fwd(x, y, noskew), z)
+    op.inv_k = lambda x, y, z, t: (*M.bipc_inv(x, y, noskew), z)
+
+
 def _mk_calcofi(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
     from .kernels.ellipsoid import Ellipsoid as _E
@@ -1460,6 +1479,8 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "labrd": _mk_labrd,
+        "bipc": _mk_bipc,
         "calcofi": _mk_calcofi,
         "col_urban": _mk_col_urban,
         "igh": _mk_igh,

@@ -616,3 +616,57 @@ def test_xyzgridshift_roundtrip():
     assert np.nanmax(np.abs(lo - lon)) < 1e-10
     assert np.nanmax(np.abs(la - lat)) < 1e-10
     assert np.nanmax(np.abs(h)) < 1e-5
+
+
+# --- labrd (Laborde Madagascar) + bipc (bipolar conic) -----------------
+
+GOLDENS7 = [
+    ("+proj=bipc +ellps=GRS80", 2.0, 1.0, 2452160.217725756, -14548450.759654747),
+    ("+proj=bipc +ellps=GRS80", 2.0, -1.0, 2447915.213725341, -14763427.21279873),
+    ("+proj=bipc +ellps=GRS80", -2.0, 1.0, 2021695.522934909, -14540413.695283702),
+    ("+proj=bipc +ellps=GRS80", -2.0, -1.0, 2018090.503004699, -14755620.651414108),
+    ("+proj=labrd +ellps=GRS80 +lon_0=0.5 +lat_0=2", 2.0, 1.0, 166973.166090228, -110536.912730266),
+    ("+proj=labrd +ellps=GRS80 +lon_0=0.5 +lat_0=2", 2.0, -1.0, 166973.168287157, -331761.993650884),
+    ("+proj=labrd +ellps=GRS80 +lon_0=0.5 +lat_0=2", -2.0, 1.0, -278345.500519976, -110469.032642032),
+    ("+proj=labrd +ellps=GRS80 +lon_0=0.5 +lat_0=2", -2.0, -1.0, -278345.50418527, -331829.870790275),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS7)
+def test_labrd_bipc_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_labrd_roundtrip():
+    """Laborde over Madagascar; the reference inverse is a truncated
+    series (~1e-7 deg)."""
+    tr = compile_projstring("+proj=labrd +ellps=intl +lat_0=-18.9 "
+                            "+lon_0=46.43722917 +azi=18.9 +k_0=0.9995")
+    rng = np.random.RandomState(73)
+    lon = rng.uniform(43, 51, 300)
+    lat = rng.uniform(-26, -11, 300)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-6
+    assert np.nanmax(np.abs(la - lat)) < 1e-6
+
+
+def test_bipc_partial_roundtrip():
+    """The REFERENCE's bipc forward folds with pow(al, n)
+    (bipc.cpp:92-96) while its inverse unfolds with pow(tan(al), n)
+    (:146) — an inconsistency we mirror faithfully (the gie goldens
+    above pin the forward).  Points outside the fold correction
+    roundtrip exactly; the folded region carries the reference's own
+    fwd/inv disagreement."""
+    tr = compile_projstring("+proj=bipc +R=6370997")
+    rng = np.random.RandomState(73)
+    lon = rng.uniform(-110, -30, 2000)
+    lat = rng.uniform(-50, 60, 2000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    err = np.abs(lo - lon) + np.abs(la - lat)
+    assert np.mean(err < 1e-6) > 0.6
+    assert np.nanmax(err) < 5.0
