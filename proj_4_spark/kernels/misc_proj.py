@@ -2205,3 +2205,143 @@ def bipc_inv(x, y, noskew: bool, max_iter: int = 10, tol: float = 1e-10):
         lam = np.arctan2(np.sin(Az), c / np.tan(z) - s * np.cos(Az))
         lam = np.where(neg, lam - B["R110"], B["lamB"] - lam)
     return lam, phi
+
+
+# -------------------------------------------------------------- imw_p
+
+@dataclass(frozen=True)
+class ImwPConsts:
+    P: float
+    Pp: float
+    Q: float
+    Qp: float
+    R_1: float
+    R_2: float
+    sphi_1: float
+    sphi_2: float
+    C2: float
+    phi_1: float
+    phi_2: float
+    lam_1: float
+    en: np.ndarray
+    es: float
+    mode: int  # 0 none-zero, 1 phi_1==0, -1 phi_2==0
+
+
+def imw_p_setup(params: dict, ell: Ellipsoid) -> ImwPConsts:
+    """International Map of the World polyconic (imw_p.cpp:141-200)."""
+    if "lat_1" not in params or "lat_2" not in params:
+        raise ValueError("imw_p: lat_1 and lat_2 should be specified")
+    phi_1 = np.radians(float(params["lat_1"]))
+    phi_2 = np.radians(float(params["lat_2"]))
+    if abs(phi_1 - phi_2) < EPS10 or abs(phi_1 + phi_2) < EPS10:
+        raise ValueError("imw_p: |lat_1 - lat_2| and |lat_1 + lat_2| "
+                         "should be > 0")
+    if phi_2 < phi_1:
+        phi_1, phi_2 = phi_2, phi_1
+    en = enfn(ell.n)
+    if "lon_1" in params:
+        lam_1 = np.radians(float(params["lon_1"]))
+    else:
+        sig = abs(np.degrees(0.5 * (phi_2 + phi_1)))
+        sig = 2.0 if sig <= 60 else (4.0 if sig <= 76 else 8.0)
+        lam_1 = np.radians(sig)
+
+    def node(phi):
+        sp = np.sin(phi)
+        R = 1.0 / (np.tan(phi) * np.sqrt(1.0 - ell.es * sp * sp))
+        F = lam_1 * sp
+        return R * np.sin(F), R * (1.0 - np.cos(F)), float(sp), float(R)
+
+    mode = 0
+    sphi_1 = R_1 = sphi_2 = R_2 = 0.0
+    if phi_1 != 0.0:
+        x1, y1, sphi_1, R_1 = node(phi_1)
+    else:
+        mode = 1
+        x1, y1 = lam_1, 0.0
+    if phi_2 != 0.0:
+        x2, T2, sphi_2, R_2 = node(phi_2)
+    else:
+        mode = -1
+        x2, T2 = lam_1, 0.0
+    m1 = float(mlfn(np.float64(phi_1), np.float64(np.sin(phi_1)),
+                    np.float64(np.cos(phi_1)), en))
+    m2 = float(mlfn(np.float64(phi_2), np.float64(np.sin(phi_2)),
+                    np.float64(np.cos(phi_2)), en))
+    t = m2 - m1
+    s = x2 - x1
+    y2 = np.sqrt(t * t - s * s) + y1
+    C2 = y2 - T2
+    t = 1.0 / t
+    return ImwPConsts(P=float((m2 * y1 - m1 * y2) * t),
+                      Q=float((y2 - y1) * t),
+                      Pp=float((m2 * x1 - m1 * x2) * t),
+                      Qp=float((x2 - x1) * t),
+                      R_1=R_1, R_2=R_2, sphi_1=sphi_1, sphi_2=sphi_2,
+                      C2=float(C2), phi_1=float(phi_1), phi_2=float(phi_2),
+                      lam_1=float(lam_1), en=en, es=ell.es, mode=mode)
+
+
+def _imw_loc_for(lam, phi, C: ImwPConsts):
+    """imw_p.cpp loc_for (:49-103); returns (x, y, yc)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sp = np.sin(phi)
+        m = mlfn(phi, sp, np.cos(phi), C.en)
+        xa = C.Pp + C.Qp * m
+        ya = C.P + C.Q * m
+        R = 1.0 / (np.tan(phi) * np.sqrt(1.0 - C.es * sp * sp))
+        Cc = np.sqrt(np.clip(R * R - xa * xa, 0, None))
+        Cc = np.where(phi < 0.0, -Cc, Cc)
+        Cc = Cc + ya - R
+        if C.mode == -1:
+            xb = lam
+            yb = np.full_like(lam, C.C2)
+        else:
+            t = lam * C.sphi_2
+            xb = C.R_2 * np.sin(t)
+            yb = C.C2 + C.R_2 * (1.0 - np.cos(t))
+        if C.mode == 1:
+            xc = lam
+            yc = np.zeros_like(lam)
+        else:
+            t = lam * C.sphi_1
+            xc = C.R_1 * np.sin(t)
+            yc = C.R_1 * (1.0 - np.cos(t))
+        D = (xb - xc) / (yb - yc)
+        B = xc + D * (Cc + R - yc)
+        x = D * np.sqrt(np.clip(R * R * (1.0 + D * D) - B * B, 0, None))
+        x = np.where(phi > 0, -x, x)
+        x = (B + x) / (1.0 + D * D)
+        y = np.sqrt(np.clip(R * R - x * x, 0, None))
+        y = np.where(phi > 0, -y, y)
+        y = y + Cc + R
+    eq = phi == 0.0
+    x = np.where(eq, lam, x)
+    y = np.where(eq, 0.0, y)
+    yc = np.where(eq, 0.0, yc)
+    return x, y, yc
+
+
+def imw_p_fwd(lam, phi, C: ImwPConsts):
+    x, y, _ = _imw_loc_for(lam, phi, C)
+    return x, y
+
+
+def imw_p_inv(x, y, C: ImwPConsts, max_iter: int = 1000, tol: float = 1e-10):
+    """imw_p.cpp:105-127: alternating secant fixed point."""
+    phi = np.full_like(x, C.phi_2)
+    lam = x / np.cos(phi)
+    for _ in range(max_iter):
+        tx, ty, yc = _imw_loc_for(lam, phi, C)
+        denom = ty - yc
+        upd = (denom != 0) | (np.abs(ty - y) > tol)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi_new = ((phi - C.phi_1) * (y - yc)
+                       / np.where(denom == 0, np.nan, denom)) + C.phi_1
+            lam_new = lam * x / np.where(tx == 0, np.nan, tx)
+        phi = np.where(upd, phi_new, phi)
+        lam = np.where((tx != 0) & (np.abs(tx - x) > tol), lam_new, lam)
+        if np.all((np.abs(tx - x) <= tol) & (np.abs(ty - y) <= tol)):
+            break
+    return lam, phi

@@ -1404,3 +1404,124 @@ def adams_fwd(lam, phi, mode: str, pqshape: str = "diamond",
     x = np.where(bad, np.nan, x)
     y = np.where(bad, np.nan, y)
     return x, y
+
+
+# ----------------------------------------------- chamb (trimetric)
+
+def _chamb_vect(dphi, c1, s1, c2, s2, dlam):
+    """chamb.cpp vect(): great-circle (r, Az) with the small-distance
+    haversine branch."""
+    cdl = np.cos(dlam)
+    big = (np.abs(dphi) > 1.0) | (np.abs(dlam) > 1.0)
+    dp = np.sin(0.5 * dphi)
+    dl = np.sin(0.5 * dlam)
+    r_small = 2.0 * np.arcsin(np.clip(
+        np.sqrt(dp * dp + c1 * c2 * dl * dl), -1, 1))
+    r_big = np.arccos(np.clip(s1 * s2 + c1 * c2 * cdl, -1, 1))
+    r = np.where(big, r_big, r_small)
+    Az = np.where(np.abs(r) > 1e-9,
+                  np.arctan2(c2 * np.sin(dlam), c1 * s2 - s1 * c2 * cdl),
+                  0.0)
+    r = np.where(np.abs(r) > 1e-9, r, 0.0)
+    return r, Az
+
+
+def _chamb_lc(b, c, a):
+    return np.arccos(np.clip(0.5 * (b * b + c * c - a * a) / (b * c),
+                             -1.0, 1.0))
+
+
+@dataclass(frozen=True)
+class ChambConsts:
+    c_phi: tuple
+    c_lam: tuple
+    c_cos: tuple
+    c_sin: tuple
+    cv_r: tuple
+    cv_Az: tuple
+    cp_x: tuple
+    cp_y: tuple
+    p_x: float
+    p_y: float
+    beta_1: float
+    beta_2: float
+
+
+def chamb_setup(params: dict, lam0: float) -> ChambConsts:
+    """chamb.cpp:92-135."""
+    from .common import adjlon
+
+    phis, lams, coss, sins = [], [], [], []
+    for i in (1, 2, 3):
+        phi = np.radians(float(params.get(f"lat_{i}", 0.0)))
+        lam = np.radians(float(params.get(f"lon_{i}", 0.0)))
+        lam = float(adjlon(np.array([lam - lam0]))[0])
+        phis.append(phi)
+        lams.append(lam)
+        coss.append(float(np.cos(phi)))
+        sins.append(float(np.sin(phi)))
+    rs, azs = [], []
+    for i in range(3):
+        j = 0 if i == 2 else i + 1
+        r, Az = _chamb_vect(np.array([phis[j] - phis[i]]), coss[i], sins[i],
+                            coss[j], sins[j], np.array([lams[j] - lams[i]]))
+        if r[0] == 0.0:
+            raise ValueError("chamb: control points should be distinct")
+        rs.append(float(r[0]))
+        azs.append(float(Az[0]))
+    beta_0 = float(_chamb_lc(rs[0], rs[2], rs[1]))
+    beta_1 = float(_chamb_lc(rs[0], rs[1], rs[2]))
+    beta_2 = np.pi - beta_0
+    cp_y = [rs[2] * np.sin(beta_0)] * 2 + [0.0]
+    p_y = 2.0 * cp_y[0]
+    cp_x = [-0.5 * rs[0], 0.5 * rs[0], 0.0]
+    cp_x[2] = cp_x[0] + rs[2] * np.cos(beta_0)
+    p_x = cp_x[2]
+    return ChambConsts(c_phi=tuple(phis), c_lam=tuple(lams),
+                       c_cos=tuple(coss), c_sin=tuple(sins),
+                       cv_r=tuple(rs), cv_Az=tuple(azs),
+                       cp_x=tuple(float(v) for v in cp_x),
+                       cp_y=tuple(float(v) for v in cp_y),
+                       p_x=float(p_x), p_y=float(p_y),
+                       beta_1=float(beta_1), beta_2=float(beta_2))
+
+
+def chamb_fwd(lam, phi, C: ChambConsts):
+    """chamb.cpp:46-90 (fwd only in the reference)."""
+    from .common import adjlon
+
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    v_r, v_az = [], []
+    at_cp = np.full(lam.shape, -1, dtype=np.int64)
+    for i in range(3):
+        r, Az = _chamb_vect(phi - C.c_phi[i], C.c_cos[i], C.c_sin[i],
+                            cosphi, sinphi, lam - C.c_lam[i])
+        at_cp = np.where((at_cp < 0) & (r == 0.0), i, at_cp)
+        Az = adjlon(Az - C.cv_Az[i])
+        v_r.append(r)
+        v_az.append(Az)
+    x = np.full_like(lam, C.p_x)
+    y = np.full_like(lam, C.p_y)
+    for i in range(3):
+        j = 0 if i == 2 else i + 1
+        a = _chamb_lc(C.cv_r[i], v_r[i], v_r[j])
+        a = np.where(v_az[i] < 0.0, -a, a)
+        if i == 0:
+            x = x + v_r[i] * np.cos(a)
+            y = y - v_r[i] * np.sin(a)
+        elif i == 1:
+            a = C.beta_1 - a
+            x = x - v_r[i] * np.cos(a)
+            y = y - v_r[i] * np.sin(a)
+        else:
+            a = C.beta_2 - a
+            x = x + v_r[i] * np.cos(a)
+            y = y + v_r[i] * np.sin(a)
+    x = x / 3.0
+    y = y / 3.0
+    for i in range(3):
+        hit = at_cp == i
+        x = np.where(hit, C.cp_x[i], x)
+        y = np.where(hit, C.cp_y[i], y)
+    return x, y

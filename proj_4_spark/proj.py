@@ -985,6 +985,12 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (*MS.airy_fwd(x, y, C), z)
         op.inv_k = None
         return
+    if pid == "chamb":
+        C = MS.chamb_setup(params, op.lam0)
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*MS.chamb_fwd(x, y, C), z)
+        op.inv_k = None
+        return
     if pid in ("guyou", "peirce_q", "adams_hemi", "adams_ws1",
                "adams_ws2"):
         pqshape = str(params.get("shape", "diamond"))
@@ -1087,7 +1093,8 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("guyou", "peirce_q", "adams_hemi", "adams_ws1",
+_MISC_SPH_IDS = ("chamb",
+                 "guyou", "peirce_q", "adams_hemi", "adams_ws1",
                  "adams_ws2",
                  "putp2", "putp3", "putp3p", "putp4p", "weren",
                  "putp5", "putp5p", "putp6", "putp6p", "mbt_fps",
@@ -1207,6 +1214,15 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*M.interrupted_fwd(x, y, C), z)
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
+
+
+def _mk_imw_p(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.imw_p_setup(params, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.imw_p_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.imw_p_inv(x, y, C), z)
 
 
 def _mk_labrd(op, params, ell, k0, phi0):
@@ -1479,6 +1495,7 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "imw_p": _mk_imw_p,
         "labrd": _mk_labrd,
         "bipc": _mk_bipc,
         "calcofi": _mk_calcofi,

