@@ -2345,3 +2345,176 @@ def imw_p_inv(x, y, C: ImwPConsts, max_iter: int = 1000, tol: float = 1e-10):
         if np.all((np.abs(tx - x) <= tol) & (np.abs(ty - y) <= tol)):
             break
     return lam, phi
+
+
+# -------------------------------------------------- proj_mdist + rouss
+
+def mdist_ini(es: float):
+    """proj_mdist_ini (src/proj_mdist.cpp:48-93): E constant + b_n
+    coefficient generation."""
+    MAX_ITER = 20
+    ens = es
+    numf = twon1 = denfi = 1.0
+    denf = 1.0
+    twon = 4.0
+    Es = 1.0
+    El = 1.0
+    E = [1.0]
+    i = 1
+    for i in range(1, MAX_ITER):
+        numf *= twon1 * twon1
+        den = twon * denf * denf * twon1
+        T = numf / den
+        E.append(T * ens)
+        Es -= E[i]
+        ens *= es
+        twon *= 4.0
+        denfi += 1.0
+        denf *= denfi
+        twon1 += 2.0
+        if Es == El:
+            break
+        El = Es
+    else:
+        i = MAX_ITER - 1
+    nb = i - 1
+    b = [0.0] * i
+    b[0] = Esum = 1.0 - Es
+    numf = denf = 1.0
+    numfi = 2.0
+    denfi = 3.0
+    for j in range(1, i):
+        Esum -= E[j]
+        numf *= numfi
+        denf *= denfi
+        b[j] = Esum * numf / denf
+        numfi += 2.0
+        denfi += 2.0
+    return dict(nb=nb, es=es, E=Es, b=np.array(b))
+
+
+def mdist(phi, sphi, cphi, en: dict):
+    """proj_mdist (proj_mdist.cpp:94-106)."""
+    b = en["b"]
+    sc = sphi * cphi
+    sphi2 = sphi * sphi
+    D = phi * en["E"] - en["es"] * sc / np.sqrt(1.0 - en["es"] * sphi2)
+    s = np.full_like(np.asarray(phi, dtype=np.float64), b[en["nb"]])
+    for i in range(en["nb"], 0, -1):
+        s = b[i - 1] + sphi2 * s
+    return D + sc * s
+
+
+def inv_mdist(dist, en: dict, max_iter: int = 20, tol: float = 1e-14):
+    """proj_inv_mdist (proj_mdist.cpp:107-128)."""
+    k = 1.0 / (1.0 - en["es"])
+    phi = np.asarray(dist, dtype=np.float64).copy()
+    for _ in range(max_iter):
+        s = np.sin(phi)
+        t = 1.0 - en["es"] * s * s
+        step = (mdist(phi, s, np.cos(phi), en) - dist) * (t * np.sqrt(t)) * k
+        phi = phi - step
+        if np.all(np.abs(step) < tol):
+            break
+    return phi
+
+
+@dataclass(frozen=True)
+class RoussConsts:
+    s0: float
+    A: tuple
+    B: tuple
+    Cc: tuple
+    D: tuple
+    en: dict
+    es: float
+    k0: float
+
+
+def rouss_setup(ell: Ellipsoid, k0: float, phi0: float) -> RoussConsts:
+    """Roussilhe stereographic (rouss.cpp:63-110)."""
+    en = mdist_ini(ell.es)
+    es2 = np.sin(phi0)
+    s0 = float(mdist(np.float64(phi0), np.float64(es2),
+                     np.float64(np.cos(phi0)), en))
+    es2 = ell.es * es2 * es2
+    t = 1.0 - es2
+    N0 = 1.0 / np.sqrt(t)
+    R_R0_2 = t * t / ell.one_es
+    R_R0_4 = R_R0_2 * R_R0_2
+    t = np.tan(phi0)
+    t2 = t * t
+    A1 = C1 = R_R0_2 / 4.0
+    A2 = C2 = R_R0_2 * (2 * t2 - 1.0 - 2.0 * es2) / 12.0
+    A3 = R_R0_2 * t * (1.0 + 4.0 * t2) / (12.0 * N0)
+    A4 = R_R0_4 / 24.0
+    A5 = R_R0_4 * (-1.0 + t2 * (11.0 + 12.0 * t2)) / 24.0
+    A6 = R_R0_4 * (-2.0 + t2 * (11.0 - 2.0 * t2)) / 240.0
+    B1 = t / (2.0 * N0)
+    B2 = R_R0_2 / 12.0
+    B3 = R_R0_2 * (1.0 + 2.0 * t2 - 2.0 * es2) / 4.0
+    B4 = R_R0_2 * t * (2.0 - t2) / (24.0 * N0)
+    B5 = R_R0_2 * t * (5.0 + 4.0 * t2) / (8.0 * N0)
+    B6 = R_R0_4 * (-2.0 + t2 * (-5.0 + 6.0 * t2)) / 48.0
+    B7 = R_R0_4 * (5.0 + t2 * (19.0 + 12.0 * t2)) / 24.0
+    B8 = R_R0_4 / 120.0
+    C3 = R_R0_2 * t * (1.0 + t2) / (3.0 * N0)
+    C4 = R_R0_4 * (-3.0 + t2 * (34.0 + 22.0 * t2)) / 240.0
+    C5 = R_R0_4 * (4.0 + t2 * (13.0 + 12.0 * t2)) / 24.0
+    C6 = R_R0_4 / 16.0
+    C7 = R_R0_4 * t * (11.0 + t2 * (33.0 + t2 * 16.0)) / (48.0 * N0)
+    C8 = R_R0_4 * t * (1.0 + t2 * 4.0) / (36.0 * N0)
+    D1 = t / (2.0 * N0)
+    D2 = R_R0_2 / 12.0
+    D3 = R_R0_2 * (2 * t2 + 1.0 - 2.0 * es2) / 4.0
+    D4 = R_R0_2 * t * (1.0 + t2) / (8.0 * N0)
+    D5 = R_R0_2 * t * (1.0 + t2 * 2.0) / (4.0 * N0)
+    D6 = R_R0_4 * (1.0 + t2 * (6.0 + t2 * 6.0)) / 16.0
+    D7 = R_R0_4 * t2 * (3.0 + t2 * 4.0) / 8.0
+    D8 = R_R0_4 / 80.0
+    D9 = R_R0_4 * t * (-21.0 + t2 * (178.0 - t2 * 26.0)) / 720.0
+    D10 = R_R0_4 * t * (29.0 + t2 * (86.0 + t2 * 48.0)) / (96.0 * N0)
+    D11 = R_R0_4 * t * (37.0 + t2 * 44.0) / (96.0 * N0)
+    return RoussConsts(s0=s0, A=(A1, A2, A3, A4, A5, A6),
+                       B=(B1, B2, B3, B4, B5, B6, B7, B8),
+                       Cc=(C1, C2, C3, C4, C5, C6, C7, C8),
+                       D=(D1, D2, D3, D4, D5, D6, D7, D8, D9, D10, D11),
+                       en=en, es=ell.es, k0=k0)
+
+
+def rouss_fwd(lam, phi, C: RoussConsts):
+    """rouss.cpp:16-35."""
+    A1, A2, A3, A4, A5, A6 = C.A
+    B1, B2, B3, B4, B5, B6, B7, B8 = C.B
+    cp = np.cos(phi)
+    sp = np.sin(phi)
+    s = mdist(phi, sp, cp, C.en) - C.s0
+    s2 = s * s
+    al = lam * cp / np.sqrt(1.0 - C.es * sp * sp)
+    al2 = al * al
+    x = C.k0 * al * (1.0 + s2 * (A1 + s2 * A4)
+                     - al2 * (A2 + s * A3 + s2 * A5 + al2 * A6))
+    y = C.k0 * (al2 * (B1 + al2 * B4)
+                + s * (1.0 + al2 * (B3 - al2 * B6) + s2 * (B2 + s2 * B8)
+                       + s * al2 * (B5 + s * B7)))
+    return x, y
+
+
+def rouss_inv(x, y, C: RoussConsts):
+    """rouss.cpp:36-54."""
+    C1, C2, C3, C4, C5, C6, C7, C8 = C.Cc
+    D1, D2, D3, D4, D5, D6, D7, D8, D9, D10, D11 = C.D
+    x = x / C.k0
+    y = y / C.k0
+    x2 = x * x
+    y2 = y * y
+    al = x * (1.0 - C1 * y2
+              + x2 * (C2 + C3 * y - C4 * x2 + C5 * y2 - C7 * x2 * y)
+              + y2 * (C6 * y2 - C8 * x2 * y))
+    s = C.s0 + y * (1.0 + y2 * (-D2 + D8 * y2)) \
+        + x2 * (-D1 + y * (-D3 + y * (-D5 + y * (-D7 + y * D11)))
+                + x2 * (D4 + y * (D6 + y * D10) - x2 * D9))
+    phi = inv_mdist(s, C.en)
+    sp = np.sin(phi)
+    lam = al * np.sqrt(1.0 - C.es * sp * sp) / np.cos(phi)
+    return lam, phi

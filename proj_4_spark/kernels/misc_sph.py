@@ -1525,3 +1525,35 @@ def chamb_fwd(lam, phi, C: ChambConsts):
         x = np.where(hit, C.cp_x[i], x)
         y = np.where(hit, C.cp_y[i], y)
     return x, y
+
+
+# -------------------------------------------------------- bertin1953
+
+def bertin1953_fwd(lam, phi):
+    """Bertin 1953 (bertin1953.cpp, fwd only): fixed oblique rotation
+    about lat_0=-42 with the -16.5 deg shift, warped Hammer(1.68,2)."""
+    from .common import adjlon
+
+    fu, k, w = 1.4, 12.0, 1.68
+    cdp, sdp = np.cos(np.radians(-42.0)), np.sin(np.radians(-42.0))
+    lam = lam + np.radians(-16.5)
+    cosphi = np.cos(phi)
+    x = np.cos(lam) * cosphi
+    y = np.sin(lam) * cosphi
+    z = np.sin(phi)
+    z0 = z * cdp + x * sdp
+    lam = np.arctan2(y, x * cdp - z * sdp)
+    phi = np.arcsin(np.clip(z0, -1.0, 1.0))
+    lam = adjlon(lam)
+    cond = lam + phi < -fu
+    d = (lam - phi + 1.6) * (lam + phi + fu) / 8.0
+    lam = np.where(cond, lam + d, lam)
+    phi = np.where(cond, phi - 0.8 * d * np.sin(phi + np.pi / 2.0), phi)
+    cosphi = np.cos(phi)
+    d = np.sqrt(2.0 / (1.0 + cosphi * np.cos(lam / 2.0)))
+    xx = w * d * cosphi * np.sin(lam / 2.0)
+    yy = d * np.sin(phi)
+    d = (1.0 - np.cos(lam * phi)) / k
+    xx = np.where(yy < 0.0, xx * (1.0 + d), xx)
+    yy = np.where(yy > 0.0, yy * (1.0 + d / 1.5 * xx * xx), yy)
+    return xx, yy

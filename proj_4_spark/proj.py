@@ -494,6 +494,35 @@ def compile_operation(params: dict) -> Operation:
 
         op.fwd_k = _topo_fwd
         op.inv_k = _topo_inv
+    elif proj_id == "geocent":
+        # geocentric marker (conversions/geocent.cpp): channel
+        # passthrough with angular-in / cartesian-out unit tags
+        op.x0 = op.y0 = 0.0
+        op.left, op.right = RADIANS, CARTESIAN
+        op.fwd_k = lambda x, y, z, t: (x, y, z)
+        op.inv_k = lambda x, y, z, t: (x, y, z)
+    elif proj_id == "molobadekas":
+        # Molodensky-Badekas: helmert about a reference point
+        # (helmert.cpp:699-740; out = s*R*(v - refp) + T + refp)
+        C = k_helmert.setup(params)
+        refp = np.array([float(params.get("px", 0.0)),
+                         float(params.get("py", 0.0)),
+                         float(params.get("pz", 0.0))])
+        op.left, op.right = CARTESIAN, CARTESIAN
+        op.consts = C
+
+        def _mb_fwd(x, y, z, t, C=C, refp=refp):
+            X, Y, Z = k_helmert.fwd(x - refp[0], y - refp[1], z - refp[2],
+                                    C, t)
+            return X + refp[0], Y + refp[1], Z + refp[2]
+
+        def _mb_inv(x, y, z, t, C=C, refp=refp):
+            X, Y, Z = k_helmert.inv(x - refp[0], y - refp[1], z - refp[2],
+                                    C, t)
+            return X + refp[0], Y + refp[1], Z + refp[2]
+
+        op.fwd_k = _mb_fwd
+        op.inv_k = _mb_inv
     elif proj_id == "geogoffset":
         # arc-second geographic offsets (transformations/affine.cpp
         # geogoffset entry)
@@ -985,6 +1014,14 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (*MS.airy_fwd(x, y, C), z)
         op.inv_k = None
         return
+    if pid == "bertin1953":
+        from .kernels.ellipsoid import Ellipsoid as _E
+
+        op.ell = _E.from_a_es(op.ell.a, 0.0)
+        op.lam0 = 0.0
+        op.fwd_k = lambda x, y, z, t: (*MS.bertin1953_fwd(x, y), z)
+        op.inv_k = None
+        return
     if pid == "chamb":
         C = MS.chamb_setup(params, op.lam0)
         op.consts = C
@@ -1093,7 +1130,7 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("chamb",
+_MISC_SPH_IDS = ("chamb", "bertin1953",
                  "guyou", "peirce_q", "adams_hemi", "adams_ws1",
                  "adams_ws2",
                  "putp2", "putp3", "putp3p", "putp4p", "weren",
@@ -1214,6 +1251,15 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*M.interrupted_fwd(x, y, C), z)
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
+
+
+def _mk_rouss(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.rouss_setup(ell, op.k0, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*M.rouss_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*M.rouss_inv(x, y, C), z)
 
 
 def _mk_imw_p(op, params, ell, k0, phi0):
@@ -1495,6 +1541,7 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "rouss": _mk_rouss,
         "imw_p": _mk_imw_p,
         "labrd": _mk_labrd,
         "bipc": _mk_bipc,

@@ -715,3 +715,72 @@ def test_chamb_control_point_exact():
     x, y, _, _ = tr.transform_deg(np.array([-20.0, 20.0, 40.0]),
                                   np.array([10.0, 40.0, -10.0]))
     assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+
+
+# --- rouss, molobadekas, geocent, bertin1953 ---------------------------
+
+GOLDENS10 = [
+    ("+proj=rouss +ellps=GRS80", 2.0, 1.0, 222644.894131617, 110611.09186837),
+    ("+proj=rouss +ellps=GRS80", 2.0, -1.0, 222644.894131617, -110611.09186837),
+    ("+proj=rouss +ellps=GRS80", -2.0, 1.0, -222644.894131617, 110611.09186837),
+    ("+proj=rouss +ellps=GRS80", -2.0, -1.0, -222644.894131617, -110611.09186837),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", GOLDENS10)
+def test_rouss_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_rouss_roundtrip_near_center():
+    """Roussilhe's fwd/inv are both truncated series; exact near the
+    center (the projection's design domain)."""
+    tr = compile_projstring("+proj=rouss +ellps=GRS80 +lat_0=45")
+    rng = np.random.RandomState(83)
+    lon = rng.uniform(-2, 2, 300)
+    lat = rng.uniform(43, 47, 300)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-7
+    assert np.nanmax(np.abs(la - lat)) < 1e-7
+
+
+def test_molobadekas_gie_fixture():
+    """more_builtins.gie:464-471 (1 cm tolerance, roundtrip 1)."""
+    tr = compile_projstring(
+        "+proj=molobadekas +convention=coordinate_frame "
+        "+x=-270.933 +y=115.599 +z=-360.226 +rx=-5.266 +ry=-1.238 "
+        "+rz=2.381 +s=-5.109 +px=2464351.59 +py=-5783466.61 +pz=974809.81")
+    X, Y, Z, _ = tr.transform(np.array([2550408.96]),
+                              np.array([-5749912.26]),
+                              np.array([1054891.11]))
+    assert abs(X[0] - 2550138.45) < 0.01
+    assert abs(Y[0] + 5749799.87) < 0.01
+    assert abs(Z[0] - 1054530.82) < 0.01
+    Xi, Yi, Zi, _ = tr.transform(X, Y, Z, direction="inv")
+    assert abs(Xi[0] - 2550408.96) < 0.01
+
+
+def test_bertin1953_gie_fixture():
+    """more_builtins.gie:88-94."""
+    tr = compile_projstring("+proj=bertin1953 +R=1")
+    x, y, _, _ = tr.transform_deg(np.array([0.0, 16.5]),
+                                  np.array([0.0, 42.0]))
+    assert abs(x[0] + 0.260206554508) < 1e-9
+    assert abs(y[0] + 0.685226058142) < 1e-9
+    assert abs(x[1]) < 1e-9 and abs(y[1]) < 1e-9
+
+
+def test_geocent_pipeline_passthrough():
+    """conversions/geocent.cpp: angular-in / cartesian-out marker."""
+    tr = compile_projstring("+proj=pipeline +step +proj=cart +ellps=GRS80 "
+                            "+step +proj=geocent +inv +ellps=GRS80")
+    X, Y, Z, _ = tr.transform_deg(np.array([10.0]), np.array([50.0]),
+                                  np.array([0.0]))
+    tr2 = compile_projstring("+proj=cart +ellps=GRS80")
+    X2, Y2, Z2, _ = tr2.transform_deg(np.array([10.0]), np.array([50.0]),
+                                      np.array([0.0]))
+    assert abs(X[0] - X2[0]) < 1e-6 and abs(Z[0] - Z2[0]) < 1e-6
