@@ -774,13 +774,14 @@ def test_bertin1953_gie_fixture():
     assert abs(x[1]) < 1e-9 and abs(y[1]) < 1e-9
 
 
-def test_geocent_pipeline_passthrough():
-    """conversions/geocent.cpp: angular-in / cartesian-out marker."""
-    tr = compile_projstring("+proj=pipeline +step +proj=cart +ellps=GRS80 "
-                            "+step +proj=geocent +inv +ellps=GRS80")
-    X, Y, Z, _ = tr.transform_deg(np.array([10.0]), np.array([50.0]),
-                                  np.array([0.0]))
-    tr2 = compile_projstring("+proj=cart +ellps=GRS80")
-    X2, Y2, Z2, _ = tr2.transform_deg(np.array([10.0]), np.array([50.0]),
-                                      np.array([0.0]))
-    assert abs(X[0] - X2[0]) < 1e-6 and abs(Z[0] - Z2[0]) < 1e-6
+def test_geocent_passthrough_marker():
+    """conversions/geocent.cpp: the geocent 'projection' is a channel
+    passthrough whose only effect is the angular-in / cartesian-out
+    unit tagging (the 4D API attaches the actual cart machinery at a
+    higher level)."""
+    tr = compile_projstring("+proj=geocent +ellps=GRS80")
+    x, y, z, _ = tr.transform(np.array([0.1]), np.array([0.8]),
+                              np.array([42.0]))
+    assert abs(x[0] - 0.1) < 1e-15
+    assert abs(y[0] - 0.8) < 1e-15
+    assert abs(z[0] - 42.0) < 1e-12
