@@ -494,13 +494,6 @@ def compile_operation(params: dict) -> Operation:
 
         op.fwd_k = _topo_fwd
         op.inv_k = _topo_inv
-    elif proj_id == "geocent":
-        # geocentric marker (conversions/geocent.cpp): channel
-        # passthrough with angular-in / cartesian-out unit tags
-        op.x0 = op.y0 = 0.0
-        op.left, op.right = RADIANS, CARTESIAN
-        op.fwd_k = lambda x, y, z, t: (x, y, z)
-        op.inv_k = lambda x, y, z, t: (x, y, z)
     elif proj_id == "molobadekas":
         # Molodensky-Badekas: helmert about a reference point
         # (helmert.cpp:699-740; out = s*R*(v - refp) + T + refp)

@@ -774,14 +774,16 @@ def test_bertin1953_gie_fixture():
     assert abs(x[1]) < 1e-9 and abs(y[1]) < 1e-9
 
 
-def test_geocent_passthrough_marker():
-    """conversions/geocent.cpp: the geocent 'projection' is a channel
-    passthrough whose only effect is the angular-in / cartesian-out
-    unit tagging (the 4D API attaches the actual cart machinery at a
-    higher level)."""
+def test_geocent_is_cart_alias():
+    """+proj=geocent converts geodetic->geocentric exactly like cart
+    (the effective cs2cs semantics of the geocent marker; the bare
+    conversion in conversions/geocent.cpp is a unit-tag passthrough
+    that the 4D API backs with the same cart machinery)."""
     tr = compile_projstring("+proj=geocent +ellps=GRS80")
-    x, y, z, _ = tr.transform(np.array([0.1]), np.array([0.8]),
-                              np.array([42.0]))
-    assert abs(x[0] - 0.1) < 1e-15
-    assert abs(y[0] - 0.8) < 1e-15
-    assert abs(z[0] - 42.0) < 1e-12
+    tr2 = compile_projstring("+proj=cart +ellps=GRS80")
+    a = tr.transform_deg(np.array([10.0]), np.array([50.0]),
+                         np.array([100.0]))
+    b = tr2.transform_deg(np.array([10.0]), np.array([50.0]),
+                          np.array([100.0]))
+    for u, v in zip(a[:3], b[:3]):
+        assert abs(u[0] - v[0]) < 1e-9
