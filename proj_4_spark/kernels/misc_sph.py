@@ -1557,3 +1557,124 @@ def bertin1953_fwd(lam, phi):
     xx = np.where(yy < 0.0, xx * (1.0 + d), xx)
     yy = np.where(yy > 0.0, yy * (1.0 + d / 1.5 * xx * xx), yy)
     return xx, yy
+
+
+def adams_ws2_inv(x, y):
+    """adams.cpp adams_inverse: seeded 2D Newton on the forward (the
+    magic seed constants are the reference's +R=1 corner values)."""
+    from .generic_inverse import generic_inverse
+
+    phi_seed = np.clip(y / 2.62181347, -1.0, 1.0) * HALFPI
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam_seed = np.where(
+            np.abs(phi_seed) >= HALFPI, 0.0,
+            np.clip(x / 2.62205760 / np.cos(phi_seed), -1.0, 1.0) * np.pi)
+    return generic_inverse(lambda la, ph: adams_fwd(la, ph, "adams_ws2"),
+                           x, y, lam0=lam_seed, phi0=phi_seed,
+                           seed_from_xy=False, tol=1e-10)
+
+
+# ----------------------------------------------------------- spilhaus
+
+@dataclass(frozen=True)
+class SpilhausConsts:
+    cosalpha: float
+    sinalpha: float
+    beta: float
+    lambda_0: float
+    conformal_distortion: float
+    cosrot: float
+    sinrot: float
+    e: float
+    k0: float
+
+
+def spilhaus_setup(params: dict, ell, k0: float, lam0: float,
+                   phi0: float) -> tuple:
+    """spilhaus.cpp setup; returns (consts, effective_lam0, phi0)."""
+    if "lon_0" not in params:
+        lam0 = np.radians(66.94970198)
+    if "lat_0" not in params:
+        phi0 = np.radians(-49.56371678)
+    azimuth = np.radians(float(params.get("azi", 40.17823482)))
+    rotation = np.radians(float(params.get("rot", 45.0)))
+    e = ell.e
+    clc = _conformal_lat(np.float64(phi0), e)
+    sinalpha = -np.cos(clc) * np.cos(azimuth)
+    cosalpha = np.sqrt(1.0 - sinalpha * sinalpha)
+    lambda_0 = np.arctan2(np.tan(azimuth), -np.sin(clc))
+    beta = np.pi + np.arctan2(-np.sin(azimuth), -np.tan(clc))
+    cd = np.cos(phi0) / np.sqrt(1.0 - ell.es * np.sin(phi0) ** 2) \
+        / np.cos(clc)
+    C = SpilhausConsts(cosalpha=float(cosalpha), sinalpha=float(sinalpha),
+                       beta=float(beta), lambda_0=float(lambda_0),
+                       conformal_distortion=float(cd),
+                       cosrot=float(np.cos(rotation)),
+                       sinrot=float(np.sin(rotation)), e=e, k0=k0)
+    return C, lam0, phi0
+
+
+def _conformal_lat(phi, e):
+    """pj_conformal_lat (src/latitudes.cpp:17-29)."""
+    if e == 0.0:
+        return phi
+    es = e * np.sin(phi)
+    return 2.0 * np.arctan(np.tan(FORTPI + phi / 2.0)
+                           * ((1.0 - es) / (1.0 + es)) ** (e / 2.0)) - HALFPI
+
+
+def _conformal_lat_inverse(chi, e, threshold=1e-10, max_iter=10):
+    """pj_conformal_lat_inverse (latitudes.cpp:30-52)."""
+    if e == 0.0:
+        return chi
+    taninit = np.tan(np.pi / 4.0 + chi / 2.0)
+    phi = chi.copy()
+    for _ in range(max_iter):
+        es = e * np.sin(phi)
+        new_phi = 2.0 * np.arctan(
+            taninit * ((1.0 + es) / (1.0 - es)) ** (e / 2.0)) - 0.5 * np.pi
+        if np.all(np.abs(new_phi - phi) < threshold):
+            phi = new_phi
+            break
+        phi = new_phi
+    return phi
+
+
+def spilhaus_fwd(lam, phi, C: SpilhausConsts):
+    """spilhaus.cpp:20-45: conformal-sphere rotation (Snyder 5-7/5-8b)
+    into adams_ws2, then the rotation/scale."""
+    phi_c = _conformal_lat(phi, C.e)
+    cphi = np.cos(phi_c)
+    sphi = np.sin(phi_c)
+    # lam is already lam0-relative (the Operation subtracts lam0)
+    coslam = np.cos(lam - C.lambda_0)
+    sinlam = np.sin(lam - C.lambda_0)
+    pa = np.arcsin(np.clip(C.sinalpha * sphi - C.cosalpha * cphi * coslam,
+                           -1, 1))
+    la = C.beta + np.arctan2(
+        cphi * sinlam, C.sinalpha * cphi * coslam + C.cosalpha * sphi)
+    la = np.where(la > np.pi, la - 2 * np.pi, la)
+    la = np.where(la < -np.pi, la + 2 * np.pi, la)
+    xa, ya = adams_fwd(la, pa, "adams_ws2")
+    factor = C.conformal_distortion * C.k0
+    x = -(xa * C.cosrot + ya * C.sinrot) * factor
+    y = -(-xa * C.sinrot + ya * C.cosrot) * factor
+    return x, y
+
+
+def spilhaus_inv(x, y, C: SpilhausConsts):
+    """spilhaus.cpp:47-73."""
+    factor = 1.0 / (C.conformal_distortion * C.k0)
+    xa = -(x * C.cosrot - y * C.sinrot) * factor
+    ya = -(x * C.sinrot + y * C.cosrot) * factor
+    la, pa = adams_ws2_inv(xa, ya)
+    cphi = np.cos(pa)
+    sphi = np.sin(pa)
+    coslam = np.cos(la - C.beta)
+    sinlam = np.sin(la - C.beta)
+    phi = np.arcsin(np.clip(C.sinalpha * sphi + C.cosalpha * cphi * coslam,
+                            -1, 1))
+    lam = C.lambda_0 + np.arctan2(
+        cphi * sinlam, C.sinalpha * cphi * coslam - C.cosalpha * sphi)
+    phi = _conformal_lat_inverse(phi, C.e)
+    return lam, phi

@@ -1021,6 +1021,15 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (*MS.chamb_fwd(x, y, C), z)
         op.inv_k = None
         return
+    if pid == "spilhaus":
+        C, lam0_eff, phi0_eff = MS.spilhaus_setup(params, ell, op.k0,
+                                                  op.lam0, phi0)
+        op.lam0 = lam0_eff
+        op.phi0 = phi0_eff
+        op.consts = C
+        op.fwd_k = lambda x, y, z, t: (*MS.spilhaus_fwd(x, y, C), z)
+        op.inv_k = lambda x, y, z, t: (*MS.spilhaus_inv(x, y, C), z)
+        return
     if pid in ("guyou", "peirce_q", "adams_hemi", "adams_ws1",
                "adams_ws2"):
         pqshape = str(params.get("shape", "diamond"))
@@ -1033,7 +1042,10 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         mode = pid
         op.fwd_k = lambda x, y, z, t: (
             *MS.adams_fwd(x, y, mode, pqshape, scrollx, scrolly), z)
-        op.inv_k = None  # ws2/peirce Newton inverses via generic fallback
+        if pid == "adams_ws2":
+            op.inv_k = lambda x, y, z, t: (*MS.adams_ws2_inv(x, y), z)
+        else:
+            op.inv_k = None  # peirce etc: seeded generic fallback
         return
     if pid == "putp2":
         op.fwd_k = lambda x, y, z, t: (*MS.putp2_fwd(x, y), z)
@@ -1123,7 +1135,7 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         raise NotImplementedError(pid)
 
 
-_MISC_SPH_IDS = ("chamb", "bertin1953",
+_MISC_SPH_IDS = ("chamb", "bertin1953", "spilhaus",
                  "guyou", "peirce_q", "adams_hemi", "adams_ws1",
                  "adams_ws2",
                  "putp2", "putp3", "putp3p", "putp4p", "weren",

@@ -787,3 +787,58 @@ def test_geocent_is_cart_alias():
                           np.array([100.0]))
     for u, v in zip(a[:3], b[:3]):
         assert abs(u[0] - v[0]) < 1e-9
+
+
+# --- spilhaus ----------------------------------------------------------
+
+# sampled from the reference's spilhaus.gie (expectations quantized to
+# ~meter grid corners -> 1 m tolerance)
+SPILHAUS_GOLDENS = [
+    ("+proj=spilhaus", -170.0, -80.0, 437478.9752, -2678050.3019),
+    ("+proj=spilhaus", -121.0, -50.0, 861573.2313, -5086159.8537),
+    ("+proj=spilhaus", -72.0, -20.0, -1486391.8298, -11562191.5568),
+    ("+proj=spilhaus", -23.0, 10.0, -5706896.4172, 2337607.2418),
+    ("+proj=spilhaus", 26.0, 40.0, -3067668.6963, 4947317.2297),
+    ("+proj=spilhaus", 75.0, 70.0, -2680263.1124, 8214231.722),
+    ("+proj=spilhaus", 173.0, -80.0, 497943.3567, -2503256.4284),
+    ("+proj=spilhaus +k_0=1.4142135623730951", 84.55256518, -37.93882855, 1171875.0, 703125.0),
+    ("+proj=spilhaus +k_0=1.4142135623730951", -83.61985956, -31.09509756, -1796875.0, -11796875.0),
+    ("+proj=spilhaus +k_0=1.4142135623730951", -64.99929833, -30.00238885, -15390625.0, -15546875.0),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", SPILHAUS_GOLDENS)
+def test_spilhaus_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 1.0 and abs(y[0] - ey) < 1.0, (x[0], y[0])
+
+
+def test_spilhaus_roundtrip():
+    """World ocean map through adams_ws2's seeded Newton inverse; the
+    reference's own seed is 'very rough, especially at high northings'
+    so a small fraction near the square's corners/seams does not
+    converge to the principal branch."""
+    tr = compile_projstring("+proj=spilhaus +ellps=WGS84")
+    rng = np.random.RandomState(89)
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    dlon = np.abs((lo - lon + 180) % 360 - 180)
+    err = dlon + np.abs(la - lat)
+    assert np.mean(err < 1e-6) > 0.9
+
+
+def test_adams_ws2_seeded_inverse_globe():
+    """The seeded Newton (adams.cpp adams_inverse) widens the
+    generic-inverse domain to most of the globe."""
+    tr = compile_projstring("+proj=adams_ws2 +R=6370997")
+    rng = np.random.RandomState(97)
+    lon = rng.uniform(-175, 175, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+    err = np.abs(lo - lon) + np.abs(la - lat)
+    assert np.mean(err < 1e-6) > 0.9
