@@ -2518,3 +2518,84 @@ def rouss_inv(x, y, C: RoussConsts):
     sp = np.sin(phi)
     lam = al * np.sqrt(1.0 - C.es * sp * sp) / np.cos(phi)
     return lam, phi
+
+
+# ---------------------------------------------------------------- sch
+
+@dataclass(frozen=True)
+class SchConsts:
+    rcurv: float
+    a: float
+    transMat: tuple
+    xyzoff: tuple
+    cart_ell: object
+    cart_sph: object
+
+
+def sch_setup(params: dict, ell: Ellipsoid) -> SchConsts:
+    """SAR Spherical Cross-track Height (sch.cpp:77-150)."""
+    from . import cart as k_cart
+
+    for key in ("plat_0", "plon_0", "phdg_0"):
+        if key not in params:
+            raise ValueError(f"sch: missing parameter {key}")
+    plat = np.radians(float(params["plat_0"]))
+    plon = np.radians(float(params["plon_0"]))
+    phdg = np.radians(float(params["phdg_0"]))
+    h0 = float(params.get("h_0", 0.0))
+    cart_ell = k_cart.setup({}, ell)
+    clt, slt = np.cos(plat), np.sin(plat)
+    clo, slo = np.cos(plon), np.sin(plon)
+    temp = np.sqrt(1.0 - ell.es * slt * slt)
+    reast = ell.a / temp
+    rnorth = ell.a * (1.0 - ell.es) / temp ** 3
+    chdg, shdg = np.cos(phdg), np.sin(phdg)
+    rcurv = h0 + (reast * rnorth) / (reast * chdg * chdg
+                                     + rnorth * shdg * shdg)
+    cart_sph = k_cart.setup({}, Ellipsoid.from_a_es(float(rcurv), 0.0))
+    M = (clt * clo, -shdg * slo - slt * clo * chdg,
+         slo * chdg - slt * clo * shdg,
+         clt * slo, clo * shdg - slt * slo * chdg,
+         -clo * chdg - slt * slo * shdg,
+         slt, clt * chdg, clt * shdg)
+    X, Y, Z = k_cart.fwd(np.array([plon]), np.array([plat]),
+                         np.array([h0]), cart_ell)
+    xyzoff = (float(X[0] - rcurv * clt * clo),
+              float(Y[0] - rcurv * clt * slo),
+              float(Z[0] - rcurv * slt))
+    return SchConsts(rcurv=float(rcurv), a=ell.a,
+                     transMat=tuple(float(v) for v in M),
+                     xyzoff=xyzoff, cart_ell=cart_ell, cart_sph=cart_sph)
+
+
+def sch_fwd(lam, phi, z, C: SchConsts):
+    """sch.cpp sch_forward3d; output (s/a, c/a, h) classic units."""
+    from . import cart as k_cart
+
+    M = C.transMat
+    X, Y, Z = k_cart.fwd(lam, phi, z, C.cart_ell)
+    X = X - C.xyzoff[0]
+    Y = Y - C.xyzoff[1]
+    Z = Z - C.xyzoff[2]
+    Xr = M[0] * X + M[3] * Y + M[6] * Z
+    Yr = M[1] * X + M[4] * Y + M[7] * Z
+    Zr = M[2] * X + M[5] * Y + M[8] * Z
+    la, ph, h = k_cart.inv(Xr, Yr, Zr, C.cart_sph)
+    return la * (C.rcurv / C.a), ph * (C.rcurv / C.a), h
+
+
+def sch_inv(x, y, z, C: SchConsts):
+    """sch.cpp sch_inverse3d."""
+    from . import cart as k_cart
+
+    M = C.transMat
+    la = x * (C.a / C.rcurv)
+    ph = y * (C.a / C.rcurv)
+    X, Y, Z = k_cart.fwd(la, ph, z, C.cart_sph)
+    Xr = M[0] * X + M[1] * Y + M[2] * Z
+    Yr = M[3] * X + M[4] * Y + M[5] * Z
+    Zr = M[6] * X + M[7] * Y + M[8] * Z
+    Xr = Xr + C.xyzoff[0]
+    Yr = Yr + C.xyzoff[1]
+    Zr = Zr + C.xyzoff[2]
+    return k_cart.inv(Xr, Yr, Zr, C.cart_ell)

@@ -1258,6 +1258,15 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
 
 
+def _mk_sch(op, params, ell, k0, phi0):
+    from .kernels import misc_proj as M
+
+    C = M.sch_setup(params, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: M.sch_fwd(x, y, z, C)
+    op.inv_k = lambda x, y, z, t: M.sch_inv(x, y, z, C)
+
+
 def _mk_rouss(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
 
@@ -1546,6 +1555,7 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "sch": _mk_sch,
         "rouss": _mk_rouss,
         "imw_p": _mk_imw_p,
         "labrd": _mk_labrd,

@@ -842,3 +842,47 @@ def test_adams_ws2_seeded_inverse_globe():
     lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
     err = np.abs(lo - lon) + np.abs(la - lat)
     assert np.mean(err < 1e-6) > 0.8  # rough seed, per the reference
+
+
+# --- sch (SAR spherical cross-track height) ----------------------------
+
+def test_sch_cs2cs_fixtures():
+    """test_cs2cs_various.yaml:907-934 forward + inverse points."""
+    tr = compile_projstring("+proj=sch +ellps=WGS84 +plat_0=30.0 "
+                            "+plon_0=45.0 +phdg_0=-12.0")
+    lon = np.array([0.0, 45.0, 45.1, 44.9, 30.0])
+    lat = np.array([0.0, 45.0, 44.9, 45.1, 45.0])
+    x, y, z, _ = tr.transform_deg(lon, lat, np.zeros(5))
+    exp = [(-1977112.0305592, 5551475.1418378, 6595.7256583),
+           (1630035.5650122, -342353.6396475, 128.3445654),
+           (1617547.4295637, -347855.9734973, 125.4645102),
+           (1642526.7453121, -336878.8571851, 131.3265616),
+           (1974596.2356203, 787409.8217445, 773.0028577)]
+    for i, (ex, ey, ez) in enumerate(exp):
+        assert abs(x[i] - ex) < 1e-3
+        assert abs(y[i] - ey) < 1e-3
+        assert abs(z[i] - ez) < 1e-3
+    lo, la, h, _ = tr.transform_deg(np.array([0.0]), np.array([0.0]),
+                                    np.array([2.0]), direction="inv")
+    assert abs(lo[0] - 45) < 1e-6
+    assert abs(la[0] - 30) < 1e-6
+    assert abs(h[0] - 2) < 1e-6
+
+
+def test_sch_roundtrip_with_height():
+    tr = compile_projstring("+proj=sch +plat_0=30 +plon_0=-100 "
+                            "+phdg_0=45 +ellps=WGS84")
+    rng = np.random.RandomState(91)
+    lon = rng.uniform(-110, -90, 300)
+    lat = rng.uniform(20, 40, 300)
+    h = rng.uniform(0, 10000, 300)
+    x, y, z, _ = tr.transform_deg(lon, lat, h)
+    lo, la, hh, _ = tr.transform_deg(x, y, z, direction="inv")
+    assert np.nanmax(np.abs(lo - lon)) < 1e-9
+    assert np.nanmax(np.abs(la - lat)) < 1e-9
+    assert np.nanmax(np.abs(hh - h)) < 1e-5
+
+
+def test_sch_missing_args():
+    with pytest.raises(ValueError):
+        compile_projstring("+proj=sch +ellps=WGS84 +plat_0=30")
