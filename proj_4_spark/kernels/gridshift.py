@@ -112,3 +112,79 @@ def synthetic_hgrid(n: int = 61, amp: float = 1e-5) -> Grid:
     return Grid(lon0=float(lon[0]), lat0=float(lat[0]),
                 dlon=float(lon[1] - lon[0]), dlat=float(lat[1] - lat[0]),
                 values=np.stack([dl, dp], axis=-1))
+
+
+@dataclass(frozen=True)
+class Tin:
+    """Triangulated irregular network (transformations/tinshift.cpp
+    JSON model): per-vertex source coords + target coords / offsets.
+
+    vertices: (n, >=4) array [src_x, src_y, tgt_x, tgt_y[, dz]]
+    triangles: (m, 3) int indices into vertices
+    """
+    vertices: np.ndarray
+    triangles: np.ndarray
+    has_z: bool
+
+
+def tin_locate(tin: Tin, x, y):
+    """Vectorized point-in-triangle search with barycentric weights:
+    returns (tri_index or -1, w0, w1, w2).  Loops over triangles with
+    masks — m is small (model meshes), n is the point axis."""
+    V = tin.vertices
+    T = tin.triangles
+    idx = np.full(x.shape, -1, dtype=np.int64)
+    w0 = np.zeros_like(x)
+    w1 = np.zeros_like(x)
+    w2 = np.zeros_like(x)
+    todo = np.ones(x.shape, dtype=bool)
+    for k in range(len(T)):
+        if not todo.any():
+            break
+        i0, i1, i2 = T[k]
+        x0, y0 = V[i0, 0], V[i0, 1]
+        x1, y1 = V[i1, 0], V[i1, 1]
+        x2, y2 = V[i2, 0], V[i2, 1]
+        den = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        if den == 0:
+            continue
+        a = ((y1 - y2) * (x - x2) + (x2 - x1) * (y - y2)) / den
+        b = ((y2 - y0) * (x - x2) + (x0 - x2) * (y - y2)) / den
+        c = 1.0 - a - b
+        inside = todo & (a >= -1e-12) & (b >= -1e-12) & (c >= -1e-12)
+        idx = np.where(inside, k, idx)
+        w0 = np.where(inside, a, w0)
+        w1 = np.where(inside, b, w1)
+        w2 = np.where(inside, c, w2)
+        todo = todo & ~inside
+    return idx, w0, w1, w2
+
+
+def tin_fwd(tin: Tin, x, y, z):
+    """Barycentric interpolation of the per-vertex target coords
+    (tinshift.cpp evaluation)."""
+    idx, a, b, c = tin_locate(tin, x, y)
+    T = tin.triangles
+    V = tin.vertices
+    ki = np.maximum(idx, 0)
+    i0, i1, i2 = T[ki, 0], T[ki, 1], T[ki, 2]
+    xo = a * V[i0, 2] + b * V[i1, 2] + c * V[i2, 2]
+    yo = a * V[i0, 3] + b * V[i1, 3] + c * V[i2, 3]
+    if tin.has_z:
+        zo = z + a * V[i0, 4] + b * V[i1, 4] + c * V[i2, 4]
+    else:
+        zo = z
+    bad = idx < 0
+    return (np.where(bad, np.nan, xo), np.where(bad, np.nan, yo),
+            np.where(bad, np.nan, zo))
+
+
+def tin_inv(tin: Tin, x, y, z):
+    """Inverse: the same barycentric search over the TARGET-coordinate
+    triangles (tinshift.cpp reverse)."""
+    inv_tin = Tin(vertices=np.column_stack([
+        tin.vertices[:, 2], tin.vertices[:, 3],
+        tin.vertices[:, 0], tin.vertices[:, 1],
+        -tin.vertices[:, 4] if tin.has_z else np.zeros(len(tin.vertices)),
+    ]), triangles=tin.triangles, has_z=tin.has_z)
+    return tin_fwd(inv_tin, x, y, z)

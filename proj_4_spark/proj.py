@@ -580,6 +580,121 @@ def compile_operation(params: dict) -> Operation:
         op.left, op.right = RADIANS, RADIANS
         op.fwd_k = lambda x, y, z, t: (x, geoc_fwd(y, one_es), z)
         op.inv_k = lambda x, y, z, t: (x, geoc_inv(y, one_es), z)
+    elif proj_id == "gridshift":
+        # unified grid shift (transformations/gridshift.cpp): one grid
+        # carrying horizontal (radians, channels 0-1) and optionally
+        # vertical (meters, channel 2) corrections
+        from .kernels import gridshift as k_grid
+
+        name = params.get("grids")
+        if not name:
+            raise ValueError("gridshift: missing +grids")
+        grid = GRID_REGISTRY.get(str(name))
+        if grid is None:
+            raise FileNotFoundError(
+                f"gridshift: grid '{name}' not in GRID_REGISTRY")
+        nch = grid.values.shape[2] if grid.values.ndim == 3 else 1
+        no_z = "no_z_transform" in params
+        op.left, op.right = RADIANS, RADIANS
+
+        def _gs_fwd(x, y, z, t):
+            la, ph = k_grid.hgrid_fwd(grid, x, y)
+            if nch >= 3 and not no_z:
+                d = k_grid._bilinear(grid, x, y)[..., 2]
+                ok = k_grid.in_grid(grid, x, y)
+                z = z + np.where(ok, d, 0.0)
+            return la, ph, z
+
+        def _gs_inv(x, y, z, t):
+            la, ph = k_grid.hgrid_inv(grid, x, y)
+            if nch >= 3 and not no_z:
+                d = k_grid._bilinear(grid, la, ph)[..., 2]
+                ok = k_grid.in_grid(grid, la, ph)
+                z = z - np.where(ok, d, 0.0)
+            return la, ph, z
+
+        op.fwd_k = _gs_fwd
+        op.inv_k = _gs_inv
+    elif proj_id == "deformation":
+        # kinematic velocity-grid shift (transformations/deformation.cpp):
+        # cartesian in/out, ENU velocity grid in mm/yr
+        from .kernels import gridshift as k_grid
+
+        name = params.get("grids")
+        if not name:
+            raise ValueError("deformation: missing +grids")
+        grid = GRID_REGISTRY.get(str(name))
+        if grid is None:
+            raise FileNotFoundError(
+                f"deformation: grid '{name}' not in GRID_REGISTRY")
+        dt_param = params.get("dt")
+        t_epoch = float(params.get("t_epoch", 0.0))
+        if dt_param is None and "t_epoch" not in params:
+            raise ValueError("deformation: +dt or +t_epoch is required")
+        dt_fixed = float(dt_param) if dt_param is not None else None
+        cartC = k_cart.setup({}, ell)
+        op.left, op.right = CARTESIAN, CARTESIAN
+
+        def _shift(X, Y, Z):
+            la, ph, _ = k_cart.inv(X, Y, Z, cartC)
+            d = k_grid._bilinear(grid, la, ph)
+            ok = k_grid.in_grid(grid, la, ph)
+            ve = np.where(ok, d[..., 0], np.nan) / 1000.0
+            vn = np.where(ok, d[..., 1], np.nan) / 1000.0
+            vu = np.where(ok, d[..., 2], np.nan) / 1000.0
+            sp, cp = np.sin(ph), np.cos(ph)
+            sl, cl = np.sin(la), np.cos(la)
+            return (-sp * cl * vn - sl * ve + cp * cl * vu,
+                    -sp * sl * vn + cl * ve + cp * sl * vu,
+                    cp * vn + sp * vu)
+
+        def _dt_of(t):
+            if dt_fixed is not None:
+                return dt_fixed
+            return np.asarray(t, dtype=np.float64) - t_epoch
+
+        def _def_fwd(x, y, z, t):
+            dt = _dt_of(t)
+            dx, dy, dz = _shift(x, y, z)
+            return x + dt * dx, y + dt * dy, z + dt * dz
+
+        def _def_inv(x, y, z, t, max_iter=10, tol=1e-8):
+            dt = _dt_of(t)
+            dx, dy, dz = _shift(x, y, z)
+            z0 = dz
+            ox = x - dt * dx
+            oy = y - dt * dy
+            oz = z + dt * dz
+            for _ in range(max_iter):
+                dx, dy, dz = _shift(ox, oy, oz)
+                fx = ox + dt * dx - x
+                fy = oy + dt * dy - y
+                fz = oz - dt * dz - z
+                ox = ox - fx
+                oy = oy - fy
+                oz = oz - fz
+                if np.all(np.isnan(fx) | (np.hypot(fx, fy) <= tol)):
+                    break
+            oz = z - dt * z0
+            return ox, oy, oz
+
+        op.fwd_k = _def_fwd
+        op.inv_k = _def_inv
+    elif proj_id == "tinshift":
+        # triangulation-based shift (transformations/tinshift.cpp);
+        # the TIN comes from GRID_REGISTRY as a kernels.gridshift.Tin
+        from .kernels import gridshift as k_grid
+
+        name = params.get("file", params.get("grids"))
+        if not name:
+            raise ValueError("tinshift: missing +file")
+        tin = GRID_REGISTRY.get(str(name))
+        if tin is None:
+            raise FileNotFoundError(
+                f"tinshift: TIN '{name}' not in GRID_REGISTRY")
+        op.left, op.right = WHATEVER, WHATEVER
+        op.fwd_k = lambda x, y, z, t: k_grid.tin_fwd(tin, x, y, z)
+        op.inv_k = lambda x, y, z, t: k_grid.tin_inv(tin, x, y, z)
     elif proj_id == "xyzgridshift":
         # 3D cartesian grid shift (transformations/xyzgridshift.cpp):
         # geocentric in/out; the (dx,dy,dz) grid is indexed by the
