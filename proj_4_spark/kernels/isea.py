@@ -1,0 +1,166 @@
+"""Icosahedral Snyder Equal Area (isea) — plane output mode.
+
+Vectorized NumPy re-derivation of /root/reference/src/projections/isea.cpp:
+- orientation transform (snyder_ctran / isea_ctran, :436-488)
+- per-face Snyder equal-area forward (:307-434; Snyder 1992 eqs 5-12)
+- triangle plane placement (isea_triangle_xy / isea_tri_plane,
+  :219-247, :561-572)
+
+The reference ships no closed-form inverse ("if an inverse was
+needed..." isea.cpp:998); the registration exposes the generic Newton.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+DEG120 = 2.09439510239319549229
+DEG180 = np.pi
+ISEA_STD_LAT = 1.01722196792335072101
+ISEA_STD_LONG = 0.19634954084936207740
+E_RAD = 0.91843818701052843323
+F_RAD = 0.18871053078356206978
+SDC2VOS = 0.6523581397843681859886783   # g
+TANG = 0.76393202250021030358019673567  # tan(g)
+COT_THETA = 1.0 / np.tan(np.radians(30.0))
+COSG = 0.80901699437494742410229341718281905886
+SIN_G_COS_SDC2VOS = np.sin(np.radians(36.0)) * np.cos(SDC2VOS)
+RPRIME_OVER_R = 0.9103832815095032
+TABLE_G = TANG * np.sin(np.radians(60.0))
+TABLE_H = 0.25 * TANG
+
+# face centers (isea.cpp:199-210)
+_FACE_LAT = np.array([E_RAD] * 5 + [F_RAD] * 5 + [-F_RAD] * 5 + [-E_RAD] * 5)
+_FACE_LON = np.radians(np.array(
+    [-144, -72, 0, 72, 144,
+     -144, -72, 0, 72, 144,
+     -108, -36, 36, 108, 180,
+     -108, -36, 36, 108, 180], dtype=np.float64))
+
+
+def _az_adjustment(i: int) -> float:
+    """isea.cpp:211-217."""
+    if (5 <= i <= 9) or i in (15, 16):
+        return np.pi
+    if i >= 17:
+        return -np.pi
+    return 0.0
+
+
+def _triangle_xy(i: int):
+    """isea.cpp:219-247."""
+    x = TABLE_G * ((i % 5) - 2) * 2.0
+    if i > 9:
+        x += TABLE_G
+    y = (5.0, 1.0, -1.0, -5.0)[i // 5] * TABLE_H
+    return x * RPRIME_OVER_R, y * RPRIME_OVER_R
+
+
+@dataclass(frozen=True)
+class IseaConsts:
+    o_lat: float
+    o_lon: float
+    o_az: float
+
+
+def setup(params: dict) -> IseaConsts:
+    """isea.cpp grid init + +orient/+azi overrides."""
+    o_lat, o_lon, o_az = ISEA_STD_LAT, ISEA_STD_LONG, 0.0
+    orient = params.get("orient")
+    if orient is not None:
+        if orient == "isea":
+            pass
+        elif orient == "pole":
+            o_lat, o_lon = np.pi / 2.0, 0.0
+        else:
+            raise ValueError("isea: orient should be isea or pole")
+    if "azi" in params:
+        o_az = np.radians(float(params["azi"]))
+    return IseaConsts(o_lat=float(o_lat), o_lon=float(o_lon),
+                      o_az=float(o_az))
+
+
+def _ctran(lam, phi, C: IseaConsts):
+    """isea_ctran (isea.cpp:469-488) with the np.lon+pi shifted pole
+    and the o_az output-longitude origin."""
+    alpha = C.o_lat
+    beta = C.o_lon + np.pi
+    dl = lam - beta
+    cp, sp = np.cos(phi), np.sin(phi)
+    ca, sa = np.cos(alpha), np.sin(alpha)
+    cdl, sdl = np.cos(dl), np.sin(dl)
+    sin_phip = sa * sp - ca * cp * cdl
+    lambdap = np.arctan2(cp * sdl, sa * cp * cdl + ca * sp) + beta
+    lambdap = np.mod(lambdap, 2.0 * np.pi)
+    lambdap = np.where(lambdap > np.pi, lambdap - 2.0 * np.pi, lambdap)
+    lambdap = lambdap - (-C.o_az + C.o_lon)
+    lambdap = np.mod(lambdap, 2.0 * np.pi)
+    lambdap = np.where(lambdap > np.pi, lambdap - 2.0 * np.pi, lambdap)
+    lambdap = np.where(lambdap < -np.pi, lambdap + 2.0 * np.pi, lambdap)
+    phip = np.arcsin(np.clip(sin_phip, -1.0, 1.0))
+    return lambdap, phip
+
+
+def fwd(lam, phi, C: IseaConsts):
+    """Full plane-mode forward: orientation, per-face Snyder forward
+    (first matching face, like the reference's loop), triangle
+    placement."""
+    lam, phi = _ctran(lam, phi, C)
+    sinLat = np.sin(phi)
+    cosLat = np.cos(phi)
+    x_out = np.full(lam.shape, np.nan)
+    y_out = np.full(lam.shape, np.nan)
+    done = np.zeros(lam.shape, dtype=bool)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i in range(20):
+            if done.all():
+                break
+            dLon = lam - _FACE_LON[i]
+            s_c, c_c = np.sin(_FACE_LAT[i]), np.cos(_FACE_LAT[i])
+            cosLat_cosLon = cosLat * np.cos(dLon)
+            cosZ = s_c * sinLat + c_c * cosLat_cosLon
+            z = np.arccos(np.clip(cosZ, -1.0, 1.0))
+            cand = ~done & (z <= SDC2VOS + 0.000005)
+            if not cand.any():
+                continue
+            Az = np.arctan2(cosLat * np.sin(dLon),
+                            c_c * sinLat - s_c * cosLat_cosLon)
+            Az = Az - _az_adjustment(i)
+            Az = np.where(Az < 0.0, Az + 2.0 * np.pi, Az)
+            # fold into [0, 120deg] counting multiples
+            mult = np.floor(Az / DEG120)
+            Az = Az - mult * DEG120
+            neg = Az < 0.0
+            Az = np.where(neg, Az + DEG120, Az)
+            mult = np.where(neg, mult - 1, mult)
+            cosAz = np.cos(Az)
+            sinAz = np.sin(Az)
+            q = np.arctan2(TANG, cosAz + sinAz * COT_THETA)
+            cand = cand & (z <= q + 0.000005)
+            if not cand.any():
+                continue
+            H = np.arccos(np.clip(
+                sinAz * SIN_G_COS_SDC2VOS - cosAz * COSG, -1.0, 1.0))
+            Ag = Az + np.radians(36.0) + H - DEG180
+            Azprime = np.arctan2(
+                2.0 * Ag,
+                RPRIME_OVER_R * RPRIME_OVER_R * TANG * TANG
+                - 2.0 * Ag * COT_THETA)
+            dprime = RPRIME_OVER_R * TANG \
+                / (np.cos(Azprime) + np.sin(Azprime) * COT_THETA)
+            f = dprime / (2.0 * RPRIME_OVER_R * np.sin(q / 2.0))
+            rho = 2.0 * RPRIME_OVER_R * f * np.sin(z / 2.0)
+            Azprime = Azprime + DEG120 * mult
+            x = rho * np.sin(Azprime)
+            y = rho * np.cos(Azprime)
+            # triangle plane placement (isea_tri_plane)
+            if (i // 5) % 2 == 1:  # DOWNTRI
+                x = -x
+                y = -y
+            tcx, tcy = _triangle_xy(i)
+            x_out = np.where(cand, x + tcx, x_out)
+            y_out = np.where(cand, y + tcy, y_out)
+            done |= cand
+    return x_out, y_out

@@ -1373,6 +1373,17 @@ def _mk_interrupted(op, params, ell, k0, phi0):
     op.inv_k = lambda x, y, z, t: (*M.interrupted_inv(x, y, C), z)
 
 
+def _mk_isea(op, params, ell, k0, phi0):
+    from .kernels import isea as k_isea
+    from .kernels.ellipsoid import Ellipsoid as _E
+
+    op.ell = _E.from_a_es(op.ell.a, 0.0)  # spherical (isea.cpp "Sph")
+    C = k_isea.setup(params)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_isea.fwd(x, y, C), z)
+    op.inv_k = None  # no inverse in the reference; generic Newton
+
+
 def _mk_sch(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
 
@@ -1670,6 +1681,7 @@ def _misc_registry():
         "som": _mk_som,
         "lsat": _mk_som,
         "misrsom": _mk_som,
+        "isea": _mk_isea,
         "sch": _mk_sch,
         "rouss": _mk_rouss,
         "imw_p": _mk_imw_p,

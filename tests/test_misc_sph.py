@@ -886,3 +886,47 @@ def test_sch_roundtrip_with_height():
 def test_sch_missing_args():
     with pytest.raises(ValueError):
         compile_projstring("+proj=sch +ellps=WGS84 +plat_0=30")
+
+
+# --- isea (Icosahedral Snyder Equal Area, plane mode) ------------------
+
+ISEA_GOLDENS = [
+    ("+proj=isea +a=6400000", 2.0, 1.0, -1097074.9481534758, 3442909.3097474533),
+    ("+proj=isea +a=6400000", 2.0, -1.0, -1097074.948149705, 3233611.728292401),
+    ("+proj=isea +a=6400000", -2.0, 1.0, -1575486.3537757862, 3442168.3427360635),
+    ("+proj=isea +a=6400000", -2.0, -1.0, -1575486.3537720195, 3234352.69531021),
+    ("+proj=isea +R=6371007.18091875", -168.75, 58.282525588539, -19186144.87084202, 3323137.7719445243),
+    ("+proj=isea +R=6371007.18091875", 11.25, 58.282525588539, -15348915.896747919, 9969413.315350907),
+    ("+proj=isea +R=6371007.18091875", -110.0, 54.0, -15321401.505530974, 3338358.8590940563),
+    ("+proj=isea +R=6371007.18091875", -75.0, 45.0, -12774358.709073609, 4373188.646695702),
+    ("+proj=isea +R=6371007.18091875", 2.0, 49.0, -642252.9393470988, 8796229.00914376),
+    ("+proj=isea +R=6371007.18091875", 0.0, 0.0, -1331454.0746232667, 3323137.771634855),
+    ("+proj=isea +R=6371007.18091875", 90.0, 0.0, 8564460.63910087, 593869.2974855418),
+    ("+proj=isea +R=6371007.18091875", 0.0, 45.0, -837334.699958428, 8323409.759132192),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", -168.75, 58.282525588539, -16702163.549901897, 6386395.630649689),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", 11.25, 58.282525588539, 619648.6465317447, 6212947.536539182),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", -110.0, 54.0, -13285649.857057726, 6149501.348902118),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", -75.0, 45.0, -7921366.529368571, 4728387.055336074),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", 2.0, 49.0, 152616.43499930768, 5152048.791301283),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", 0.0, 0.0, 0.0, -195097.13364071414),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", 90.0, 0.0, 9593072.435467452, 0.0),
+    ("+proj=isea +R=6371007.18091875 +orient=pole", 0.0, 45.0, 0.0, 4726854.7703394275),
+]
+
+
+@pytest.mark.parametrize("pstr,lon,lat,ex,ey", ISEA_GOLDENS)
+def test_isea_gie_golden(pstr, lon, lat, ex, ey):
+    tr = compile_projstring(pstr)
+    x, y, _, _ = tr.transform_deg(np.array([float(lon)]),
+                                  np.array([float(lat)]))
+    assert abs(x[0] - ex) < 2.5e-4 and abs(y[0] - ey) < 2.5e-4, (x[0], y[0])
+
+
+def test_isea_global_coverage():
+    """Every point lands on exactly one icosahedron face."""
+    tr = compile_projstring("+proj=isea +R=6371007.18091875")
+    rng = np.random.RandomState(101)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    assert np.isnan(x).mean() == 0.0
