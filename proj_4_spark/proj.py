@@ -1384,6 +1384,15 @@ def _mk_isea(op, params, ell, k0, phi0):
     op.inv_k = None  # no inverse in the reference; generic Newton
 
 
+def _mk_airocean(op, params, ell, k0, phi0):
+    from .kernels import airocean as k_air
+
+    C = k_air.setup(params, ell)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*k_air.fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*k_air.inv(x, y, C), z)
+
+
 def _mk_sch(op, params, ell, k0, phi0):
     from .kernels import misc_proj as M
 
@@ -1682,6 +1691,7 @@ def _misc_registry():
         "lsat": _mk_som,
         "misrsom": _mk_som,
         "isea": _mk_isea,
+        "airocean": _mk_airocean,
         "sch": _mk_sch,
         "rouss": _mk_rouss,
         "imw_p": _mk_imw_p,

@@ -930,3 +930,116 @@ def test_isea_global_coverage():
     lat = rng.uniform(-89.9, 89.9, 5000)
     x, y, _, _ = tr.transform_deg(lon, lat)
     assert np.isnan(x).mean() == 0.0
+
+
+# --- airocean (Fuller Dymaxion) ----------------------------------------
+
+AIROCEAN_GOLDENS = [
+    # builtins.gie:1187+ (+proj=airocean +ellps=GRS80, tol 0.1 mm)
+    (23.0, 28.0, 13572113.73386754, 23493648.55327798),
+    (71.0, 46.0, 9714915.991790695, 23488176.361173604),
+    (147.0, 75.0, 7723484.49359606, 20087141.837650128),
+    (-77.0, 61.0, 9679376.816000767, 16802749.593532257),
+    (-26.0, 35.0, 15458567.83864155, 20091165.592037637),
+    (29.0, -13.0, 15471813.400558881, 26802282.415074058),
+    (71.0, -25.0, 9737210.823606653, 30219178.19260869),
+    (97.0, 10.0, 7670302.042847798, 26816601.848991044),
+    (169.0, 35.0, 3883710.702444233, 20135415.72144515),
+    (-151.0, 13.0, 3859776.9744116343, 13387384.422000753),
+    (-109.0, 24.0, 7674343.074326526, 13366009.083146008),
+    (-84.0, -9.0, 9673007.441581018, 10144952.26955531),
+    (-42.0, -4.0, 13562062.520622183, 10107761.706502315),
+    (-11.0, -34.0, 13627060.52678455, 3383645.5697278716),
+    (155.0, -35.0, 1873264.8705730252, 30211340.763352156),
+    (-158.0, -28.0, 1871227.8450291778, 10115901.323020123),
+    (-109.0, -46.0, 7708744.672461299, 6722251.06988263),
+    (-36.0, -75.0, 9665810.798055789, 3381177.9821538515),
+    (98.0, -49.0, 4806946.337586326, 33007546.454859577),
+    (114.0, -72.0, 7708905.600709579, 1101689.019137724),
+    (143.0, -9.0, 3219027.0687154396, 27948068.75709961),
+    (123.0, 7.0, 5239165.493429321, 26821978.017945066),
+    (147.0, 16.0, 2635947.740851659, 22373572.978527334),
+]
+
+AIROCEAN_INV_GOLDENS = [
+    # builtins.gie direction inverse block
+    (13600000.0, 23500000.0, 22.77346472511832, 27.745464601997153),
+    (9700000.0, 23500000.0, 71.26673004703193, 45.89205035111361),
+    (7700000.0, 20100000.0, 146.99339940860168, 74.69909794660227),
+    (9700000.0, 16800000.0, -76.55528563752168, 60.90966578454296),
+    (15500000.0, 20100000.0, -26.125789701735282, 34.531335035632864),
+    (15500000.0, 26800000.0, 28.72566754254401, -13.176397846758185),
+    (9700000.0, 30200000.0, 71.49135806675328, -24.84162689595362),
+    (7700000.0, 26800000.0, 96.67476470896398, 10.214265110489109),
+    (3900000.0, 20100000.0, 169.4467058181239, 35.245717462371594),
+    (3900000.0, 13400000.0, -150.6222299120939, 13.304599775998279),
+    (7700000.0, 13400000.0, -108.74281284723317, 24.422067806064522),
+    (9700000.0, 10100000.0, -83.65325201216521, -9.486900253798344),
+    (13600000.0, 10100000.0, -41.56143010477453, -4.013493146314863),
+    (13600000.0, 3400000.0, -11.279582965366556, -34.27261608163502),
+]
+
+AIROCEAN_HORIZ_GOLDENS = [
+    # builtins.gie:1289+ (+orient=horizontal +ellps=GRS80, tol 0.1 mm)
+    (23.0, 28.0, 13391387.087562159, 13572113.73386754),
+    (71.0, 46.0, 13396859.279666536, 9714915.991790695),
+    (147.0, 75.0, 16797893.80319001, 7723484.49359606),
+    (-77.0, 61.0, 20082286.04730788, 9679376.816000767),
+    (-26.0, 35.0, 16793870.048802502, 15458567.83864155),
+    (29.0, -13.0, 10082753.22576608, 15471813.400558881),
+    (71.0, -25.0, 6665857.448231446, 9737210.823606653),
+    (97.0, 10.0, 10068433.791849095, 7670302.042847798),
+    (169.0, 35.0, 16749619.919394989, 3883710.702444233),
+    (-151.0, 13.0, 23497651.218839385, 3859776.9744116343),
+    (-109.0, 24.0, 23519026.557694133, 7674343.074326526),
+    (-84.0, -9.0, 26740083.371284828, 9673007.441581018),
+    (-42.0, -4.0, 26777273.934337825, 13562062.520622183),
+    (-11.0, -34.0, 33501390.07111227, 13627060.52678455),
+    (155.0, -35.0, 6673694.877487984, 1873264.8705730252),
+    (-158.0, -28.0, 26769134.317820016, 1871227.8450291778),
+    (-109.0, -46.0, 30162784.570957504, 7708744.672461299),
+    (-36.0, -75.0, 33503857.658686288, 9665810.798055789),
+    (98.0, -49.0, 3877489.1859805635, 4806946.337586326),
+]
+
+
+@pytest.mark.parametrize("lon,lat,ex,ey", AIROCEAN_GOLDENS)
+def test_airocean_gie_golden(lon, lat, ex, ey):
+    tr = compile_projstring("+proj=airocean +ellps=GRS80")
+    x, y, _, _ = tr.transform_deg(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+@pytest.mark.parametrize("x,y,elon,elat", AIROCEAN_INV_GOLDENS)
+def test_airocean_gie_inverse(x, y, elon, elat):
+    tr = compile_projstring("+proj=airocean +ellps=GRS80")
+    lon, lat, _, _ = tr.transform_deg(np.array([x]), np.array([y]),
+                                      direction="inv")
+    assert abs(lon[0] - elon) < 1e-9 and abs(lat[0] - elat) < 1e-9
+
+
+@pytest.mark.parametrize("lon,lat,ex,ey", AIROCEAN_HORIZ_GOLDENS)
+def test_airocean_horizontal_golden(lon, lat, ex, ey):
+    tr = compile_projstring("+proj=airocean +orient=horizontal +ellps=GRS80")
+    x, y, _, _ = tr.transform_deg(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - ex) < 1e-4 and abs(y[0] - ey) < 1e-4, (x[0], y[0])
+
+
+def test_airocean_roundtrip():
+    tr = compile_projstring("+proj=airocean +ellps=GRS80")
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-179.5, 179.5, 2000)
+    lat = rng.uniform(-89.5, 89.5, 2000)
+    x, y, _, _ = tr.transform_deg(lon, lat)
+    assert np.isnan(x).sum() == 0  # 23 faces tile the sphere
+    rl, rp, _, _ = tr.transform_deg(x, y, direction="inv")
+    dl = np.abs((rl - lon + 180.0) % 360.0 - 180.0)
+    assert np.nanmax(dl) < 1e-9 and np.nanmax(np.abs(rp - lat)) < 1e-9
+
+
+def test_airocean_sphere_and_orient_reject():
+    tr = compile_projstring("+proj=airocean +R=6371000")
+    x, y, _, _ = tr.transform_deg(np.array([23.0]), np.array([28.0]))
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
+    with pytest.raises(ValueError):
+        compile_projstring("+proj=airocean +orient=diagonal +ellps=GRS80")
