@@ -38,6 +38,9 @@ PJ_EPS_LAT = 1e-12
 # broadcast UDF closure) — the analogue of PROJ's grid file catalog
 GRID_REGISTRY: dict[str, object] = {}
 
+# +proj=defmodel master files: name -> JSON text
+DEFMODEL_REGISTRY: dict[str, str] = {}
+
 # IO unit tags (src/proj_internal.h:192-200)
 WHATEVER = "whatever"
 CLASSIC = "classic"  # plane coords in units of the semimajor axis
@@ -680,6 +683,40 @@ def compile_operation(params: dict) -> Operation:
 
         op.fwd_k = _def_fwd
         op.inv_k = _def_inv
+    elif proj_id == "defmodel":
+        # JSON deformation-model driver
+        # (transformations/defmodel.cpp:389-450): +model= names a JSON
+        # master file (registered in DEFMODEL_REGISTRY or a filesystem
+        # path); component grids come from GRID_REGISTRY as
+        # kernels.defmodel.DefGridSet keyed by spatial_model.filename.
+        from .kernels import defmodel as k_dm
+
+        model_name = params.get("model")
+        if not model_name:
+            raise ValueError("defmodel: +model= should be specified")
+        text = DEFMODEL_REGISTRY.get(str(model_name))
+        if text is None:
+            import os
+            if os.path.isfile(str(model_name)):
+                with open(str(model_name)) as f:
+                    text = f.read()
+            else:
+                raise FileNotFoundError(
+                    f"defmodel: cannot open {model_name}")
+        mf = k_dm.MasterFile.parse(text)
+        grids = {}
+        for comp in mf.components:
+            gset = GRID_REGISTRY.get(comp.filename)
+            if not isinstance(gset, k_dm.DefGridSet):
+                raise FileNotFoundError(
+                    f"defmodel: cannot open {comp.filename}")
+            grids[comp.filename] = gset
+        ev = k_dm.Evaluator(mf, grids, ell.a,
+                            ell.a * float(np.sqrt(1.0 - ell.es)))
+        op.consts = ev
+        op.left, op.right = RADIANS, RADIANS
+        op.fwd_k = lambda x, y, z, t: ev.forward(x, y, z, t)
+        op.inv_k = lambda x, y, z, t: ev.inverse(x, y, z, t)
     elif proj_id == "tinshift":
         # triangulation-based shift (transformations/tinshift.cpp);
         # the TIN comes from GRID_REGISTRY as a kernels.gridshift.Tin
