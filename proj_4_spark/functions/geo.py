@@ -302,3 +302,25 @@ def unitconvert_time_udf(t_in: str, t_out: str):
         return pd.Series(out)
 
     return _conv
+
+
+def transform4d_udf(projstr_or_transform, direction: str = "fwd"):
+    """pandas UDF (lon_deg, lat_deg, t) -> struct<lon_out, lat_out,
+    z_out double> for 4D (kinematic) pipelines such as +proj=defmodel;
+    z starts at 0."""
+    tr = (projstr_or_transform if isinstance(projstr_or_transform, Transform)
+          else compile_projstring(projstr_or_transform))
+
+    @pandas_udf("struct<lon_out: double, lat_out: double, z_out: double>")
+    def _t4d(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.DataFrame:
+        def k(lo, la, tt):
+            x, y, z, _ = tr.transform_deg(lo, la, z=np.zeros_like(lo),
+                                          t=tt, direction=direction)
+            return x, y, z
+
+        x, y, z = run_chunked(k, a.to_numpy(np.float64),
+                              b.to_numpy(np.float64),
+                              c.to_numpy(np.float64))
+        return pd.DataFrame({"lon_out": x, "lat_out": y, "z_out": z})
+
+    return _t4d

@@ -1354,3 +1354,201 @@ SELECT doc_id,
     AS y_m
 FROM s ORDER BY doc_id
 """
+
+
+def airocean_sql(round_to: int = 2) -> str:
+    """Fuller Airocean forward (airocean.cpp:726-772): geocentric
+    latitude shift, 23-face triple-product location, gnomonic onto the
+    face plane, per-face affine into the unfolded net.  The face's
+    three determinant tests det(p,p2,p3)/det(p1,p,p3)/det(p1,p2,p) are
+    scalar triple products p.(p2 x p3) / p.(p3 x p1) / p.(p1 x p2), so
+    each is a constant linear form in (x,y,z) embedded per face; first
+    matching face = min face id (same loop order as the reference)."""
+    from ..kernels.airocean_data import (BASE_ICO_AIR_TRANS,
+                                         BASE_ICO_CENTERS, BASE_ICO_FACES,
+                                         BASE_ICO_NORMALS)
+
+    tr = compile_projstring("+proj=airocean +ellps=GRS80")
+    op = tr.ops[0]
+    C = op.consts
+    a = op.ell.a
+    rows = []
+    for i in range(23):
+        p1, p2, p3 = BASE_ICO_FACES[i]
+        d1 = np.cross(p2, p3)
+        d2 = np.cross(p3, p1)
+        d3 = np.cross(p1, p2)
+        n = BASE_ICO_NORMALS[i]
+        cdn = float(np.dot(BASE_ICO_CENTERS[i], n))
+        M = BASE_ICO_AIR_TRANS[i]
+        vals = [i, *d1, *d2, *d3, *n, cdn,
+                M[0, 0], M[0, 1], M[0, 2], M[0, 3],
+                M[1, 0], M[1, 1], M[1, 2], M[1, 3]]
+        rows.append("(" + ", ".join(
+            str(v) if isinstance(v, int) else L(v) for v in vals) + ")")
+    values = ",\n    ".join(rows)
+    geoc = f"atan({L(C.one_minus_f * C.one_minus_f)}*tan(radians(lat)))"
+    return f"""
+WITH coords AS ({coords_cte()}),
+faces(fid, a1,b1,c1, a2,b2,c2, a3,b3,c3, nx,ny,nz, cdn,
+      m00,m01,m02,m03, m10,m11,m12,m13) AS (VALUES
+    {values}
+),
+g AS (
+  SELECT doc_id, radians(lon) AS lam, {geoc} AS lat_c FROM coords
+),
+p AS (
+  SELECT doc_id, cos(lat_c)*cos(lam) AS x, cos(lat_c)*sin(lam) AS y,
+         sin(lat_c) AS z
+  FROM g
+),
+hit AS (
+  SELECT doc_id, x, y, z, fid, nx, ny, nz, cdn,
+         m00, m01, m02, m03, m10, m11, m12, m13
+  FROM p CROSS JOIN faces
+  WHERE a1*x + b1*y + c1*z <= 0
+    AND a2*x + b2*y + c2*z <= 0
+    AND a3*x + b3*y + c3*z <= 0
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY fid) = 1
+),
+ico AS (
+  SELECT doc_id, m00, m01, m02, m03, m10, m11, m12, m13,
+         x * (cdn/(x*nx + y*ny + z*nz)) AS ix,
+         y * (cdn/(x*nx + y*ny + z*nz)) AS iy,
+         z * (cdn/(x*nx + y*ny + z*nz)) AS iz
+  FROM hit
+)
+SELECT doc_id,
+  (round({L(a)}*(m00*ix + m01*iy + m02*iz + m03), {round_to}) + 0.0)
+    AS x_m,
+  (round({L(a)}*(m10*ix + m11*iy + m12*iz + m13), {round_to}) + 0.0)
+    AS y_m
+FROM ico ORDER BY doc_id
+"""
+
+
+# --- defmodel driver query fixtures ------------------------------------
+# Deterministic velocity-model: one 3x3 easting/northing/up grid over
+# NZ-ish extent, velocity time function referenced to 2000.0.  The SAME
+# node floats feed both the engine grid (kernels.defmodel.DefGrid) and
+# the SQL VALUES table, so both sides bilinear-interpolate identical
+# doubles.
+DEFMODEL_BBOX = (150.0, -45.0, 170.0, -35.0)
+DEFMODEL_RES = (10.0, 5.0)
+DEFMODEL_NODES = [
+    (ix, iy, 0.04 * (ix + 1) + 0.01 * iy, -0.02 * (iy + 1) - 0.005 * ix,
+     0.003 * (ix + iy + 1))
+    for iy in range(3) for ix in range(3)
+]
+DEFMODEL_JSON = """{
+ "file_type": "GeoTIFF", "format_version": "1.0",
+ "source_crs": "EPSG:4959", "target_crs": "EPSG:7907",
+ "definition_crs": "EPSG:4959",
+ "extent": {"type": "bbox", "parameters":
+            {"bbox": [150.0, -45.0, 170.0, -35.0]}},
+ "time_extent": {"first": "1900-01-01T00:00:00Z",
+                 "last": "2050-01-01T00:00:00Z"},
+ "horizontal_offset_method": "addition",
+ "horizontal_offset_unit": "metre", "vertical_offset_unit": "metre",
+ "components": [{
+   "displacement_type": "3d", "uncertainty_type": "none",
+   "extent": {"type": "bbox", "parameters":
+              {"bbox": [150.0, -45.0, 170.0, -35.0]}},
+   "spatial_model": {"type": "GeoTIFF",
+                     "interpolation_method": "bilinear",
+                     "filename": "synthetic_nz_velocity"},
+   "time_function": {"type": "velocity", "parameters":
+                     {"reference_epoch": "2000-01-01T00:00:00Z"}}}]
+}"""
+
+
+def defmodel_grid():
+    """Engine-side DefGridSet built from DEFMODEL_NODES."""
+    from ..kernels import defmodel as k_dm
+
+    e = np.zeros((3, 3))
+    n = np.zeros((3, 3))
+    z = np.zeros((3, 3))
+    for ix, iy, de, dn, dz in DEFMODEL_NODES:
+        e[iy, ix], n[iy, ix], z[iy, ix] = de, dn, dz
+    grid = k_dm.grid_from_bands(DEFMODEL_BBOX[0], DEFMODEL_BBOX[1],
+                                DEFMODEL_RES[0], DEFMODEL_RES[1],
+                                e_or_lon=e, n_or_lat=n, z=z)
+    return k_dm.DefGridSet(grids=(grid,))
+
+
+DEFMODEL_LONLAT_T = (
+    "(150.0 + CAST(doc_id % 200 AS DOUBLE)*0.1)",
+    "(-45.0 + CAST(doc_id % 100 AS DOUBLE)*0.1)",
+    "(2005.0 + CAST(doc_id % 160 AS DOUBLE)*0.125)",
+)
+
+
+def defmodel_sql(round_deg: int = 9, round_z: int = 4) -> str:
+    """defmodel forward oracle (defmodel_impl.hpp:822-1219 for the
+    bilinear + addition + velocity path): cell-local bilinear of the
+    VALUES node table, scaled by (t - 2000), converted to arc via
+    DeltaEastingNorthingToLongLat (:713-722) on GRS80."""
+    tr = compile_projstring("+proj=airocean +ellps=GRS80")  # GRS80 consts
+    ell = tr.ops[0].ell
+    a, es = ell.a, ell.es
+    b = a * math.sqrt(1.0 - es)
+    minx, miny = DEFMODEL_BBOX[0], DEFMODEL_BBOX[1]
+    resx, resy = DEFMODEL_RES
+    lon_e, lat_e, t_e = DEFMODEL_LONLAT_T
+    values = ",\n    ".join(
+        f"({ix}, {iy}, {L(de)}, {L(dn)}, {L(dz)})"
+        for ix, iy, de, dn, dz in DEFMODEL_NODES)
+    return f"""
+WITH nodes(ix, iy, de, dn, dz) AS (VALUES
+    {values}
+),
+pts AS (
+  SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat, {t_e} AS t
+  FROM documents
+),
+cell AS (
+  SELECT doc_id, lon, lat, t,
+    least(CAST(floor((radians(lon) - radians({L(minx)}))
+               / radians({L(resx)})) AS INTEGER), 1) AS ix0,
+    least(CAST(floor((radians(lat) - radians({L(miny)}))
+               / radians({L(resy)})) AS INTEGER), 1) AS iy0,
+    (radians(lon) - radians({L(minx)})) / radians({L(resx)}) AS ixd,
+    (radians(lat) - radians({L(miny)})) / radians({L(resy)}) AS iyd
+  FROM pts
+),
+w AS (
+  SELECT doc_id, lon, lat, t, ix0, iy0,
+         ixd - ix0 AS fx, iyd - iy0 AS fy
+  FROM cell
+),
+bi AS (
+  SELECT w.doc_id, w.lon, w.lat, (w.t - 2000.0) AS tf,
+    (n00.de*((1-fx)*(1-fy)) + n01.de*((1-fx)*fy)
+     + n10.de*(fx*(1-fy)) + n11.de*(fx*fy)) AS de_i,
+    (n00.dn*((1-fx)*(1-fy)) + n01.dn*((1-fx)*fy)
+     + n10.dn*(fx*(1-fy)) + n11.dn*(fx*fy)) AS dn_i,
+    (n00.dz*((1-fx)*(1-fy)) + n01.dz*((1-fx)*fy)
+     + n10.dz*(fx*(1-fy)) + n11.dz*(fx*fy)) AS dz_i
+  FROM w
+  JOIN nodes n00 ON n00.ix = w.ix0     AND n00.iy = w.iy0
+  JOIN nodes n10 ON n10.ix = w.ix0 + 1 AND n10.iy = w.iy0
+  JOIN nodes n01 ON n01.ix = w.ix0     AND n01.iy = w.iy0 + 1
+  JOIN nodes n11 ON n11.ix = w.ix0 + 1 AND n11.iy = w.iy0 + 1
+),
+arc AS (
+  SELECT doc_id, lon, lat, tf, dz_i,
+    (1.0 - {L(es)}*(1.0 - cos(radians(lat))*cos(radians(lat)))) AS XX,
+    tf*de_i AS de_t, tf*dn_i AS dn_t
+  FROM bi
+)
+SELECT doc_id,
+  (round(degrees(radians(lon)
+     + de_t*sqrt(XX)/({L(a)}*cos(radians(lat)))), {round_deg}) + 0.0)
+    AS lon_out,
+  (round(degrees(radians(lat)
+     + dn_t*{L(a)}*sqrt(XX)*XX/({L(b * b)})), {round_deg}) + 0.0)
+    AS lat_out,
+  (round(tf*dz_i, {round_z}) + 0.0) AS z_out
+FROM arc ORDER BY doc_id
+"""

@@ -1324,6 +1324,42 @@ def q_qsc_fwd(spark, sf_dir):
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
+@register("airocean_fwd", O.airocean_sql())
+def q_airocean_fwd(spark, sf_dir):
+    """Fuller Airocean / Dymaxion (airocean.cpp:726-772): 23-face
+    gnomonic with per-face affine placement in the unfolded net."""
+    df = G.with_projected(_coords(spark, sf_dir),
+                          "+proj=airocean +ellps=GRS80")
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+@register("defmodel_velocity", O.defmodel_sql())
+def q_defmodel_velocity(spark, sf_dir):
+    """JSON deformation-model driver (defmodel_impl.hpp:822-1219):
+    velocity time function x bilinear 3d grid, addition method on
+    GRS80 — the NZGD2000-style kinematic datum pathway."""
+    from .proj import DEFMODEL_REGISTRY, GRID_REGISTRY, compile_projstring
+
+    DEFMODEL_REGISTRY["synthetic_nz_model"] = O.DEFMODEL_JSON
+    GRID_REGISTRY["synthetic_nz_velocity"] = O.defmodel_grid()
+    tr = compile_projstring(
+        "+proj=defmodel +model=synthetic_nz_model +ellps=GRS80")
+    lon_e, lat_e, t_e = O.DEFMODEL_LONLAT_T
+    _shift = G.transform4d_udf(tr)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select("doc_id", F.expr(lon_e).alias("lon"),
+                   F.expr(lat_e).alias("lat"), F.expr(t_e).alias("t"))
+    st = _shift(F.col("lon"), F.col("lat"), F.col("t"))
+    return (pts.withColumn("_s", st)
+               .select("doc_id",
+                       (F.round("_s.lon_out", 9) + 0.0).alias("lon_out"),
+                       (F.round("_s.lat_out", 9) + 0.0).alias("lat_out"),
+                       (F.round("_s.z_out", 4) + 0.0).alias("z_out"))
+               .orderBy("doc_id"))
+
+
 @register("healpix_fwd", O.healpix_sql())
 def q_healpix_fwd(spark, sf_dir):
     """HEALPix equal-area (healpix.cpp:181-202): authalic-latitude
