@@ -219,3 +219,65 @@ def test_pipeline_combinators():
     # radians (pipeline.cpp unit wiring)
     assert abs(x[0] - np.radians(12.0)) < 1e-12
     assert abs(y[0] - np.radians(55.0)) < 1e-12
+
+
+# Ops whose inverse (closed-form or generic Newton) round-trips every
+# finite forward point of the world grid to <1e-6 deg.
+ROUNDTRIP_FULL = [
+    "aea", "aeqd", "affine", "aitoff", "axisswap", "boggs", "calcofi",
+    "cart", "cass", "cc", "cea", "collg", "comill", "crast", "denoy",
+    "airocean", "eck1", "eck2", "eck3", "eck4", "eck5", "eck6",
+    "eqearth", "eqc", "eqdc", "euler", "etmerc", "fahey", "fouc",
+    "fouc_s", "gall", "geoc", "geocent", "geogoffset", "geos", "gins8",
+    "gn_sinu", "goode", "gridshift", "hammer", "hatano", "healpix",
+    "rhealpix", "helmert", "hgridshift", "igh", "igh_o", "imoll",
+    "imoll_o", "kav5", "kav7", "laea", "larr", "lask", "lonlat",
+    "latlon", "latlong", "longlat", "lcc", "lcca", "leac", "loxim",
+    "lsat", "mbt_s", "mbt_fps", "mbtfpp", "mbtfpq", "mbtfps", "merc",
+    "mill", "misrsom", "moll", "molobadekas", "molodensky", "murd1",
+    "murd3", "natearth", "natearth2", "nell", "nell_h", "nsper",
+    "noop", "ob_tran", "ocea", "omerc", "ortho", "patterson", "putp1",
+    "putp2", "putp3", "putp3p", "putp4p", "putp5", "putp5p", "putp6",
+    "putp6p", "qua_aut", "qsc", "sch", "set", "sinu", "som", "stere",
+    "sterea", "tcea", "times", "tissot", "tmerc", "tobmerc",
+    "topocentric", "tpeqd", "tpers", "unitconvert", "ups", "urm5",
+    "urmfps", "vandg", "vertoffset", "vitk1", "vgridshift", "wag1",
+    "wag2", "wag3", "wag4", "wag5", "wag6", "wag7", "webmerc",
+    "weren", "wink1", "wink2", "wintri", "xyzgridshift",
+]
+
+# Restricted-domain ops: fraction of finite forward points that must
+# still round-trip (measured floor minus slack; the misses are points
+# far outside the op's design domain — regional datums evaluated on a
+# world grid, hemisphere folds, perspective horizons)
+ROUNDTRIP_FLOOR = {
+    "adams_hemi": 0.7, "adams_ws1": 0.5, "adams_ws2": 0.7, "airy": 0.9,
+    "apian": 0.9, "august": 0.85, "bacon": 0.9, "bertin1953": 0.75,
+    "bipc": 0.75, "ccon": 0.6, "chamb": 0.6, "deformation": 0.95,
+    "gnom": 0.65, "gs48": 0.4, "guyou": 0.7, "isea": 0.75,
+    "lagrng": 0.8, "lee_os": 0.9, "mil_os": 0.85, "murd2": 0.7,
+    "nicol": 0.7, "oea": 0.7, "pconic": 0.7, "robin": 0.65,
+    "rpoly": 0.6, "s2": 0.45, "somerc": 0.45, "spilhaus": 0.9,
+    "gstmerc": 0.45, "tinshift": 0.45, "utm": 0.9, "vandg2": 0.8,
+    "vandg3": 0.85, "vandg4": 0.75, "alsk": 0.2, "col_urban": 0.03,
+    "gs50": 0.2, "imw_p": 0.15, "krovak": 0.3, "mod_krovak": 0.01,
+    "nzmg": 0.01, "peirce_q": 0.2, "poly": 0.4, "rouss": 0.005,
+    "tcc": 0.4, "labrd": 0.005, "horner": 0.005,
+}
+
+
+@pytest.mark.parametrize(
+    "pid", ROUNDTRIP_FULL + sorted(ROUNDTRIP_FLOOR))
+def test_op_roundtrip(pid):
+    extra = GRID_OPS.get(pid) or PARAMS.get(pid) or R
+    tr = compile_projstring(f"+proj={pid} {extra}")
+    t = np.full_like(LON, 2018.0)
+    x, y, z, _ = tr.transform_deg(LON, LAT, z=np.zeros_like(LON), t=t)
+    fin = np.isfinite(x) & np.isfinite(y)
+    rl, rp, _, _ = tr.transform_deg(x, y, z=z, t=t, direction="inv")
+    dl = np.abs((rl - LON + 180.0) % 360.0 - 180.0)
+    dp = np.abs(rp - LAT)
+    good = fin & np.isfinite(rl) & (dl < 1e-6) & (dp < 1e-6)
+    frac = good.sum() / max(int(fin.sum()), 1)
+    floor = 0.999 if pid in ROUNDTRIP_FULL else ROUNDTRIP_FLOOR[pid]
+    assert frac >= floor, f"{pid}: roundtrip frac {frac:.3f} < {floor}"
