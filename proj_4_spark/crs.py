@@ -1,0 +1,158 @@
+"""CRS-level API: EPSG subset registry + cs2cs-style CRS->CRS planner.
+
+Mirrors the reference's proj_create("EPSG:n") / proj_create_crs_to_crs
+surface (src/create.cpp:206-303, src/crs_to_crs.cpp:319-360) for a
+curated subset of well-known codes; the reference resolves codes
+against its bundled SQLite database, which is out of scope — the
+proj-string definitions below are the standard published proj4
+expansions of each code.
+
+crs_to_crs composes: inverse(src CRS) -> src datum -> WGS84 hub ->
+dst datum -> forward(dst CRS), with +towgs84 Helmert bridges expanded
+per side (towgs84_step_dicts) and adjacent cancelling cart steps
+removed by the pipeline compiler.
+"""
+
+from __future__ import annotations
+
+from .proj import (Transform, _ANGULAR_IDS, compile_operation,
+                   compile_projstring, invert_step_dict, parse_projstring,
+                   towgs84_step_dicts)
+
+_UTM_NORTH = range(32601, 32661)
+_UTM_SOUTH = range(32701, 32761)
+_UTM_ETRS = range(25828, 25838)   # ETRS89 / UTM 28N..37N
+
+EPSG = {
+    # geographic
+    4326: "+proj=longlat +ellps=WGS84",
+    4258: "+proj=longlat +ellps=GRS80",   # ETRS89
+    4269: "+proj=longlat +ellps=GRS80",   # NAD83
+    4267: "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176",       # NAD27
+    4230: "+proj=longlat +ellps=intl +towgs84=-87,-98,-121",       # ED50
+    4277: "+proj=longlat +ellps=airy "
+          "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489",
+    4314: "+proj=longlat +ellps=bessel "
+          "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7",      # DHDN
+    4312: "+proj=longlat +ellps=bessel "
+          "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232",  # MGI
+    # projected, WGS84/ETRS89-datum
+    3857: "+proj=webmerc +ellps=WGS84",
+    3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+          "+ellps=GRS80",
+    3413: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+          "+ellps=WGS84",
+    3031: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+          "+ellps=WGS84",
+    2154: "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+          "+x_0=700000 +y_0=6600000 +ellps=GRS80",   # RGF93 / Lambert-93
+    2193: "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+          "+y_0=10000000 +ellps=GRS80",              # NZGD2000 / NZTM2000
+    5070: "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+          "+x_0=0 +y_0=0 +ellps=GRS80",              # NAD83 / CONUS Albers
+    # projected, non-WGS84 datum (Helmert bridge)
+    27700: "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+           "+x_0=400000 +y_0=-100000 +ellps=airy "
+           "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489",
+    28992: "+proj=sterea +lat_0=52.15616055555555 "
+           "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+           "+y_0=463000 +ellps=bessel "
+           "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,"
+           "-1.8774,4.0725",                         # Amersfoort / RD New
+    21781: "+proj=somerc +lat_0=46.95240555555556 "
+           "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+           "+ellps=bessel +towgs84=674.374,15.056,405.346",  # CH1903/LV03
+    2056: "+proj=somerc +lat_0=46.95240555555556 "
+          "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+          "+ellps=bessel +towgs84=674.374,15.056,405.346",  # CH1903+/LV95
+    31370: "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
+           "+lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 "
+           "+y_0=5400088.438 +ellps=intl "
+           "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,"
+           "-1.2747",                                # Belgian Lambert 72
+    31466: "+proj=tmerc +lat_0=0 +lon_0=6 +k=1 +x_0=2500000 +y_0=0 "
+           "+ellps=bessel "
+           "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7",  # DHDN GK2
+    # world small-scale
+    54030: "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    54009: "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+}
+
+
+def epsg_projstring(code: int) -> str:
+    """Resolve an EPSG code from the curated subset (UTM zones are
+    generated)."""
+    code = int(code)
+    if code in EPSG:
+        return EPSG[code]
+    if code in _UTM_NORTH:
+        return f"+proj=utm +zone={code - 32600} +ellps=WGS84"
+    if code in _UTM_SOUTH:
+        return f"+proj=utm +zone={code - 32700} +south +ellps=WGS84"
+    if code in _UTM_ETRS:
+        return f"+proj=utm +zone={code - 25800} +ellps=GRS80"
+    raise KeyError(
+        f"EPSG:{code} not in the curated registry (full EPSG database "
+        "resolution is out of scope; pass a proj-string instead)")
+
+
+def _resolve(defn) -> str:
+    if isinstance(defn, int):
+        return epsg_projstring(defn)
+    s = str(defn).strip()
+    if s.upper().startswith("EPSG:"):
+        return epsg_projstring(int(s.split(":", 1)[1]))
+    return s
+
+
+def compile_crs(defn) -> Transform:
+    """proj_create equivalent: proj-string or EPSG:n -> Transform."""
+    return compile_projstring(_resolve(defn))
+
+
+def _crs_step_dicts(top: dict) -> list[dict]:
+    """Step dicts whose combined forward maps WGS84 angular -> the
+    CRS; empty for a WGS84-compatible geographic CRS."""
+    if "towgs84" in top and top.get("proj") != "helmert":
+        return towgs84_step_dicts(top)
+    if top.get("proj") in _ANGULAR_IDS:
+        return []   # datum treated as WGS84-compatible (ballpark,
+        # exactly like cs2cs without datum information)
+    return [dict(top)]
+
+
+def crs_to_crs(src, dst) -> Transform:
+    """proj_create_crs_to_crs equivalent: Transform whose forward maps
+    src CRS coordinates -> dst CRS coordinates through the WGS84
+    geographic hub.  Angular edges are degrees via transform_deg,
+    radians via transform (same convention as compile_projstring)."""
+    s_str, d_str = _resolve(src), _resolve(dst)
+    s_top = parse_projstring(s_str)[0]
+    d_top = parse_projstring(d_str)[0]
+    for t, which in ((s_top, "src"), (d_top, "dst")):
+        if t.get("proj") == "pipeline":
+            raise ValueError(f"crs_to_crs: {which} must be a CRS, "
+                             "not a pipeline")
+    steps = [invert_step_dict(d) for d in reversed(_crs_step_dicts(s_top))]
+    steps += _crs_step_dicts(d_top)
+    if not steps:
+        steps = [{"proj": "noop"}]
+    ops = [compile_operation(d) for d in steps]
+    # cancel adjacent identical fwd/inv pairs (cart_wgs84 around the
+    # hub), same rule as the pipeline compiler (io.cpp:8800-8840)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(ops) - 1):
+            a, b = ops[i], ops[i + 1]
+            if (a.proj_id == b.proj_id
+                    and a.proj_id not in ("push", "pop")
+                    and a.inverse != b.inverse
+                    and {k: v for k, v in a.params.items() if k != "inv"}
+                    == {k: v for k, v in b.params.items() if k != "inv"}):
+                del ops[i:i + 2]
+                changed = True
+                break
+    if not ops:
+        ops = [compile_operation({"proj": "noop"})]
+    return Transform(ops=ops, definition=f"{s_str} => {d_str}")

@@ -1897,12 +1897,53 @@ class Transform:
         return xo, yo, zo, to
 
 
+_ANGULAR_IDS = ("latlong", "longlat", "latlon", "lonlat")
+_ELL_KEYS = ("ellps", "a", "b", "rf", "es", "f", "R", "datum")
+
+
+def towgs84_step_dicts(step: dict) -> list[dict]:
+    """cs2cs-emulation expansion of one +towgs84-carrying CRS step into
+    plain step dicts whose combined FORWARD maps WGS84 -> the CRS
+    (src/fwd.cpp:92-100 fwd_prepare order; gie 4D-API_cs2cs-style.gie
+    pins both the angular and the projected case).  A step-level +inv
+    reverses and inverts the list."""
+    vals = [float(v) for v in str(step["towgs84"]).split(",")]
+    vals += [0.0] * (7 - len(vals))
+    src_ell = {k: step[k] for k in _ELL_KEYS if k in step}
+    helm = {"proj": "helmert",
+            "x": vals[0], "y": vals[1], "z": vals[2],
+            "rx": vals[3], "ry": vals[4], "rz": vals[5], "s": vals[6],
+            "convention": "position_vector"}
+    steps = [{"proj": "cart", "ellps": "WGS84"},
+             {**helm, "inv": True},
+             {"proj": "cart", "inv": True, **src_ell}]
+    if step.get("proj") not in _ANGULAR_IDS:
+        steps.append({k: v for k, v in step.items()
+                      if k not in ("towgs84", "inv")})
+    if "inv" in step:
+        steps = [invert_step_dict(d) for d in reversed(steps)]
+    return steps
+
+
+def invert_step_dict(d: dict) -> dict:
+    out = {k: v for k, v in d.items() if k != "inv"}
+    if "inv" not in d:
+        out["inv"] = True
+    return out
+
+
 def compile_projstring(s: str) -> Transform:
     """proj-string -> Transform (single op or pipeline, rewrites applied)."""
     parsed = parse_projstring(s)
     top = parsed[0]
     if top.get("proj") == "pipeline":
-        ops = [compile_operation(st) for st in top["_steps"]]
+        ops = []
+        for st in top["_steps"]:
+            if "towgs84" in st and st.get("proj") != "helmert":
+                ops.extend(compile_operation(d)
+                           for d in towgs84_step_dicts(st))
+            else:
+                ops.append(compile_operation(st))
         ops = [op for op in ops if not _is_identity_step(op)]
         # cancel adjacent fwd/inv pairs with identical definitions
         # (io.cpp:8800-8840)
@@ -1922,27 +1963,11 @@ def compile_projstring(s: str) -> Transform:
                     changed = True
                     break
         return Transform(ops=ops, definition=s)
-    if "towgs84" in top:
+    if "towgs84" in top and top.get("proj") != "helmert":
         # cs2cs-emulation expansion (src/proj_internal.h:591-596 +
-        # fwd_prepare/fwd_finalize): src-datum -> WGS84 via
-        # cart -> 3/7-param helmert (position vector) -> inv cart.
-        vals = [float(v) for v in str(top["towgs84"]).split(",")]
-        vals += [0.0] * (7 - len(vals))
-        ell_keys = ("ellps", "a", "b", "rf", "es", "f", "R")
-        src_ell = {k: top[k] for k in ell_keys if k in top}
-        helm = {"proj": "helmert",
-                "x": vals[0], "y": vals[1], "z": vals[2],
-                "rx": vals[3], "ry": vals[4], "rz": vals[5], "s": vals[6],
-                "convention": "position_vector"}
-        if top.get("proj") not in ("latlong", "longlat", "latlon", "lonlat"):
-            raise NotImplementedError(
-                "+towgs84 expansion implemented for angular CRS only")
-        # PROJ's fwd_prepare runs: cart_wgs84 FWD -> helmert INV ->
-        # cart(local) INV (src/fwd.cpp:92-100), i.e. the operation's
-        # forward maps WGS84 angular -> local-datum angular.
-        ops = [compile_operation({"proj": "cart", "ellps": "WGS84"}),
-               compile_operation({**helm, "inv": True}),
-               compile_operation({"proj": "cart", "inv": True, **src_ell})]
+        # fwd_prepare/fwd_finalize): forward maps WGS84 angular ->
+        # this CRS (angular on the local datum, or projected).
+        ops = [compile_operation(d) for d in towgs84_step_dicts(top)]
         return Transform(ops=ops, definition=s)
     op = compile_operation(top)
     return Transform(ops=[op], definition=s)

@@ -1,0 +1,114 @@
+"""CRS-level API: EPSG subset, towgs84 expansion (angular, projected,
+in-pipeline), crs_to_crs composition.
+
+Golden VALUES transcribed from
+/root/reference/test/gie/4D-API_cs2cs-style.gie (:44-52 angular
+7-param, :160-169 projected CH1903+/LV95, :261-268 towgs84 inside a
+pipeline step).
+"""
+
+import numpy as np
+import pytest
+
+from proj_4_spark.crs import EPSG, compile_crs, crs_to_crs, epsg_projstring
+from proj_4_spark.proj import compile_projstring
+
+
+def test_towgs84_angular_gie():
+    # 4D-API_cs2cs-style.gie:44-52, tolerance 25 mm (~3e-7 deg)
+    tr = compile_projstring(
+        "+proj=latlong +ellps=intl +towgs84=-081.07030,-089.36030,"
+        "-115.75260,000.48488,000.02436,000.41321,-0.540645")
+    x, y, z, _ = tr.transform_deg(np.array([16.82]), np.array([55.17]),
+                                  z=np.array([61.0]))
+    assert abs(x[0] - 16.8210462130) < 3e-7
+    assert abs(y[0] - 55.1705688946) < 3e-7
+    assert abs(z[0] - 29.0317) < 0.025
+
+
+def test_towgs84_projected_gie():
+    # 4D-API_cs2cs-style.gie:160-169 (CH1903+/LV95), tolerance 20 cm
+    tr = compile_projstring(
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel "
+        "+towgs84=674.374,15.056,405.346")
+    x, y, _, _ = tr.transform_deg(np.array([7.438632495]),
+                                  np.array([46.951082877]))
+    assert abs(x[0] - 2600000.0) < 0.2 and abs(y[0] - 1200000.0) < 0.2
+
+
+def test_towgs84_pipeline_step_gie():
+    # 4D-API_cs2cs-style.gie:261-268, tolerance 20 cm
+    tr = compile_projstring(
+        "+proj=pipeline "
+        "+step +proj=utm +zone=11 +ellps=clrk66 +towgs84=0,0,0 +inv "
+        "+step +proj=utm +zone=11 +ellps=WGS84")
+    x, y, z, _ = tr.transform(np.array([440720.0]),
+                              np.array([3751320.0]), z=np.array([0.0]))
+    assert abs(x[0] - 440719.958709357) < 0.2
+    assert abs(y[0] - 3751294.2109841) < 0.2
+    assert abs(z[0] - (-4.44340920541435)) < 0.2
+
+
+def test_epsg_registry_compiles():
+    for code in list(EPSG) + [32632, 32732, 25832]:
+        tr = compile_crs(f"EPSG:{code}")
+        x, y, _, _ = tr.transform_deg(np.array([7.0]), np.array([47.0]))
+        assert np.isfinite(x[0]) and np.isfinite(y[0]), code
+    with pytest.raises(KeyError):
+        epsg_projstring(99999)
+    # utm anchor through the EPSG path
+    x, y, _, _ = compile_crs(32632).transform_deg(np.array([12.0]),
+                                                  np.array([56.0]))
+    assert abs(x[0] - 687071.439) < 1e-3 and abs(y[0] - 6210141.327) < 1e-3
+
+
+def test_crs_to_crs_webmerc():
+    t = crs_to_crs("EPSG:4326", "EPSG:3857")
+    x, y, _, _ = t.transform_deg(np.array([12.0]), np.array([55.0]))
+    ref = compile_projstring("+proj=webmerc +ellps=WGS84")
+    xr, yr, _, _ = ref.transform_deg(np.array([12.0]), np.array([55.0]))
+    assert abs(x[0] - xr[0]) < 1e-9 and abs(y[0] - yr[0]) < 1e-9
+
+
+def test_crs_to_crs_datum_bridge():
+    # WGS84 -> LV95 through the hub matches the direct gie golden
+    t = crs_to_crs(4326, 2056)
+    x, y, _, _ = t.transform_deg(np.array([7.438632495]),
+                                 np.array([46.951082877]))
+    assert abs(x[0] - 2600000.0) < 0.2 and abs(y[0] - 1200000.0) < 0.2
+    # LV03 -> LV95: same datum cancels, exact +2000000/+1000000
+    t = crs_to_crs(21781, 2056)
+    x, y, _, _ = t.transform(np.array([600000.0]), np.array([200000.0]))
+    assert abs(x[0] - 2600000.0) < 1e-6 and abs(y[0] - 1200000.0) < 1e-6
+    # the Helmert bridge cancelled: no cart/helmert steps remain
+    assert [op.proj_id for op in t.ops].count("helmert") == 0
+
+
+def test_crs_to_crs_roundtrip_and_shift():
+    t = crs_to_crs(27700, 4326)
+    lon, lat, _, _ = t.transform_deg(np.array([400000.0]),
+                                     np.array([-100000.0]))
+    # OSGB false origin is (49N, 2W) in OSGB36; the WGS84 position
+    # differs by the datum shift (~0.001 deg)
+    assert abs(lon[0] + 2.0) < 0.01 and abs(lat[0] - 49.0) < 0.01
+    assert abs(lon[0] + 2.0) > 1e-5 and abs(lat[0] - 49.0) > 1e-5
+    b = crs_to_crs(4326, 27700)
+    e, n, _, _ = b.transform_deg(lon, lat)
+    # sub-cm 2D roundtrip (height is dropped at the angular edge)
+    assert abs(e[0] - 400000.0) < 5e-3 and abs(n[0] + 100000.0) < 5e-3
+
+
+def test_crs_to_crs_geographic_pairs():
+    t = crs_to_crs(4326, 4258)   # WGS84 ~ ETRS89: identity here
+    lon, lat, _, _ = t.transform_deg(np.array([10.0]), np.array([50.0]))
+    assert abs(lon[0] - 10.0) < 1e-12 and abs(lat[0] - 50.0) < 1e-12
+    t = crs_to_crs(4267, 4326)   # NAD27 -> WGS84: real shift
+    lon, lat, _, _ = t.transform_deg(np.array([-100.0]), np.array([40.0]))
+    assert 1e-5 < abs(lon[0] + 100.0) < 0.01
+    assert abs(lat[0] - 40.0) < 0.01
+
+
+def test_crs_to_crs_rejects_pipeline():
+    with pytest.raises(ValueError):
+        crs_to_crs("+proj=pipeline +step +proj=utm +zone=32", 4326)
