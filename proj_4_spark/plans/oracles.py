@@ -1552,3 +1552,137 @@ SELECT doc_id,
   (round(tf*dz_i, {round_z}) + 0.0) AS z_out
 FROM arc ORDER BY doc_id
 """
+
+
+def crs_osgb_sql(round_to: int = 2, lon_lo: float = -58.0,
+                 lon_hi: float = 54.0) -> str:
+    """Full oracle for crs_to_crs(EPSG:4326 -> EPSG:27700): cart WGS84
+    forward (cart.cpp:139-153), 7-param Helmert inverse
+    (helmert.cpp:402-436, small-angle position-vector matrix embedded
+    as literals), Bowring cart inverse on Airy (cart.cpp:156-239,
+    non-polar branch), then the Poder/Engsager exact TM forward with
+    OSGB36 false origin.  The longitude window keeps points inside
+    etmerc's convergence region and away from the +-pi wrap."""
+    from ..crs import crs_to_crs
+    from ..kernels.helmert import _rot_matrix
+
+    tr = crs_to_crs(4326, 27700)
+    ids = [op.proj_id for op in tr.ops]
+    assert ids == ["cart", "helmert", "cart", "tmerc"], ids
+    cw = tr.ops[0].consts           # cart WGS84
+    H = tr.ops[1].consts            # helmert (applied inverse)
+    ca = tr.ops[2].consts           # cart Airy
+    op = tr.ops[3]                  # etmerc-backed tmerc
+    Q = op.consts.exact
+    aA, lam0, x_0, y_0 = op.ell.a, op.lam0, op.x0, op.y0
+    Rm = _rot_matrix(H, H.opk0)
+    sc = 1.0 + H.scale0 * 1e-6
+    tx, ty, tz = H.xyz0
+    gcols, cn0 = _gatg_cols("gb", "phi2", "c2", "s2", list(Q.cbg))
+    gcols_s = ",\n    ".join(gcols)
+    ccols, R, I = _clenS_cols("cl", list(Q.gtu), "sar", "car", "shi", "chi")
+    ccols_s = ",\n    ".join(ccols)
+    return f"""
+WITH coords AS ({coords_cte()}),
+fil AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM coords
+  WHERE lon > {L(lon_lo)} AND lon < {L(lon_hi)}
+),
+cartf AS (
+  SELECT doc_id,
+    ({L(cw.a)}/sqrt(1.0 - {L(cw.es)}*sin(phi)*sin(phi))) AS N,
+    lam, phi
+  FROM fil
+),
+xyz AS (
+  SELECT doc_id,
+    (N*cos(phi)*cos(lam)) AS X, (N*cos(phi)*sin(lam)) AS Y,
+    (N*{L(1.0 - cw.es)}*sin(phi)) AS Z
+  FROM cartf
+),
+hel AS (
+  SELECT doc_id,
+    ((X - {L(tx)})/{L(sc)}) AS hx, ((Y - {L(ty)})/{L(sc)}) AS hy,
+    ((Z - {L(tz)})/{L(sc)}) AS hz
+  FROM xyz
+),
+rot AS (
+  SELECT doc_id,
+    ({L(Rm[0, 0])}*hx + {L(Rm[1, 0])}*hy + {L(Rm[2, 0])}*hz) AS Xl,
+    ({L(Rm[0, 1])}*hx + {L(Rm[1, 1])}*hy + {L(Rm[2, 1])}*hz) AS Yl,
+    ({L(Rm[0, 2])}*hx + {L(Rm[1, 2])}*hy + {L(Rm[2, 2])}*hz) AS Zl
+  FROM hel
+),
+bow AS (
+  SELECT doc_id,
+    (Xl*{L(ca.ra)}) AS xda, (Yl*{L(ca.ra)}) AS yda, (Zl*{L(ca.ra)}) AS zda,
+    sqrt((Xl*{L(ca.ra)})*(Xl*{L(ca.ra)})
+         + (Yl*{L(ca.ra)})*(Yl*{L(ca.ra)})) AS pda
+  FROM rot
+),
+bow2 AS (
+  SELECT doc_id, xda, yda, zda, pda,
+    (pda*{L(1.0 - ca.f)}) AS pb
+  FROM bow
+),
+bow3 AS (
+  SELECT doc_id, xda, yda, zda, pda,
+    (pb*(1.0/sqrt(zda*zda + pb*pb))) AS c,
+    (zda*(1.0/sqrt(zda*zda + pb*pb))) AS s
+  FROM bow2
+),
+llp AS (
+  SELECT doc_id,
+    atan((zda + {L(ca.e2s * (1.0 - ca.f))}*s*s*s)
+         / (pda - {L(ca.es)}*c*c*c)) AS phi2,
+    atan2(yda, xda) AS lam2
+  FROM bow3
+),
+prep AS (
+  SELECT doc_id, (lam2 - {L(lam0)}) AS lam, phi2 FROM llp
+),
+g AS (
+  SELECT doc_id, lam, phi2, sin(2.0*phi2) AS s2, cos(2.0*phi2) AS c2,
+    {gcols_s},
+    {cn0} AS Cn0
+  FROM prep
+),
+t AS (
+  SELECT doc_id, sin(Cn0) AS sCn, cos(Cn0) AS cCn,
+         sin(lam) AS sCe, cos(lam) AS cCe
+  FROM g
+),
+u AS (
+  SELECT doc_id, sCn, cCn, sCe, (cCn*cCe) AS ccc,
+    atan2(sCn, cCn*cCe) AS Cn1,
+    (1.0/sqrt(sCn*sCn + (cCn*cCe)*(cCn*cCe))) AS invd
+  FROM t
+),
+v AS (
+  SELECT doc_id, Cn1, sCn, ccc,
+    (sCe*cCn*invd) AS tanCe,
+    (2.0*invd) AS two_inv,
+    (2.0*invd*invd) AS two_inv_sq
+  FROM u
+),
+w AS (
+  SELECT doc_id, Cn1,
+    ln(tanCe + sqrt(tanCe*tanCe + 1.0)) AS Ce0,
+    (sCn*(ccc*two_inv_sq)) AS sar,
+    (ccc*(ccc*two_inv_sq) - 1.0) AS car,
+    (tanCe*two_inv) AS shi,
+    (two_inv_sq - 1.0) AS chi
+  FROM w_src
+),
+c AS (
+  SELECT doc_id, Cn1, Ce0, sar, car, shi, chi,
+    {ccols_s}
+  FROM w
+)
+SELECT doc_id,
+  (round({L(aA)}*({L(Q.Qn)}*(Ce0 + {I})) + {L(x_0)}, {round_to}) + 0.0)
+    AS x_m,
+  (round({L(aA)}*({L(Q.Qn)}*(Cn1 + {R}) + {L(Q.Zb)}) + {L(y_0)},
+         {round_to}) + 0.0) AS y_m
+FROM c ORDER BY doc_id
+""".replace("FROM w_src", "FROM v")

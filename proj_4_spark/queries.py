@@ -1334,6 +1334,23 @@ def q_airocean_fwd(spark, sf_dir):
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
 
 
+@register("crs_osgb_fwd", O.crs_osgb_sql())
+def q_crs_osgb_fwd(spark, sf_dir):
+    """crs_to_crs(EPSG:4326 -> EPSG:27700): WGS84 -> OSGB36 Helmert
+    datum bridge (cart/helmert/cart, cs2cs emulation) + exact TM with
+    false origin — the full CRS-level planner in the gate."""
+    from .crs import crs_to_crs
+
+    tr = crs_to_crs(4326, 27700)
+    d = _coords(spark, sf_dir).where("lon > -58.0 AND lon < 54.0")
+    u = G.project_udf(tr)
+    st = u(F.col("lon"), F.col("lat"))
+    return (d.withColumn("_p", st)
+             .select("doc_id", (F.round("_p.x", 2) + 0.0).alias("x_m"),
+                     (F.round("_p.y", 2) + 0.0).alias("y_m"))
+             .orderBy("doc_id"))
+
+
 @register("defmodel_velocity", O.defmodel_sql())
 def q_defmodel_velocity(spark, sf_dir):
     """JSON deformation-model driver (defmodel_impl.hpp:822-1219):
