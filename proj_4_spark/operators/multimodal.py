@@ -82,3 +82,26 @@ def frame_sample(blobs: DataFrame, every_n: int = 10,
 
     return blobs.mapInPandas(_sample,
                              "doc_id long, frame_idx int, frame_bytes binary")
+
+
+def fake_embedding_cols(payload_col: str = "payload", dim: int = 4):
+    """Deterministic placeholder feature extractor over a binary
+    payload, built entirely from JVM-side expressions (md5 + conv —
+    whole-stage codegen, no Python in the hot path).  On a real
+    cluster the md5-derived features are replaced by a model forward
+    pass (Arrow-batched pandas UDF); the column shape (binary ->
+    fixed-width float features) and everything downstream stay
+    identical.
+
+    feature_k = (int(md5(payload || str(k))[:8], 16) % 1e6) / 1e6
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    for k in range(dim):
+        h = F.md5(F.concat(F.col(payload_col),
+                           F.lit(str(k)).cast("binary")))
+        v = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % 1000000) / 1000000.0
+        cols.append(v.alias(f"f{k}"))
+    return cols

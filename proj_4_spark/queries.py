@@ -831,6 +831,31 @@ def q_multimodal_meta(spark, sf_dir):
     return MM.extract_meta(blobs).orderBy("doc_id")
 
 
+@register("multimodal_fake_embed", """
+SELECT doc_id,
+  (('0x' || substr(md5(text || '0'), 1, 8))::BIGINT % 1000000)
+    / 1000000.0 AS f0,
+  (('0x' || substr(md5(text || '1'), 1, 8))::BIGINT % 1000000)
+    / 1000000.0 AS f1,
+  (('0x' || substr(md5(text || '2'), 1, 8))::BIGINT % 1000000)
+    / 1000000.0 AS f2,
+  (('0x' || substr(md5(text || '3'), 1, 8))::BIGINT % 1000000)
+    / 1000000.0 AS f3
+FROM documents ORDER BY doc_id
+""")
+def q_multimodal_fake_embed(spark, sf_dir):
+    """Binary payload -> fixed-width feature vector, entirely
+    JVM-side (md5/conv in whole-stage codegen — the feature-extraction
+    column shape for multimodal training pipelines; see
+    operators/multimodal.py:fake_embedding_cols)."""
+    from .operators.multimodal import fake_embedding_cols
+
+    d = _docs(spark, sf_dir)
+    blobs = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return blobs.select("doc_id", *fake_embedding_cols()).orderBy("doc_id")
+
+
 # ------- long-tail projections (kernels/misc_proj.py, SURVEY §2.3) ----
 
 _EQC = "+proj=eqc +ellps=GRS80 +lat_ts=30"
