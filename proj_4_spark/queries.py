@@ -856,6 +856,103 @@ def q_multimodal_fake_embed(spark, sf_dir):
     return blobs.select("doc_id", *fake_embedding_cols()).orderBy("doc_id")
 
 
+_WMI_X = "degrees(x_m / 6378137.0)"
+_WMI_Y = "degrees(2.0*atan(exp(y_m / 6378137.0)) - pi()/2.0)"
+
+
+@register("webmerc_inv", f"""
+WITH coords AS ({_COORDS_CTE}),
+p AS (
+  SELECT doc_id, (radians(lon)*6378137.0) AS x_m,
+    (ln(tan(pi()/4.0 + radians(lat)/2.0))*6378137.0) AS y_m
+  FROM coords
+)
+SELECT doc_id, (round({_WMI_X}, 9) + 0.0) AS lon_out,
+  (round({_WMI_Y}, 9) + 0.0) AS lat_out
+FROM p ORDER BY doc_id
+""")
+def q_webmerc_inv(spark, sf_dir):
+    """Spherical web-mercator INVERSE (merc.cpp s_inverse) — the gate's
+    inverse-direction coverage: project forward in SQL both sides,
+    invert with the engine."""
+    d = _coords(spark, sf_dir)
+    p = d.select(
+        "doc_id",
+        F.expr("radians(lon)*6378137.0").alias("x_m"),
+        F.expr("ln(tan(pi()/4.0 + radians(lat)/2.0))*6378137.0")
+         .alias("y_m"))
+    u = G.project_udf("+proj=webmerc", direction="inv")
+    st = u(F.col("x_m"), F.col("y_m"))
+    return (p.withColumn("_i", st)
+             .select("doc_id",
+                     (F.round("_i.x", 9) + 0.0).alias("lon_out"),
+                     (F.round("_i.y", 9) + 0.0).alias("lat_out"))
+             .orderBy("doc_id"))
+
+
+_TB_LON_MIN = "(lon - 0.5)"
+_TB_LON_MAX = "(lon + 0.5)"
+_TB_LAT_MIN = "(lat - 0.25)"
+_TB_LAT_MAX = "(lat + 0.25)"
+_TB_LCC = _LCC
+
+
+def _tb_edge_exprs():
+    """Identical SQL text for Spark and DuckDB: 4 bbox edges x 21
+    densification points (trans_bounds.cpp:335-420 edge walk)."""
+    frac = "(CAST(k AS DOUBLE)/20.0)"
+    lon_e = (f"CASE WHEN edge <= 1 THEN {_TB_LON_MIN} + {frac}*"
+             f"({_TB_LON_MAX} - {_TB_LON_MIN}) "
+             f"WHEN edge = 2 THEN {_TB_LON_MIN} ELSE {_TB_LON_MAX} END")
+    lat_e = (f"CASE WHEN edge = 0 THEN {_TB_LAT_MIN} "
+             f"WHEN edge = 1 THEN {_TB_LAT_MAX} "
+             f"ELSE {_TB_LAT_MIN} + {frac}*"
+             f"({_TB_LAT_MAX} - {_TB_LAT_MIN}) END")
+    return lon_e, lat_e
+
+
+_tb_lon, _tb_lat = _tb_edge_exprs()
+_tb_x, _tb_y = O.lcc_xy(_TB_LCC, lon="lon_e", lat="lat_e")
+
+
+@register("trans_bounds_lcc", f"""
+WITH coords AS ({_COORDS_CTE}),
+pts AS (
+  SELECT doc_id, ({_tb_lon}) AS lon_e, ({_tb_lat}) AS lat_e
+  FROM coords
+  CROSS JOIN (SELECT unnest(range(4)) AS edge)
+  CROSS JOIN (SELECT unnest(range(21)) AS k)
+),
+pr AS (
+  SELECT doc_id, ({_tb_x}) AS x, ({_tb_y}) AS y FROM pts
+)
+SELECT doc_id,
+  (round(min(x), 2) + 0.0) AS xmin, (round(min(y), 2) + 0.0) AS ymin,
+  (round(max(x), 2) + 0.0) AS xmax, (round(max(y), 2) + 0.0) AS ymax
+FROM pr GROUP BY doc_id ORDER BY doc_id
+""")
+def q_trans_bounds_lcc(spark, sf_dir):
+    """proj_trans_bounds analogue (trans_bounds.cpp:335-420): densify
+    each per-doc bbox edge with 21 points, project (LCC CONUS), take
+    the envelope — partition-pruning bounds as a distributed
+    aggregate (map-side partial min/max, no skew)."""
+    lon_e, lat_e = _tb_edge_exprs()
+    d = _coords(spark, sf_dir)
+    pts = (d.crossJoin(spark.range(4).select(F.col("id").alias("edge")))
+             .crossJoin(spark.range(21).select(F.col("id").alias("k")))
+             .select("doc_id", F.expr(lon_e).alias("lon_e"),
+                     F.expr(lat_e).alias("lat_e")))
+    u = G.project_udf(_TB_LCC)
+    st = u(F.col("lon_e"), F.col("lat_e"))
+    return (pts.withColumn("_p", st)
+               .groupBy("doc_id")
+               .agg((F.round(F.min("_p.x"), 2) + 0.0).alias("xmin"),
+                    (F.round(F.min("_p.y"), 2) + 0.0).alias("ymin"),
+                    (F.round(F.max("_p.x"), 2) + 0.0).alias("xmax"),
+                    (F.round(F.max("_p.y"), 2) + 0.0).alias("ymax"))
+               .orderBy("doc_id"))
+
+
 # ------- long-tail projections (kernels/misc_proj.py, SURVEY §2.3) ----
 
 _EQC = "+proj=eqc +ellps=GRS80 +lat_ts=30"
