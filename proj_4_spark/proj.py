@@ -1586,10 +1586,45 @@ def _mk_ob_tran(op, params, ell, k0, phi0):
     o_proj = params.get("o_proj")
     if not o_proj or o_proj is True:
         raise ValueError("ob_tran: missing +o_proj")
-    if "o_alpha" in params or "o_lon_1" in params:
-        raise NotImplementedError("ob_tran: only o_lat_p/o_lon_p spec")
-    lamp = float(params.get("o_lon_p", 0.0)) * DEG_TO_RAD
-    phip = float(params.get("o_lat_p", 90.0)) * DEG_TO_RAD
+    _TOL = 1e-10
+    if "o_alpha" in params:
+        # azimuth spec (ob_tran.cpp:223-238): pole derived from a
+        # centre point (o_lon_c, o_lat_c) and an azimuth o_alpha
+        lamc = float(params.get("o_lon_c", 0.0)) * DEG_TO_RAD
+        phic = float(params.get("o_lat_c", 0.0)) * DEG_TO_RAD
+        alpha = float(params["o_alpha"]) * DEG_TO_RAD
+        if abs(abs(phic) - math.pi / 2) <= _TOL:
+            raise ValueError("ob_tran: |o_lat_c| must be < 90")
+        lamp = lamc + math.atan2(-math.cos(alpha),
+                                 -math.sin(alpha) * math.sin(phic))
+        phip = math.asin(min(1.0, max(-1.0,
+                                      math.cos(phic) * math.sin(alpha))))
+    elif "o_lat_p" in params or "o_lon_p" in params:
+        lamp = float(params.get("o_lon_p", 0.0)) * DEG_TO_RAD
+        phip = float(params.get("o_lat_p", 90.0)) * DEG_TO_RAD
+    elif "o_lon_1" in params or "o_lat_1" in params:
+        # two-point spec (ob_tran.cpp:241-268): pole of the great
+        # circle through (lon_1, lat_1) and (lon_2, lat_2)
+        lam1 = float(params.get("o_lon_1", 0.0)) * DEG_TO_RAD
+        phi1 = float(params.get("o_lat_1", 0.0)) * DEG_TO_RAD
+        lam2 = float(params.get("o_lon_2", 0.0)) * DEG_TO_RAD
+        phi2 = float(params.get("o_lat_2", 0.0)) * DEG_TO_RAD
+        if abs(phi1) > math.pi / 2 - _TOL:
+            raise ValueError("ob_tran: |o_lat_1| must be < 90")
+        if abs(phi2) > math.pi / 2 - _TOL:
+            raise ValueError("ob_tran: |o_lat_2| must be < 90")
+        if abs(phi1 - phi2) < _TOL:
+            raise ValueError("ob_tran: o_lat_1 must differ from o_lat_2")
+        if abs(phi1) < _TOL:
+            raise ValueError("ob_tran: o_lat_1 must be nonzero")
+        lamp = math.atan2(
+            math.cos(phi1) * math.sin(phi2) * math.cos(lam1)
+            - math.sin(phi1) * math.cos(phi2) * math.cos(lam2),
+            math.sin(phi1) * math.cos(phi2) * math.sin(lam2)
+            - math.cos(phi1) * math.sin(phi2) * math.sin(lam1))
+        phip = math.atan(-math.cos(lamp - lam1) / math.tan(phi1))
+    else:
+        lamp, phip = 0.0, math.pi / 2
     ell_keys = ("ellps", "a", "b", "rf", "es", "f", "R")
     link_params = {"proj": str(o_proj),
                    **{k: params[k] for k in ell_keys if k in params}}
