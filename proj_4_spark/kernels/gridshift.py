@@ -100,6 +100,59 @@ def vgrid_apply(grid: Grid, lam, phi, z, forward: bool = True):
     return z - u if forward else z + u
 
 
+@dataclass(frozen=True)
+class GridSet:
+    """Multi-subfile grid (NTv2 parent + children): per-point selection
+    picks the finest grid containing the point (the reference walks
+    parent->child extents, grids.cpp:2332-2380 / gridinfo hierarchy —
+    children are always finer refinements of their parent)."""
+    grids: tuple  # tuple[Grid, ...]
+
+
+def _select(gs: GridSet, lam, phi):
+    """Index of the finest containing grid per point (-1 if none)."""
+    best = np.full(np.shape(lam), -1, dtype=np.int64)
+    best_area = np.full(np.shape(lam), np.inf)
+    for k, g in enumerate(gs.grids):
+        m = in_grid(g, lam, phi)
+        cell = abs(g.dlon * g.dlat)
+        take = m & (cell < best_area)
+        best = np.where(take, k, best)
+        best_area = np.where(take, cell, best_area)
+    return best
+
+
+def hgridset_fwd(gs: GridSet, lam, phi):
+    """hgrid_fwd over a GridSet: out-of-all-grids points pass through
+    unshifted (matching the single-grid zero-shift semantics)."""
+    sel = _select(gs, lam, phi)
+    out_l = np.array(lam, dtype=np.float64, copy=True)
+    out_p = np.array(phi, dtype=np.float64, copy=True)
+    for k, g in enumerate(gs.grids):
+        m = sel == k
+        if m.any():
+            fl, fp = hgrid_fwd(g, lam[m], phi[m])
+            out_l[m] = fl
+            out_p[m] = fp
+    return out_l, out_p
+
+
+def hgridset_inv(gs: GridSet, lam, phi):
+    """Iterative inverse with the same fixed-point scheme as
+    hgrid_inv, re-selecting the grid each step (grids.cpp:3400-3450)."""
+    cl = np.array(lam, dtype=np.float64, copy=True)
+    cp = np.array(phi, dtype=np.float64, copy=True)
+    for _ in range(MAX_ITER):
+        fl, fp = hgridset_fwd(gs, cl, cp)
+        rl = fl - lam
+        rp = fp - phi
+        cl -= rl
+        cp -= rp
+        if np.all(np.isnan(rl) | (np.abs(rl) < TOL) & (np.abs(rp) < TOL)):
+            break
+    return cl, cp
+
+
 def synthetic_hgrid(n: int = 61, amp: float = 1e-5) -> Grid:
     """Deterministic smooth test grid over Europe-ish extent (radians):
     the correction field is C1-smooth so the fixed-point inverse

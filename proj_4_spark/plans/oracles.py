@@ -1770,3 +1770,61 @@ SELECT doc_id,
   (round(azi1, {round_azi}) + 0.0) AS azi1_deg
 FROM fin ORDER BY doc_id
 """
+
+
+def vgridshift_gtx_sql(round_to: int = 2) -> str:
+    """Oracle for the ``vgridshift_gtx`` query: the synthetic GTX byte
+    payload (sources/gridfiles.py::synthetic_geoid_gtx_bytes) is parsed
+    driver-side with the SAME parse_gtx the engine uses, and the parsed
+    float32 node values are embedded as a VALUES list joined by (iy,
+    ix) — the defmodel VALUES-join pattern.  The 4-corner bilinear and
+    the fwd sign (z - u, vgridshift.cpp) are mirrored in closed form;
+    out-of-grid rows pass through with zero shift."""
+    from ..sources.gridfiles import parse_gtx, synthetic_geoid_gtx_bytes
+
+    g = parse_gtx(synthetic_geoid_gtx_bytes())
+    h, w = g.values.shape
+    lon_max = g.lon0 + (w - 1) * g.dlon
+    lat_max = g.lat0 + (h - 1) * g.dlat
+    rows = ",\n    ".join(
+        ", ".join(f"({iy}, {ix}, {L(g.values[iy, ix])})"
+                  for ix in range(w))
+        for iy in range(h))
+    bilin = ("((1.0-tx)*(1.0-ty)*g00.v + tx*(1.0-ty)*g10.v"
+             " + (1.0-tx)*ty*g01.v + tx*ty*g11.v)")
+    return f"""
+WITH coords AS ({coords_cte()}),
+gv(iy, ix, v) AS (VALUES
+    {rows}),
+r AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM coords
+),
+f AS (
+  SELECT doc_id, lam, phi,
+    ((lam - {L(g.lon0)})/{L(g.dlon)}) AS fx,
+    ((phi - {L(g.lat0)})/{L(g.dlat)}) AS fy,
+    (lam >= {L(g.lon0)} AND lam <= {L(lon_max)}
+     AND phi >= {L(g.lat0)} AND phi <= {L(lat_max)}) AS ing
+  FROM r
+),
+i AS (
+  SELECT doc_id, fx, fy, ing,
+    least(greatest(CAST(floor(fx) AS BIGINT), 0), {w - 2}) AS ix,
+    least(greatest(CAST(floor(fy) AS BIGINT), 0), {h - 2}) AS iy
+  FROM f
+),
+n AS (
+  SELECT doc_id, ing, (fx - ix) AS tx, (fy - iy) AS ty, ix, iy FROM i
+),
+s AS (
+  SELECT n.doc_id,
+    (CASE WHEN n.ing THEN {bilin} ELSE 0.0 END) AS u
+  FROM n
+  JOIN gv g00 ON g00.iy = n.iy     AND g00.ix = n.ix
+  JOIN gv g10 ON g10.iy = n.iy     AND g10.ix = n.ix + 1
+  JOIN gv g01 ON g01.iy = n.iy + 1 AND g01.ix = n.ix
+  JOIN gv g11 ON g11.iy = n.iy + 1 AND g11.ix = n.ix + 1
+)
+SELECT doc_id, (round(0.0 - u, {round_to}) + 0.0) AS z_m
+FROM s ORDER BY doc_id
+"""

@@ -798,9 +798,20 @@ def compile_operation(params: dict) -> Operation:
                 f"{proj_id}: grid '{name}' not in GRID_REGISTRY")
         op.left, op.right = RADIANS, RADIANS
         if proj_id == "hgridshift":
-            op.fwd_k = lambda x, y, z, t: (*k_grid.hgrid_fwd(grid, x, y), z)
-            op.inv_k = lambda x, y, z, t: (*k_grid.hgrid_inv(grid, x, y), z)
+            if isinstance(grid, k_grid.GridSet):
+                op.fwd_k = lambda x, y, z, t: (
+                    *k_grid.hgridset_fwd(grid, x, y), z)
+                op.inv_k = lambda x, y, z, t: (
+                    *k_grid.hgridset_inv(grid, x, y), z)
+            else:
+                op.fwd_k = lambda x, y, z, t: (
+                    *k_grid.hgrid_fwd(grid, x, y), z)
+                op.inv_k = lambda x, y, z, t: (
+                    *k_grid.hgrid_inv(grid, x, y), z)
         else:
+            if isinstance(grid, k_grid.GridSet):
+                raise NotImplementedError(
+                    "vgridshift: multi-subfile grid sets not supported")
             op.fwd_k = lambda x, y, z, t: (
                 x, y, k_grid.vgrid_apply(grid, x, y, z, True))
             op.inv_k = lambda x, y, z, t: (

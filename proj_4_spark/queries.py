@@ -1033,6 +1033,30 @@ def q_hgridshift_pipeline(spark, sf_dir):
               .orderBy("doc_id"))
 
 
+@register("vgridshift_gtx", O.vgridshift_gtx_sql())
+def q_vgridshift_gtx(spark, sf_dir):
+    """Vertical datum shift driven by a REAL GTX byte payload: the
+    synthetic geoid is serialized to GTX bytes
+    (sources/gridfiles.py::write_gtx) and parsed back through the
+    binary reader (parse_gtx — grids.cpp:243-310 layout), exercising
+    the same bytes->Grid path a production NTv2/GTX parquet binary
+    column would take (reference fixture goldens in
+    tests/test_gridfiles.py).  Oracle: parsed float32 node values as a
+    VALUES list + closed-form 4-corner bilinear, fwd sign z - u
+    (plans/oracles.py::vgridshift_gtx_sql)."""
+    from .sources import gridfiles as GF
+
+    GF.register_grid_file("synthetic_geoid.gtx",
+                          GF.synthetic_geoid_gtx_bytes())
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=vgridshift +grids=synthetic_geoid.gtx "
+                      "+ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_g", st)
+              .select("doc_id", (F.round("_g.z", 2) + 0.0).alias("z_m"))
+              .orderBy("doc_id"))
+
+
 @register("hex_cell_counts_r5")  # no canonical-h3 oracle in sandbox
 def q_hex_cell_counts(spark, sf_dir):
     """Aperture-7 hex DGGS (H3-style, index/hexdggs.py) cell counts at

@@ -1,0 +1,131 @@
+"""Binary grid-file parsers (sources/gridfiles.py) against the
+reference's real fixture files (read-only, skipped if absent) and
+byte-roundtrip synthetics.
+
+Goldens transcribed from:
+- /root/reference/test/gie/more_builtins.gie:894-906
+  (test_hgrid_{little,big}_endian.gsb: 4.5,52.5 -> 5.875,55.375, 2 mm)
+- /root/reference/test/gie/more_builtins.gie:286-293
+  (ntf_r93.gsb inverse: 2.25,46.5 -> 2.250704350387,46.500051597273,
+  1 mm)
+- /root/reference/test/gie/more_builtins.gie:242-249
+  (egm96_15 gtx: 12.5,55.5,0 -> -36.394090697, 1 cm — the test-suite
+  grid is the downsampled copy shipped in data/tests)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from proj_4_spark.kernels.gridshift import GridSet
+from proj_4_spark.proj import GRID_REGISTRY, compile_projstring
+from proj_4_spark.sources import gridfiles as GF
+
+REF = "/root/reference/data/tests"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixture dir not present")
+
+
+def _read(name):
+    with open(os.path.join(REF, name), "rb") as f:
+        return f.read()
+
+
+@needs_ref
+@pytest.mark.parametrize("fname", ["test_hgrid_little_endian.gsb",
+                                   "test_hgrid_big_endian.gsb"])
+def test_ntv2_endianness_golden(fname):
+    grids = GF.parse_ntv2(_read(fname))
+    assert len(grids) == 1
+    name, parent, g = grids[0]
+    GRID_REGISTRY[fname] = g
+    tr = compile_projstring(f"+proj=hgridshift +grids={fname}")
+    lon, lat, _, _ = tr.transform_deg(np.array([4.5]), np.array([52.5]))
+    # gie tolerance 2 mm; lon tolerance scaled by cos(lat)
+    assert abs(lat[0] - 55.375) < 2e-3 / 111320.0
+    assert abs(lon[0] - 5.875) < 2e-3 / (111320.0 * np.cos(np.radians(55.375)))
+
+
+@needs_ref
+def test_ntv2_ntf_r93_golden():
+    grids = GF.parse_ntv2(_read("ntf_r93.gsb"))
+    g = grids[0][2]
+    GRID_REGISTRY["ntf_r93.gsb"] = g if len(grids) == 1 else GridSet(
+        grids=tuple(x[2] for x in grids))
+    tr = compile_projstring("+proj=hgridshift +grids=ntf_r93.gsb "
+                            "+ellps=GRS80")
+    lon, lat, _, _ = tr.transform_deg(
+        np.array([2.25]), np.array([46.5]), direction="inv")
+    tol_deg = 1e-3 / 111320.0
+    assert abs(lat[0] - 46.500051597273) < tol_deg
+    assert abs(lon[0] - 2.250704350387) < tol_deg / np.cos(np.radians(46.5))
+    # and the forward goes back
+    lon2, lat2, _, _ = tr.transform_deg(lon, lat)
+    assert abs(lon2[0] - 2.25) < 1e-9
+    assert abs(lat2[0] - 46.5) < 1e-9
+
+
+@needs_ref
+def test_gtx_egm96_golden():
+    g = GF.parse_gtx(_read("egm96_15_downsampled.gtx"))
+    GRID_REGISTRY["egm96_15_downsampled.gtx"] = g
+    tr = compile_projstring(
+        "+proj=vgridshift +grids=egm96_15_downsampled.gtx +ellps=GRS80")
+    _, _, z, _ = tr.transform_deg(
+        np.array([12.5]), np.array([55.5]), np.array([0.0]))
+    assert abs(z[0] - (-36.394090697)) < 1e-2
+
+
+@needs_ref
+def test_gtx_nodata():
+    g = GF.parse_gtx(_read("test_nodata.gtx"))
+    assert np.isnan(g.values).any()
+
+
+@needs_ref
+def test_ntv2_multi_subfile_set():
+    grids = GF.parse_ntv2(_read("ntv2_0_downsampled.gsb"))
+    obj = GF.load_grid_bytes("ntv2_0_downsampled.gsb",
+                             _read("ntv2_0_downsampled.gsb"))
+    if len(grids) > 1:
+        assert isinstance(obj, GridSet)
+        # child grids must refine: every child cell is smaller than the
+        # coarsest
+        areas = [abs(g.dlon * g.dlat) for _, _, g in grids]
+        assert min(areas) < max(areas) or len(set(areas)) == 1
+
+
+def test_gtx_byte_roundtrip():
+    rng = np.random.RandomState(11)
+    v = rng.uniform(-80, 80, (13, 17)).astype(np.float32).astype(np.float64)
+    v[3, 4] = np.nan
+    blob = GF.write_gtx(20.0, -30.0, 2.5, 2.0, v)
+    g = GF.parse_gtx(blob)
+    assert g.values.shape == (13, 17)
+    assert np.isnan(g.values[3, 4])
+    m = ~np.isnan(v)
+    np.testing.assert_array_equal(g.values[m], v[m])
+    assert g.lat0 == pytest.approx(np.radians(20.0))
+    assert g.dlon == pytest.approx(np.radians(2.0))
+
+
+def test_register_grid_file_vgridshift_end_to_end():
+    lon = np.linspace(-30.0, 50.0, 41)
+    lat = np.linspace(20.0, 70.0, 31)
+    LO, LA = np.meshgrid(np.radians(lon), np.radians(lat))
+    und = 30.0 * np.sin(2 * LO) * np.cos(3 * LA)
+    blob = GF.write_gtx(20.0, -30.0, lat[1] - lat[0], lon[1] - lon[0], und)
+    GF.register_grid_file("synthetic_geoid.gtx", blob)
+    tr = compile_projstring(
+        "+proj=vgridshift +grids=synthetic_geoid.gtx +ellps=GRS80")
+    _, _, z, _ = tr.transform_deg(
+        np.array([10.0, 100.0]), np.array([45.0, 0.0]), np.array([0.0, 0.0]))
+    # in-grid point gets -undulation; out-of-grid passes through
+    assert abs(z[0]) > 1.0
+    assert z[1] == 0.0
+    # roundtrip
+    _, _, z2, _ = tr.transform_deg(
+        np.array([10.0]), np.array([45.0]), z[:1], direction="inv")
+    assert abs(z2[0]) < 1e-9
