@@ -133,14 +133,30 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 
 def simhash(text: Column, bits: int = 16) -> Column:
     """B-bit SimHash over distinct tokens: bit k set iff
-    sum over tokens of (±1 by token-hash bit k) > 0."""
+    sum over tokens of (±1 by token-hash bit k) > 0.
+
+    ONE pass over the token-hash array: the accumulator is the array
+    of per-bit signed counts (zip_with against the constant mask
+    array), then a second tiny fold over the `bits` counts packs the
+    sign bits.  Per-token work is unchanged but the array is traversed
+    once instead of `bits` times (the round-2 O(bits x) constant
+    factor).  The packed value is bit-identical to the per-bit
+    formulation (integer arithmetic, same fold order)."""
     toks = F.array_distinct(tokens(text))
     hs = F.transform(toks, lambda t: _h60(t))
-    acc = F.lit(0).cast("long")
-    for k in range(bits):
-        bit_sum = F.aggregate(
-            hs, F.lit(0).cast("long"),
-            lambda a, h: a + F.when(h.bitwiseAND(F.lit(1 << k)) != 0,
-                                    F.lit(1)).otherwise(F.lit(-1)))
-        acc = acc + F.when(bit_sum > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return acc
+    masks = F.array(*[F.lit(1 << k).cast("long") for k in range(bits)])
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    sums = F.aggregate(
+        hs, zero,
+        lambda a, h: F.zip_with(
+            a, masks,
+            lambda acc, m: acc + F.when(h.bitwiseAND(m) != 0,
+                                        F.lit(1)).otherwise(F.lit(-1))))
+    # bind `sums` once (single-evaluation trick), then pack sign bits
+    return F.element_at(
+        F.transform(F.array(sums), lambda s: F.aggregate(
+            F.zip_with(s, masks,
+                       lambda bs, m: F.when(bs > 0, m)
+                                      .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda a, x: a + x)),
+        1)

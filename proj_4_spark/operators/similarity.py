@@ -34,13 +34,50 @@ def dot_expr(vec: Column, w: list[float]) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """LSH bucket id: sign bit per hyperplane."""
+def dots_expr(vec: Column, planes: np.ndarray) -> Column:
+    """All <vec, plane_k> dot products in ONE traversal of the array:
+    the constant plane matrix is embedded TRANSPOSED, so each vector
+    element multiplies into every plane's partial sum as it streams by
+    (vs one aggregate pass per plane).  Per-plane summation order is
+    element order, identical to dot_expr — results are bit-equal."""
+    planes = np.asarray(planes, dtype=np.float64)
+    n_planes, dim = planes.shape
+    wt = F.array(*[F.array(*[F.lit(float(planes[k][j]))
+                             for k in range(n_planes)])
+                   for j in range(dim)])
+    prods = F.zip_with(vec, wt,
+                       lambda x, ws: F.transform(ws, lambda w: x * w))
+    zero = F.array(*[F.lit(0.0) for _ in range(n_planes)])
+    return F.aggregate(
+        prods, zero, lambda a, pr: F.zip_with(a, pr, lambda s, p: s + p))
+
+
+def _sign_bits(dots: Column, start: int, rows: int) -> Column:
     acc = F.lit(0)
-    for k, w in enumerate(planes):
-        acc = acc + F.when(dot_expr(vec, list(w)) > 0,
+    for k in range(rows):
+        acc = acc + F.when(F.element_at(dots, start + k + 1) > 0,
                            F.lit(1 << k)).otherwise(F.lit(0))
     return acc
+
+
+def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign bit per hyperplane (one-pass dots)."""
+    n = len(planes)
+    return F.element_at(
+        F.transform(F.array(dots_expr(vec, planes)),
+                    lambda d: _sign_bits(d, 0, n)),
+        1)
+
+
+def banded_buckets_expr(vec: Column, planes: np.ndarray, bands: int,
+                        rows: int) -> Column:
+    """array<int> of per-band bucket ids from ONE dot-product pass over
+    the embedding (bands*rows planes), binding the dots array once."""
+    return F.element_at(
+        F.transform(F.array(dots_expr(vec, planes)),
+                    lambda d: F.array(*[_sign_bits(d, b * rows, rows)
+                                        for b in range(bands)])),
+        1)
 
 
 def cosine_topk(vectors: DataFrame, query_ids: list[int], k: int,
@@ -101,9 +138,7 @@ def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
     from pyspark.sql import Window
 
     planes = hyperplanes(n=bands * rows) if planes is None else planes
-    band_buckets = F.array(*[
-        bucket_expr(F.col(vec_col), planes[b * rows:(b + 1) * rows])
-        for b in range(bands)])
+    band_buckets = banded_buckets_expr(F.col(vec_col), planes, bands, rows)
     b = vectors.select(
         id_col, vec_col,
         F.posexplode(band_buckets).alias("band", "bucket"))
