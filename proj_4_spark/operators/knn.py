@@ -74,21 +74,36 @@ def knn_cell_pruned(points: DataFrame, queries: DataFrame, k: int,
                "_ix", F.floor((F.col(lon) + 180.0) / g).cast("long") % nx)
                  .withColumn("_iy", F.floor((F.col(lat) + 90.0) / g)
                              .cast("long")))
-    qrows = queries.select("query_id", "q_lon", "q_lat").collect()
-    spark = points.sparkSession
     if max_ring is None:
         max_ring = int(180.0 / g) + 1
 
+    # query cell + in-cell offsets, all Spark-side (no per-query driver
+    # loop: thousands of queries x wide rings stay distributed)
+    qx = F.pmod(F.floor((F.col("q_lon") + 180.0) / g).cast("long"),
+                F.lit(nx))
+    qy = F.floor((F.col("q_lat") + 90.0) / g).cast("long")
+    qcells = (queries.select("query_id", "q_lon", "q_lat",
+                             qx.alias("_qx"), qy.alias("_qy"))
+                     .withColumn("_qlx", (F.col("q_lon") + 180.0)
+                                 - F.col("_qx") * g)
+                     .withColumn("_qly", (F.col("q_lat") + 90.0)
+                                 - F.col("_qy") * g)
+                     .persist())
+
     def cover_df(r: int):
-        rows = []
-        for q in qrows:
-            qix = int((q["q_lon"] + 180.0) // g) % nx
-            qiy = int((q["q_lat"] + 90.0) // g)
-            for dx in range(-r, r + 1):
-                for dy in range(-r, r + 1):
-                    rows.append((q["query_id"], (qix + dx) % nx, qiy + dy))
-        return spark.createDataFrame(
-            rows, "query_id long, _ix long, _iy long")
+        # (2r+1)^2 cells per query via two explodes of a sequence —
+        # generated inside the engine, broadcast as a whole
+        return (qcells
+                .select("query_id", "_qx", "_qy",
+                        F.explode(F.sequence(F.lit(-r), F.lit(r)))
+                         .alias("_dx"))
+                .select("query_id", "_qy", "_dx",
+                        F.explode(F.sequence(F.lit(-r), F.lit(r)))
+                         .alias("_dy"),
+                        F.pmod(F.col("_qx") + F.col("_dx"), F.lit(nx))
+                         .alias("_ix"))
+                .select("query_id", "_ix",
+                        (F.col("_qy") + F.col("_dy")).alias("_iy")))
 
     d2 = sq_degree_dist(F.col(lon), F.col(lat),
                         F.col("q_lon"), F.col("q_lat")).alias("dist2")
@@ -103,26 +118,21 @@ def knn_cell_pruned(points: DataFrame, queries: DataFrame, k: int,
                       .where(F.col("rank") <= k))
         if r >= max_ring:
             return ranked.select("query_id", "rank", id_col, "dist2")
-        # exactness check: k-th distance within the in-ring radius
-        kth = {row["query_id"]: (row["n"], row["kd"]) for row in
-               ranked.groupBy("query_id")
-                     .agg(F.count("*").alias("n"), F.max("dist2").alias("kd"))
-                     .collect()}
-        ok = True
-        for q in qrows:
-            n_kd = kth.get(q["query_id"])
-            if n_kd is None or n_kd[0] < k:
-                ok = False
-                break
-            qix = int((q["q_lon"] + 180.0) // g) % nx
-            qiy = int((q["q_lat"] + 90.0) // g)
-            qlx = (q["q_lon"] + 180.0) - qix * g
-            qly = (q["q_lat"] + 90.0) - qiy * g
-            bound = min(qlx + r * g, (r + 1) * g - qlx,
-                        qly + r * g, (r + 1) * g - qly)
-            if n_kd[1] > bound * bound:
-                ok = False
-                break
-        if ok:
+        # exactness check, reduced to ONE driver scalar: every query
+        # has >= k candidates and its k-th distance is inside the
+        # guaranteed in-ring radius (distance to the covered-square
+        # boundary)
+        agg = ranked.groupBy("query_id").agg(
+            F.count("*").alias("_n"), F.max("dist2").alias("_kd"))
+        bound = F.least(F.col("_qlx") + r * g,
+                        (r + 1) * g - F.col("_qlx"),
+                        F.col("_qly") + r * g,
+                        (r + 1) * g - F.col("_qly"))
+        bad = (qcells.join(agg, "query_id", "left")
+                     .where(F.col("_n").isNull() | (F.col("_n") < k)
+                            | (F.col("_kd") > bound * bound))
+                     .limit(1).count())
+        if bad == 0:
+            qcells.unpersist()
             return ranked.select("query_id", "rank", id_col, "dist2")
     raise AssertionError("unreachable")
