@@ -1828,3 +1828,29 @@ s AS (
 SELECT doc_id, (round(0.0 - u, {round_to}) + 0.0) AS z_m
 FROM s ORDER BY doc_id
 """
+
+
+def hex_cells_sql(res: int = 5, n_docs: int = 5000) -> str:
+    """Oracle for hex_cell_counts_r5: the aperture-7 hex cell id of
+    every possible doc_id is computed DRIVER-SIDE with the same NumPy
+    kernel the executors run (index/hexdggs.py::encode over the
+    deterministic lonlat derivation) and embedded as a VALUES table
+    joined on doc_id — a distributed-vs-driver consistency check (the
+    kNN/defmodel VALUES-join pattern), NOT canonical-H3 parity: the
+    index is structurally aperture-7 icosahedral but not H3
+    bit-compatible (no h3 oracle exists in this sandbox), and the
+    bit-exact production index remains S2."""
+    from ..index import hexdggs
+    from ..sources.coords import lonlat_numpy
+
+    ids = np.arange(n_docs, dtype=np.int64)
+    lon, lat = lonlat_numpy(ids)
+    cells = hexdggs.encode(lon, lat, res)
+    vals = ",\n    ".join(f"({i}, {c})" for i, c in zip(ids, cells))
+    return f"""
+WITH hv(doc_id, hex_cell) AS (VALUES
+    {vals})
+SELECT h.hex_cell, count(*) AS n_docs
+FROM documents d JOIN hv h USING (doc_id)
+GROUP BY h.hex_cell ORDER BY h.hex_cell
+"""

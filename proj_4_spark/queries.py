@@ -1057,11 +1057,14 @@ def q_vgridshift_gtx(spark, sf_dir):
               .orderBy("doc_id"))
 
 
-@register("hex_cell_counts_r5")  # no canonical-h3 oracle in sandbox
+@register("hex_cell_counts_r5", O.hex_cells_sql(5))
 def q_hex_cell_counts(spark, sf_dir):
-    """Aperture-7 hex DGGS (H3-style, index/hexdggs.py) cell counts at
-    res 5 — invariants validated in tests/test_hexdggs.py; rows-only
-    driver check (the bit-exact production index is S2)."""
+    """Aperture-7 hex DGGS cell counts at res 5 (index/hexdggs.py —
+    structurally H3-style but NOT H3-bit-compatible; the bit-exact
+    production index is S2).  Invariants validated in
+    tests/test_hexdggs.py.  Oracle: driver-side kernel run embedded as
+    a doc_id->cell VALUES join (plans/oracles.py::hex_cells_sql) — a
+    distributed-vs-driver consistency gate, not canonical-H3 parity."""
     df = _coords(spark, sf_dir)
     cell = G.hex_cell_udf(5)(F.col("lon"), F.col("lat")).alias("hex_cell")
     return (df.select(cell).groupBy("hex_cell")
