@@ -222,12 +222,18 @@ def flagship_e2e_pipeline(spark, input_path: str,
             mined.unpersist()
 
 
-def e2e_seconds(cpus: int, n_docs: int, repeat: int = 2,
-                persist_mined: bool | None = None) -> float:
+def e2e_seconds(cpus: int, n_docs: int, repeat: int | None = None,
+                persist_mined: bool | None = None,
+                runs_out: list | None = None) -> float:
     """Best-of-N wall time for the end-to-end pages flagship at one
     thread count (shared input parquet, warmed session).
     SPARK_GRAFT_E2E_PERSIST=0 switches to the mine-twice variant that
-    is purely compute-bound (the CPU-scaling probe)."""
+    is purely compute-bound (the CPU-scaling probe);
+    SPARK_GRAFT_BENCH_REPEAT sets N (default 2).  All raw runs are
+    appended to runs_out when given (published in BASELINE.md so the
+    run-to-run VM variance is visible alongside the best)."""
+    if repeat is None:
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     if persist_mined is None:
         persist_mined = os.environ.get("SPARK_GRAFT_E2E_PERSIST", "1") != "0"
     spark = make_spark(cpus)
@@ -238,7 +244,10 @@ def e2e_seconds(cpus: int, n_docs: int, repeat: int = 2,
         for _ in range(repeat):
             t0 = time.perf_counter()
             flagship_e2e_pipeline(spark, path, persist_mined)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if runs_out is not None:
+                runs_out.append(round(dt, 3))
+            best = min(best, dt)
         return best
     finally:
         spark.stop()
@@ -374,13 +383,15 @@ def main() -> None:
         n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_hi = 4 * n_lo
-        t_lo = e2e_seconds(n_lo, n_docs)
-        t_hi = e2e_seconds(n_hi, n_docs)
+        runs_lo, runs_hi = [], []
+        t_lo = e2e_seconds(n_lo, n_docs, runs_out=runs_lo)
+        t_hi = e2e_seconds(n_hi, n_docs, runs_out=runs_hi)
         print(json.dumps({
             "metric": f"end-to-end mine+project+encode+PIP scaling "
                       f"local[{n_lo}] -> local[{n_hi}]",
             "docs": n_docs,
             f"t_{n_lo}": round(t_lo, 3), f"t_{n_hi}": round(t_hi, 3),
+            f"runs_{n_lo}": runs_lo, f"runs_{n_hi}": runs_hi,
             f"docs_per_sec_{n_lo}": round(n_docs / t_lo, 1),
             f"docs_per_sec_{n_hi}": round(n_docs / t_hi, 1),
             "scaling_efficiency": round(t_lo / (4.0 * t_hi), 3),
@@ -427,20 +438,22 @@ def main() -> None:
         n_big = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
         path = materialize_coords(spark, n_big, 64)
         flagship_pipeline(spark, n_big, 64, path)  # warm-up
-        t_big = float("inf")
-        for _ in range(2):
+        t_big, flagship_runs = float("inf"), []
+        for _ in range(3):
             t0 = time.perf_counter()
             flagship_pipeline(spark, n_big, 64, path)
-            t_big = min(t_big, time.perf_counter() - t0)
+            flagship_runs.append(round(time.perf_counter() - t0, 3))
+            t_big = min(t_big, flagship_runs[-1])
         # end-to-end pages flagship (mine+project+encode+PIP)
         e2e_docs = int(os.environ.get("SPARK_GRAFT_E2E_DOCS", "2000000"))
         e2e_path = materialize_pages(spark, e2e_docs, 64)
         flagship_e2e_pipeline(spark, e2e_path)  # warm-up
-        t_e2e = float("inf")
-        for _ in range(2):
+        t_e2e, e2e_runs = float("inf"), []
+        for _ in range(3):
             t0 = time.perf_counter()
             flagship_e2e_pipeline(spark, e2e_path)
-            t_e2e = min(t_e2e, time.perf_counter() - t0)
+            e2e_runs.append(round(time.perf_counter() - t0, 3))
+            t_e2e = min(t_e2e, e2e_runs[-1])
         out = {
             "metric": "total wall seconds, headline queries "
                       "(S2 encode+agg, PIP join, projections, kNN, "
@@ -452,9 +465,11 @@ def main() -> None:
             "docs": n_docs,
             "flagship_docs": n_big,
             "flagship_sec": round(t_big, 3),
+            "flagship_runs": flagship_runs,
             "flagship_docs_per_sec": round(n_big / t_big, 1),
             "e2e_docs": e2e_docs,
             "e2e_sec": round(t_e2e, 3),
+            "e2e_runs": e2e_runs,
             "e2e_docs_per_sec": round(e2e_docs / t_e2e, 1),
         }
         print(json.dumps(out))
