@@ -99,9 +99,18 @@ def epsg_projstring(code: int) -> str:
 def _resolve(defn) -> str:
     if isinstance(defn, int):
         return epsg_projstring(defn)
+    if isinstance(defn, dict):
+        from .crs_io import projjson_to_projstring
+        return projjson_to_projstring(defn)
     s = str(defn).strip()
     if s.upper().startswith("EPSG:"):
         return epsg_projstring(int(s.split(":", 1)[1]))
+    from .crs_io import is_projjson, is_wkt, projjson_to_projstring, \
+        wkt_to_projstring
+    if is_wkt(s):
+        return wkt_to_projstring(s)
+    if is_projjson(s):
+        return projjson_to_projstring(s)
     return s
 
 

@@ -1,0 +1,690 @@
+"""WKT1 / WKT2 / PROJJSON CRS readers -> proj-strings.
+
+The reference's proj_create accepts four definition forms — proj-string,
+WKT (1 and 2), PROJJSON, and authority codes (src/create.cpp:206-303,
+parsing in src/iso19111/io.cpp, grammar src/wkt2_grammar.y).  This
+module is the 20%-effort version for the CRS shapes this engine's
+curated registry models: GEOGCRS / PROJCRS / BOUNDCRS (WKT2),
+GEOGCS / PROJCS (+TOWGS84) (WKT1), and their PROJJSON equivalents.
+The full ISO-19111 object model (datum ensembles with per-member
+accuracy, usage/extent, derived + compound CRS, engineering CRS) is
+out of scope per SURVEY.md §1.3.
+
+Method and parameter names are the EPSG names the reference defines in
+src/proj_constants.h (EPSG_NAME_METHOD_* / EPSG_NAME_PARAMETER_*) plus
+the WKT1/ESRI snake_case aliases from its projection mapping tables
+(src/iso19111/operation/parammappings.cpp); the method->proj-string
+expansions follow the same mapping PROJ exports via proj4_extension
+(e.g. Polar Stereographic variant B -> +proj=stere +lat_ts, Hotine
+variant A -> +proj=omerc +no_uoff).
+
+Everything returns a plain proj-string so the existing pipeline
+compiler (proj.py) stays the single entry for semantics; crs._resolve
+dispatches here when the definition starts with a WKT keyword or '{'.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+from .kernels.ellipsoid import ELLIPSOIDS
+
+__all__ = ["parse_wkt", "wkt_to_projstring", "projjson_to_projstring",
+           "is_wkt", "is_projjson"]
+
+
+# --------------------------------------------------------------- parser
+
+class WktNode:
+    """One WKT node: NAME[arg, arg, ...]; args are str (quoted), float,
+    bare keywords (str), or nested WktNode."""
+
+    __slots__ = ("name", "args")
+
+    def __init__(self, name: str, args: list):
+        self.name = name.upper()
+        self.args = args
+
+    # -- convenience accessors ------------------------------------
+    def children(self, *names: str) -> list["WktNode"]:
+        up = {n.upper() for n in names}
+        return [a for a in self.args if isinstance(a, WktNode)
+                and a.name in up]
+
+    def child(self, *names: str) -> "WktNode | None":
+        c = self.children(*names)
+        return c[0] if c else None
+
+    def strings(self) -> list[str]:
+        return [a for a in self.args if isinstance(a, str)]
+
+    def numbers(self) -> list[float]:
+        return [a for a in self.args if isinstance(a, float)]
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"{self.name}[{', '.join(map(repr, self.args))}]"
+
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+      "((?:[^"]|"")*)"          # quoted string ("" = escaped quote)
+    | ([A-Za-z_][A-Za-z0-9_]*)  # identifier / bare keyword
+    | ([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)  # number
+    | ([\[\](),])               # structure
+    )""", re.VERBOSE)
+
+
+def _tokenize(s: str):
+    pos, n = 0, len(s)
+    while pos < n:
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            if s[pos:].strip() == "":
+                return
+            raise ValueError(f"WKT: cannot tokenize at {s[pos:pos+30]!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            yield ("str", m.group(1).replace('""', '"'))
+        elif m.group(2) is not None:
+            yield ("ident", m.group(2))
+        elif m.group(3) is not None:
+            yield ("num", float(m.group(3)))
+        else:
+            yield ("punct", m.group(4))
+
+
+def parse_wkt(s: str) -> WktNode:
+    """Parse a WKT1/WKT2 string into a WktNode tree.  Both bracket
+    styles ([] and ()) are accepted, as in the reference parser."""
+    toks = list(_tokenize(s))
+    node, pos = _parse_node(toks, 0)
+    return node
+
+
+def _parse_node(toks, i) -> tuple[WktNode, int]:
+    kind, name = toks[i]
+    if kind != "ident":
+        raise ValueError(f"WKT: expected node name, got {toks[i]!r}")
+    i += 1
+    if i >= len(toks) or toks[i] != ("punct", "[") and toks[i] != ("punct", "("):
+        # bare keyword (e.g. NORTH, east, order keywords)
+        return WktNode(name, []), i
+    close = "]" if toks[i] == ("punct", "[") else ")"
+    i += 1
+    args: list = []
+    while True:
+        kind, val = toks[i]
+        if kind == "punct" and val == close:
+            return WktNode(name, args), i + 1
+        if kind == "punct" and val == ",":
+            i += 1
+            continue
+        if kind == "str" or kind == "num":
+            args.append(val)
+            i += 1
+        elif kind == "ident":
+            if i + 1 < len(toks) and toks[i + 1] in (("punct", "["),
+                                                     ("punct", "(")):
+                sub, i = _parse_node(toks, i)
+                args.append(sub)
+            else:
+                args.append(WktNode(val, []))
+                i += 1
+        else:
+            raise ValueError(f"WKT: unexpected token {toks[i]!r}")
+
+
+_WKT_ROOTS = ("GEOGCRS", "GEOGCS", "GEODCRS", "GEODETICCRS", "PROJCRS",
+              "PROJCS", "PROJECTEDCRS", "BOUNDCRS")
+
+
+def is_wkt(s: str) -> bool:
+    head = s.lstrip()[:16].upper()
+    return any(head.startswith(r) for r in _WKT_ROOTS)
+
+
+def is_projjson(s: str) -> bool:
+    return s.lstrip().startswith("{")
+
+
+# ------------------------------------------------- ellipsoid resolution
+
+def _ellps_param(a: float, rf: float) -> str:
+    """Match (a, 1/f) against the named-ellipsoid registry, else emit
+    explicit +a/+rf (+b for spheres), like the reference's
+    lookup in ellipsoid::identify (src/iso19111/datum.cpp)."""
+    for name, (ea, kind, v) in ELLIPSOIDS.items():
+        erf = v if kind == "rf" else (ea / (ea - v) if ea != v else 0.0)
+        if abs(ea - a) < 1e-4 and (
+                (rf == 0.0 and erf == 0.0)
+                or (erf != 0.0 and rf != 0.0 and abs(erf - rf) < 1e-7)):
+            return f"+ellps={name}"
+    if rf == 0.0:
+        return f"+a={a:.9g} +b={a:.9g}"
+    return f"+a={a:.9g} +rf={rf:.11g}"
+
+
+# ----------------------------------------------------- name dictionaries
+
+def _norm(name: str) -> str:
+    """Case/punctuation-insensitive key: letters+digits only."""
+    return re.sub(r"[^a-z0-9]", "", name.lower())
+
+
+# EPSG method name (proj_constants.h EPSG_NAME_METHOD_*) and WKT1
+# snake-case alias -> (proj id, extra fixed params, parameter-name role
+# overrides).  Roles: lat_0 lon_0 k x_0 y_0 lat_1 lat_2 lat_ts lonc
+# alpha gamma.
+_METHODS: dict[str, tuple[str, str, dict[str, str]]] = {}
+
+
+def _method(proj: str, extra: str = "", roles: dict[str, str] | None = None,
+            *names: str) -> None:
+    for n in names:
+        _METHODS[_norm(n)] = (proj, extra, roles or {})
+
+
+_method("tmerc", "", None,
+        "Transverse Mercator", "Transverse_Mercator",
+        "Gauss-Kruger", "Gauss_Kruger")
+_method("lcc", "", {"latitudeofnaturalorigin": "lat_1",
+                    "latitudeoforigin": "lat_1",
+                    "scalefactoratnaturalorigin": "k_0",
+                    "scalefactor": "k_0"},
+        "Lambert Conic Conformal (1SP)", "Lambert_Conformal_Conic_1SP")
+_method("lcc", "", None,
+        "Lambert Conic Conformal (2SP)", "Lambert_Conformal_Conic_2SP",
+        "Lambert_Conformal_Conic")
+_method("merc", "", {"scalefactoratnaturalorigin": "k_0",
+                     "scalefactor": "k_0"},
+        "Mercator (variant A)", "Mercator_1SP")
+_method("merc", "", {"latitudeof1ststandardparallel": "lat_ts",
+                     "standardparallel1": "lat_ts"},
+        "Mercator (variant B)", "Mercator_2SP")
+_method("webmerc", "", None,
+        "Popular Visualisation Pseudo Mercator",
+        "Popular Visualisation Pseudo-Mercator", "Mercator_Auxiliary_Sphere")
+_method("sterea", "", None,
+        "Oblique Stereographic", "Oblique_Stereographic",
+        "Double_Stereographic")
+_method("stere", "", None, "Polar Stereographic (variant A)",
+        "Polar_Stereographic", "Stereographic")
+_method("stere", "", {"latitudeofstandardparallel": "lat_ts",
+                      "standardparallel1": "lat_ts"},
+        "Polar Stereographic (variant B)",
+        "Polar_Stereographic_Variant_B")
+_method("laea", "", {"latitudeofcenter": "lat_0",
+                     "longitudeofcenter": "lon_0"},
+        "Lambert Azimuthal Equal Area", "Lambert_Azimuthal_Equal_Area",
+        "Lambert Azimuthal Equal Area (Spherical)")
+_method("aea", "", {"latitudeofcenter": "lat_0",
+                    "longitudeofcenter": "lon_0"},
+        "Albers Equal Area", "Albers_Conic_Equal_Area", "Albers")
+_method("aeqd", "", {"latitudeofcenter": "lat_0",
+                     "longitudeofcenter": "lon_0"},
+        "Azimuthal Equidistant", "Azimuthal_Equidistant",
+        "Modified Azimuthal Equidistant")
+_method("eqc", "", {"latitudeof1ststandardparallel": "lat_ts",
+                    "standardparallel1": "lat_ts"},
+        "Equidistant Cylindrical", "Equirectangular",
+        "Equidistant Cylindrical (Spherical)")
+_method("cea", "", {"latitudeof1ststandardparallel": "lat_ts",
+                    "standardparallel1": "lat_ts"},
+        "Lambert Cylindrical Equal Area", "Cylindrical_Equal_Area")
+_method("cass", "", None, "Cassini-Soldner", "Cassini_Soldner", "Cassini")
+_method("poly", "", None, "American Polyconic", "Polyconic")
+_method("bonne", "", {"standardparallel1": "lat_1"}, "Bonne")
+_method("eqdc", "", {"latitudeofcenter": "lat_0",
+                     "longitudeofcenter": "lon_0"},
+        "Equidistant Conic", "Equidistant_Conic")
+_method("krovak", "", {"latitudeofprojectioncentre": "lat_0",
+                       "longitudeoforigin": "lon_0",
+                       "latitudeofpseudostandardparallel": "lat_1",
+                       "scalefactoronpseudostandardparallel": "k_0",
+                       "colatitudeofconeaxis": "alpha"},
+        "Krovak")
+_method("omerc", "+no_uoff", {"latitudeofprojectioncentre": "lat_0",
+                              "longitudeofprojectioncentre": "lonc",
+                              "azimuthatprojectioncentre": "alpha",
+                              "azimuthofinitialline": "alpha",
+                              "anglefromrectifiedtoskewgrid": "gamma",
+                              "rectifiedgridangle": "gamma",
+                              "scalefactoratprojectioncentre": "k_0",
+                              "scalefactoroninitialline": "k_0"},
+        "Hotine Oblique Mercator (variant A)", "Hotine_Oblique_Mercator")
+_method("omerc", "", {"latitudeofprojectioncentre": "lat_0",
+                      "longitudeofprojectioncentre": "lonc",
+                      "azimuthatprojectioncentre": "alpha",
+                      "azimuthofinitialline": "alpha",
+                      "anglefromrectifiedtoskewgrid": "gamma",
+                      "rectifiedgridangle": "gamma",
+                      "scalefactoratprojectioncentre": "k_0",
+                      "scalefactoroninitialline": "k_0",
+                      "eastingatprojectioncentre": "x_0",
+                      "northingatprojectioncentre": "y_0"},
+        "Hotine Oblique Mercator (variant B)",
+        "Hotine_Oblique_Mercator_Azimuth_Center")
+_method("somerc", "", {"latitudeofprojectioncentre": "lat_0",
+                       "longitudeofprojectioncentre": "lon_0"},
+        "Swiss Oblique Mercator", "Swiss_Oblique_Cylindrical",
+        "Hotine Oblique Mercator (variant B) Swiss")
+_method("nzmg", "", None, "New Zealand Map Grid", "New_Zealand_Map_Grid")
+_method("utm", "", None, "UTM")  # resolved via conversion name instead
+# world / small-scale methods with only lat_0/lon_0/x_0/y_0
+for _proj, _names in [
+        ("moll", ("Mollweide",)), ("robin", ("Robinson",)),
+        ("sinu", ("Sinusoidal",)), ("eqearth", ("Equal Earth",)),
+        ("ortho", ("Orthographic",)), ("gnom", ("Gnomonic",)),
+        ("vandg", ("Van der Grinten", "Van_der_Grinten_I")),
+        ("eck4", ("Eckert IV", "Eckert_IV")),
+        ("eck6", ("Eckert VI", "Eckert_VI")),
+        ("mill", ("Miller Cylindrical", "Miller_Cylindrical")),
+        ("goode", ("Goode Homolosine",)),
+        ("igh", ("Interrupted Goode Homolosine",)),
+        ("gall", ("Gall Stereographic",)),
+        ("geos", ("Geostationary Satellite (Sweep X)",))]:
+    _method(_proj, "", {"latitudeofcenter": "lat_0",
+                        "longitudeofcenter": "lon_0"}, *_names)
+
+# EPSG parameter name (proj_constants.h EPSG_NAME_PARAMETER_*) and WKT1
+# alias -> default proj role
+_PARAMS = {
+    "latitudeofnaturalorigin": "lat_0", "latitudeoforigin": "lat_0",
+    "longitudeofnaturalorigin": "lon_0", "centralmeridian": "lon_0",
+    "scalefactoratnaturalorigin": "k_0", "scalefactor": "k_0",
+    "falseeasting": "x_0", "falsenorthing": "y_0",
+    "latitudeoffalseorigin": "lat_0", "longitudeoffalseorigin": "lon_0",
+    "eastingatfalseorigin": "x_0", "northingatfalseorigin": "y_0",
+    "latitudeof1ststandardparallel": "lat_1", "standardparallel1": "lat_1",
+    "latitudeof2ndstandardparallel": "lat_2", "standardparallel2": "lat_2",
+    "latitudeofstandardparallel": "lat_ts",
+    "longitudeoforigin": "lon_0",
+    "latitudeofcenter": "lat_0", "longitudeofcenter": "lon_0",
+    "pseudostandardparallel1": "lat_1",
+    "azimuth": "alpha", "rectifiedgridangle": "gamma",
+    "longitudeofcenterofprojection": "lonc",
+    "satelliteheight": "h",
+}
+
+_ANGULAR_ROLES = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
+                  "alpha", "gamma"}
+
+# Helmert parameter EPSG names (codes 8605-8611, 1040-1046 for the
+# time-dependent set) -> towgs84 slot index
+_HELMERT_SLOTS = {
+    "xaxistranslation": 0, "yaxistranslation": 1, "zaxistranslation": 2,
+    "xaxisrotation": 3, "yaxisrotation": 4, "zaxisrotation": 5,
+    "scaledifference": 6,
+}
+
+
+# --------------------------------------------------------------- units
+
+
+def _fmt_num(v: float) -> str:
+    """Shortest round-trip float repr, integers without trailing .0."""
+    s = repr(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+def _unit_to_deg_factor(node: WktNode | None) -> float:
+    """Multiplier turning a parameter value into degrees.  WKT2
+    ANGLEUNIT carries radians-per-unit; WKT1 UNIT on a GEOGCS too."""
+    if node is None:
+        return 1.0
+    nums = node.numbers()
+    if not nums:
+        return 1.0
+    fac = nums[0] * 180.0 / math.pi
+    # snap to the exact well-known factors: WKT files carry the
+    # radian-per-degree constant at finite precision and the reference
+    # likewise identifies "degree" by epsilon comparison (io.cpp unit
+    # identification), so 49 deg must stay exactly 49
+    for exact in (1.0, 0.9, 1.0 / 3600.0, 180.0 / math.pi):
+        if abs(fac - exact) < 1e-10 * exact:
+            return exact
+    return fac
+
+
+def _find_unit(node: WktNode) -> WktNode | None:
+    return node.child("ANGLEUNIT", "UNIT")
+
+
+# ------------------------------------------------------------ WKT -> proj
+
+def wkt_to_projstring(s: str) -> str:
+    """Convert a WKT1/WKT2 CRS definition to its proj-string."""
+    return _crs_to_projstring(parse_wkt(s))
+
+
+def _crs_to_projstring(root: WktNode) -> str:
+    if root.name in ("GEOGCRS", "GEOGCS", "GEODCRS", "GEODETICCRS"):
+        return _geog_to_projstring(root)
+    if root.name in ("PROJCRS", "PROJCS", "PROJECTEDCRS"):
+        return _proj_to_projstring(root)
+    if root.name == "BOUNDCRS":
+        return _bound_to_projstring(root)
+    raise ValueError(f"unsupported WKT root {root.name} (supported: "
+                     f"{', '.join(_WKT_ROOTS)})")
+
+
+def _datum_of(node: WktNode) -> WktNode:
+    d = node.child("DATUM", "TRF", "GEODETICDATUM", "ENSEMBLE",
+                   "DATUM_ENSEMBLE")
+    if d is None:
+        raise ValueError(f"{node.name}: no DATUM/ENSEMBLE found")
+    return d
+
+
+def _ellipsoid_str(node: WktNode) -> str:
+    datum = _datum_of(node)
+    ell = datum.child("ELLIPSOID", "SPHEROID")
+    if ell is None:
+        raise ValueError("no ELLIPSOID/SPHEROID in datum")
+    nums = ell.numbers()
+    if len(nums) < 2:
+        raise ValueError("ELLIPSOID needs semi-major axis + inverse "
+                         "flattening")
+    a, rf = nums[0], nums[1]
+    # LENGTHUNIT on the ellipsoid axis (non-metre axes exist, e.g.
+    # Clarke's foot); scale a into metres
+    lu = ell.child("LENGTHUNIT", "UNIT")
+    if lu is not None and lu.numbers():
+        a *= lu.numbers()[0]
+    return _ellps_param(a, rf)
+
+
+def _towgs84_of(node: WktNode) -> str:
+    """WKT1 TOWGS84[...] — appears directly under the CRS or nested in
+    its DATUM (both placements occur in the wild; the reference's WKT1
+    grammar allows it inside DATUM)."""
+    t = node.child("TOWGS84")
+    if t is None:
+        d = node.child("DATUM", "TRF", "GEODETICDATUM")
+        t = d.child("TOWGS84") if d is not None else None
+    if t is None:
+        return ""
+    vals = t.numbers()
+    return " +towgs84=" + ",".join(f"{v:.10g}" for v in vals)
+
+
+def _primem_of(node: WktNode, unit_fac: float) -> str:
+    pm = node.child("PRIMEM")
+    if pm is None or not pm.numbers():
+        return ""
+    v = pm.numbers()[0]
+    u = _find_unit(pm)
+    fac = _unit_to_deg_factor(u) if u is not None else unit_fac
+    vdeg = v * fac
+    if vdeg == 0.0:
+        return ""
+    return f" +pm={vdeg:.10g}"
+
+
+def _geog_to_projstring(node: WktNode) -> str:
+    unit_fac = _unit_to_deg_factor(_geog_angle_unit(node))
+    out = "+proj=longlat " + _ellipsoid_str(node)
+    out += _primem_of(node, unit_fac)
+    out += _towgs84_of(node)
+    return out
+
+
+def _geog_angle_unit(node: WktNode) -> WktNode | None:
+    # WKT1: UNIT directly under GEOGCS; WKT2: ANGLEUNIT under CS/AXIS
+    # or directly under the CRS
+    u = node.child("ANGLEUNIT", "UNIT")
+    if u is not None:
+        return u
+    cs = node.child("CS")
+    for ax in node.children("AXIS") + (cs.children("AXIS") if cs else []):
+        u = ax.child("ANGLEUNIT", "UNIT")
+        if u is not None:
+            return u
+    return None
+
+
+def _linear_unit_str(node: WktNode) -> str:
+    """+units=/+to_meter= for a projected CRS from its CS axes."""
+    u = node.child("LENGTHUNIT", "UNIT")
+    if u is None:
+        cs = node.child("CS")
+        for ax in node.children("AXIS") + (cs.children("AXIS") if cs else []):
+            u = ax.child("LENGTHUNIT", "UNIT")
+            if u is not None:
+                break
+    if u is None or not u.numbers():
+        return ""
+    fac = u.numbers()[0]
+    if abs(fac - 1.0) < 1e-12:
+        return ""
+    names = u.strings()
+    wk = {"foot": "ft", "us survey foot": "us-ft",
+          "british foot (sears 1922)": "ind-ft", "kilometre": "km"}
+    unit = wk.get(names[0].lower()) if names else None
+    if unit:
+        return f" +units={unit}"
+    return f" +to_meter={fac:.12g}"
+
+
+def _proj_to_projstring(node: WktNode) -> str:
+    base = node.child("BASEGEOGCRS", "BASEGEODCRS", "GEOGCS")
+    if base is None:
+        raise ValueError("PROJCRS: no BASEGEOGCRS/GEOGCS")
+    conv = node.child("CONVERSION")
+    if conv is not None:                       # WKT2
+        method_node = conv.child("METHOD", "PROJECTION")
+        if method_node is None:
+            raise ValueError("CONVERSION: no METHOD")
+        method_name = method_node.strings()[0]
+        params = conv.children("PARAMETER")
+        conv_name = conv.strings()[0] if conv.strings() else ""
+    else:                                      # WKT1
+        proj_node = node.child("PROJECTION")
+        if proj_node is None:
+            raise ValueError("PROJCS: no CONVERSION/PROJECTION")
+        method_name = proj_node.strings()[0]
+        params = node.children("PARAMETER")
+        conv_name = node.strings()[0] if node.strings() else ""
+
+    # UTM shortcut: the conversion name carries the zone (io.cpp emits
+    # "UTM zone 31N" for the canonical conversions)
+    m = re.search(r"UTM zone (\d+)([NS])", conv_name or "", re.I)
+    ell = _ellipsoid_str(base)
+    if m and _norm(method_name) in (_norm("Transverse Mercator"),):
+        zone, hemi = int(m.group(1)), m.group(2).upper()
+        s = f"+proj=utm +zone={zone}"
+        if hemi == "S":
+            s += " +south"
+        return (s + " " + ell
+                + _primem_of(base, _unit_to_deg_factor(_geog_angle_unit(base)))
+                + _towgs84_of(base) + _towgs84_of(node))
+
+    key = _norm(method_name)
+    if key not in _METHODS:
+        raise ValueError(f"unsupported projection method {method_name!r}")
+    proj, extra, roles = _METHODS[key]
+
+    geog_fac = _unit_to_deg_factor(_geog_angle_unit(base))
+    parts = [f"+proj={proj}"]
+    if extra:
+        parts.append(extra)
+    seen = set()
+    for p in params:
+        names, nums = p.strings(), p.numbers()
+        if not names or not nums:
+            continue
+        pkey = _norm(names[0])
+        role = roles.get(pkey, _PARAMS.get(pkey))
+        if role is None or role in seen:
+            continue
+        seen.add(role)
+        val = nums[0]
+        if role in _ANGULAR_ROLES:
+            u = _find_unit(p)
+            fac = _unit_to_deg_factor(u) if u is not None else geog_fac
+            val *= fac
+        else:
+            u = p.child("LENGTHUNIT", "UNIT")
+            if u is not None and u.numbers():
+                val *= u.numbers()[0]
+        parts.append(f"+{role}={_fmt_num(val)}")
+    # polar stereographic variant B: lat_0 is +/-90 by the lat_ts sign
+    if proj == "stere" and "lat_ts" in seen and "lat_0" not in seen:
+        ts = float(next(p.split("=")[1] for p in parts
+                        if p.startswith("+lat_ts=")))
+        parts.append(f"+lat_0={90.0 if ts >= 0 else -90.0:.12g}")
+    parts.append(ell)
+    out = " ".join(parts)
+    out += _primem_of(base, geog_fac)
+    out += _linear_unit_str(node)
+    out += _towgs84_of(base) + _towgs84_of(node)
+    return out
+
+
+def _bound_to_projstring(node: WktNode) -> str:
+    src = node.child("SOURCECRS")
+    tr = node.child("ABRIDGEDTRANSFORMATION")
+    if src is None or not src.children(*_WKT_ROOTS):
+        raise ValueError("BOUNDCRS: no SOURCECRS")
+    inner = src.children(*_WKT_ROOTS)[0]
+    base = _crs_to_projstring(inner)
+    if tr is None:
+        return base
+    method = tr.child("METHOD")
+    mname = _norm(method.strings()[0]) if method and method.strings() else ""
+    slots = [0.0] * 7
+    got_rot = False
+    for p in tr.children("PARAMETER"):
+        names, nums = p.strings(), p.numbers()
+        if not names or not nums:
+            continue
+        k = _norm(names[0])
+        if k in _HELMERT_SLOTS:
+            i = _HELMERT_SLOTS[k]
+            v = nums[0]
+            if i == 6:
+                # abridged transformations carry scale as a RATIO
+                # (1 + ds); the reference converts to ppm
+                # (io.cpp BoundCRS export)
+                v = (v - 1.0) * 1e6
+            if 3 <= i <= 5:
+                got_rot = True
+            slots[i] = v
+    if "coordinateframe" in mname and got_rot:
+        # towgs84 is position-vector convention; coordinate-frame
+        # rotations flip sign (helmert.cpp convention handling)
+        slots[3], slots[4], slots[5] = -slots[3], -slots[4], -slots[5]
+    n = 7 if (got_rot or slots[6] != 0.0) else 3
+    tow = ",".join(f"{v:.10g}" for v in slots[:n])
+    # replace any towgs84 already on the source (BOUNDCRS wins)
+    base = re.sub(r" \+towgs84=\S+", "", base)
+    return base + " +towgs84=" + tow
+
+
+# --------------------------------------------------------- PROJJSON -> proj
+
+def projjson_to_projstring(obj) -> str:
+    """Convert a PROJJSON dict (or JSON string) to a proj-string.
+    Covers GeographicCRS / ProjectedCRS / BoundCRS, mirroring the WKT2
+    shapes (schema: proj.org/schemas/v0.x/projjson.schema.json, reader
+    src/iso19111/io.cpp JSONParser)."""
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    t = obj.get("type", "")
+    if t == "GeographicCRS":
+        return _pj_geog(obj)
+    if t == "ProjectedCRS":
+        return _pj_proj(obj)
+    if t == "BoundCRS":
+        base = projjson_to_projstring(obj["source_crs"])
+        tr = obj.get("transformation", {})
+        slots = [0.0] * 7
+        got_rot = False
+        for p in tr.get("parameters", []):
+            k = _norm(p.get("name", ""))
+            if k in _HELMERT_SLOTS:
+                i = _HELMERT_SLOTS[k]
+                v = float(p.get("value", 0.0))
+                if i == 6 and _norm(p.get("unit", "")) == "unity":
+                    v = (v - 1.0) * 1e6
+                if 3 <= i <= 5:
+                    got_rot = True
+                slots[i] = v
+        mname = _norm(tr.get("method", {}).get("name", ""))
+        if "coordinateframe" in mname and got_rot:
+            slots[3], slots[4], slots[5] = -slots[3], -slots[4], -slots[5]
+        n = 7 if (got_rot or slots[6] != 0.0) else 3
+        base = re.sub(r" \+towgs84=\S+", "", base)
+        return base + " +towgs84=" + ",".join(f"{v:.10g}"
+                                              for v in slots[:n])
+    raise ValueError(f"unsupported PROJJSON type {t!r}")
+
+
+def _pj_ellps(obj) -> str:
+    datum = obj.get("datum") or obj.get("datum_ensemble") or {}
+    ell = datum.get("ellipsoid", {})
+    a = float(ell.get("semi_major_axis", 6378137.0))
+    if "inverse_flattening" in ell:
+        rf = float(ell["inverse_flattening"])
+    elif "semi_minor_axis" in ell:
+        b = float(ell["semi_minor_axis"])
+        rf = a / (a - b) if a != b else 0.0
+    else:
+        rf = 0.0
+    return _ellps_param(a, rf)
+
+
+def _pj_geog(obj) -> str:
+    return "+proj=longlat " + _pj_ellps(obj)
+
+
+_PJ_UNIT_DEG = {"degree": 1.0, "grad": 0.9,
+                "arc-second": 1.0 / 3600.0, "radian": 180.0 / math.pi}
+
+
+def _pj_proj(obj) -> str:
+    base = obj.get("base_crs", {})
+    conv = obj.get("conversion", {})
+    method_name = conv.get("method", {}).get("name", "")
+    conv_name = conv.get("name", "")
+    ell = _pj_ellps(base)
+    m = re.search(r"UTM zone (\d+)([NS])", conv_name or "", re.I)
+    if m and _norm(method_name) == _norm("Transverse Mercator"):
+        s = f"+proj=utm +zone={int(m.group(1))}"
+        if m.group(2).upper() == "S":
+            s += " +south"
+        return s + " " + ell
+    key = _norm(method_name)
+    if key not in _METHODS:
+        raise ValueError(f"unsupported projection method {method_name!r}")
+    proj, extra, roles = _METHODS[key]
+    parts = [f"+proj={proj}"]
+    if extra:
+        parts.append(extra)
+    seen = set()
+    for p in conv.get("parameters", []):
+        pkey = _norm(p.get("name", ""))
+        role = roles.get(pkey, _PARAMS.get(pkey))
+        if role is None or role in seen:
+            continue
+        seen.add(role)
+        val = float(p.get("value", 0.0))
+        unit = p.get("unit", "degree")
+        uname = unit if isinstance(unit, str) else unit.get("name", "")
+        if role in _ANGULAR_ROLES:
+            if _norm(uname) in ("grad",):
+                val *= 0.9
+            elif _norm(uname) == "radian":
+                val *= 180.0 / math.pi
+            elif isinstance(unit, dict) and "conversion_factor" in unit:
+                val *= float(unit["conversion_factor"]) * 180.0 / math.pi
+        elif isinstance(unit, dict) and unit.get("type") == "LinearUnit":
+            val *= float(unit.get("conversion_factor", 1.0))
+        parts.append(f"+{role}={_fmt_num(val)}")
+    if proj == "stere" and "lat_ts" in seen and "lat_0" not in seen:
+        ts = float(next(p.split("=")[1] for p in parts
+                        if p.startswith("+lat_ts=")))
+        parts.append(f"+lat_0={90.0 if ts >= 0 else -90.0:.12g}")
+    parts.append(ell)
+    return " ".join(parts)

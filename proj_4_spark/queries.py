@@ -1584,3 +1584,55 @@ def q_rolling_fingerprints(spark, sf_dir):
     return (d.select("doc_id",
                      TS.rolling_fingerprint(F.col("text")).alias("rfp"))
              .orderBy("doc_id"))
+
+
+# WKT2 text of EPSG:2154 (RGF93 / Lambert-93) — the reader input; the
+# oracle mirrors the exact LCC math with the false origin added, so a
+# wrong parse (units, false-origin params, ellipsoid match) hash-fails
+_WKT2_LAMBERT93 = """PROJCRS["RGF93 v1 / Lambert-93",
+  BASEGEOGCRS["RGF93 v1",
+    DATUM["Reseau Geodesique Francais 1993 v1",
+      ELLIPSOID["GRS 1980",6378137,298.257222101,
+        LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+  CONVERSION["Lambert-93",
+    METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+    PARAMETER["Latitude of false origin",46.5,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of false origin",3,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 1st standard parallel",49,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 2nd standard parallel",44,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Easting at false origin",700000,LENGTHUNIT["metre",1]],
+    PARAMETER["Northing at false origin",6600000,
+      LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+    AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+    AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]"""
+
+
+def _wkt93_sql() -> str:
+    from .crs_io import wkt_to_projstring
+
+    wx, wy = O.lcc_xy(wkt_to_projstring(_WKT2_LAMBERT93))
+    return f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, (round({wx} + 700000.0, 2) + 0.0) AS x_m,
+       (round({wy} + 6600000.0, 2) + 0.0) AS y_m
+FROM coords ORDER BY doc_id
+"""
+
+
+@register("wkt_lambert93_fwd", _wkt93_sql())
+def q_wkt_lambert93_fwd(spark, sf_dir):
+    """proj_create on a WKT2 PROJCRS text (io.cpp WKTParser /
+    wkt2_grammar.y): the reader resolves methods/parameters/ellipsoid
+    to the same LCC pipeline the EPSG registry entry compiles to."""
+    from .crs_io import wkt_to_projstring
+
+    df = G.with_projected(_coords(spark, sf_dir),
+                          wkt_to_projstring(_WKT2_LAMBERT93))
+    return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
+                     (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
