@@ -1636,3 +1636,41 @@ def q_wkt_lambert93_fwd(spark, sf_dir):
                           wkt_to_projstring(_WKT2_LAMBERT93))
     return df.select("doc_id", (F.round("x", 2) + 0.0).alias("x_m"),
                      (F.round("y", 2) + 0.0).alias("y_m")).orderBy("doc_id")
+
+
+# deterministic DMS components from doc_id (FIXTURES.md house style:
+# derived values, not stored ones, so both sides re-create the input)
+_DMS = ("(doc_id % 89)", "((doc_id * 7) % 60)", "((doc_id * 13) % 60)",
+        "(doc_id % 179)", "((doc_id * 11) % 60)", "((doc_id * 17) % 60)")
+_DMS_LAT = (f"({_DMS[0]} + {_DMS[1]}/60.0 + ({_DMS[2]} + 0.5)/3600.0)"
+            " * (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+_DMS_LON = (f"({_DMS[3]} + {_DMS[4]}/60.0 + ({_DMS[5]} + 0.25)/3600.0)"
+            " * (CASE WHEN doc_id % 3 <> 0 THEN 1.0 ELSE -1.0 END)")
+
+
+@register("mined_coords_dms", f"""
+SELECT doc_id, (round({_DMS_LAT}, 6) + 0.0) AS lat,
+       (round({_DMS_LON}, 6) + 0.0) AS lon
+FROM documents ORDER BY doc_id
+""")
+def q_mined_coords_dms(spark, sf_dir):
+    """DMS-mention miner check (dmstor.cpp:18-84 forms): embed a
+    deterministic 48°51'24.5"N-style mention per document, run the
+    vectorized DMS extractall miner, and the decimal degrees it
+    returns must equal the arithmetic the generator used."""
+    from .sources.pages import mine_coords_dms
+
+    d = _docs(spark, sf_dir)
+    mention = F.format_string(
+        "%d°%d'%d.5\"%s %d°%d'%d.25\"%s",
+        F.expr(_DMS[0]), F.expr(_DMS[1]), F.expr(_DMS[2]),
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END"),
+        F.expr(_DMS[3]), F.expr(_DMS[4]), F.expr(_DMS[5]),
+        F.expr("CASE WHEN doc_id % 3 <> 0 THEN 'E' ELSE 'W' END"))
+    pages = d.select("doc_id",
+                     F.concat(F.col("text"), F.lit(" pin at "),
+                              mention).alias("text"))
+    return (mine_coords_dms(pages)
+            .select("doc_id", (F.round("lat", 6) + 0.0).alias("lat"),
+                    (F.round("lon", 6) + 0.0).alias("lon"))
+            .orderBy("doc_id"))

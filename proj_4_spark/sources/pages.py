@@ -91,3 +91,52 @@ def mine_coords(pages: DataFrame, text_col: str = "text") -> DataFrame:
             yield out
 
     return pages.mapInPandas(_mine, schema)
+
+
+# DMS mentions: 48°51'24.5"N 2°21'03"E — ASCII d/'/" and the unicode
+# °/′/″ marks both accepted, hemisphere letter mandatory (the same
+# forms proj_dmstor parses, src/dmstor.cpp:18-84)
+DMS_RE = ("(\\d{1,2})[°d](\\d{1,2})['′](\\d{1,2}(?:\\.\\d+)?)[\"″]([NS])"
+          "[,;\\s]+"
+          "(\\d{1,3})[°d](\\d{1,2})['′](\\d{1,2}(?:\\.\\d+)?)[\"″]([EW])")
+
+
+def mine_coords_dms(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Extract every DMS 'lat lon' mention: (…, mention_idx, lat, lon)
+    in signed decimal degrees (deg + min/60 + sec/3600, S/W negative).
+
+    Same vectorized extractall-over-Arrow-batches shape as
+    mine_coords; out-of-range pairs dropped."""
+    cols = [c for c in pages.columns if c != text_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pages.schema.fields if f.name != text_col
+    ) + ", mention_idx int, lat double, lon double"
+
+    def _mine(batches):
+        for pdf in batches:
+            ex = pdf[text_col].str.extractall(DMS_RE)
+            if len(ex) == 0:
+                continue
+            ex.columns = ["latd", "latm", "lats", "lath",
+                          "lond", "lonm", "lons", "lonh"]
+            lat = (ex.latd.astype("float64")
+                   + ex.latm.astype("float64") / 60.0
+                   + ex.lats.astype("float64") / 3600.0)
+            lat = np.where(ex.lath.to_numpy() == "S", -lat, lat)
+            lon = (ex.lond.astype("float64")
+                   + ex.lonm.astype("float64") / 60.0
+                   + ex.lons.astype("float64") / 3600.0)
+            lon = np.where(ex.lonh.to_numpy() == "W", -lon, lon)
+            ex = ex.reset_index()
+            ex.rename(columns={"level_0": "_row", "match": "mention_idx"},
+                      inplace=True)
+            ok = (np.abs(lat) <= 90.0) & (np.abs(lon) <= 180.0)
+            base = pdf[cols].reset_index(drop=True)
+            out = base.iloc[ex["_row"].to_numpy()[ok]].reset_index(drop=True)
+            out["mention_idx"] = ex["mention_idx"].to_numpy()[ok].astype("int32")
+            out["lat"] = lat[ok]
+            out["lon"] = lon[ok]
+            yield out
+
+    return pages.mapInPandas(_mine, schema)

@@ -45,3 +45,25 @@ def test_text_never_rewritten(spark, sf_dir):
     orig = {r["url"]: r["text"] for r in p.select("url", "text").collect()}
     for r in joined.select("url", "text").collect():
         assert r["text"] == orig[r["url"]]
+
+
+def test_mine_coords_dms_unicode_and_ascii(spark):
+    from proj_4_spark.sources.pages import mine_coords_dms
+
+    rows = [
+        ("u1", 'Eiffel: 48°51′24.5″N 2°21′03″E fin'),
+        ("u2", "Sydney 33d52'04\"S, 151d12'36\"E opera"),
+        ("u3", "no coordinates here"),
+        ("u4", 'two: 10°30\'00"N 20°00\'00"E and 5°06\'07.2"S 3°02\'01"W'),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {(r["url"], r["mention_idx"]): (r["lat"], r["lon"])
+           for r in mine_coords_dms(df).collect()}
+    assert abs(out[("u1", 0)][0] - (48 + 51 / 60 + 24.5 / 3600)) < 1e-12
+    assert abs(out[("u1", 0)][1] - (2 + 21 / 60 + 3 / 3600)) < 1e-12
+    assert abs(out[("u2", 0)][0] + (33 + 52 / 60 + 4 / 3600)) < 1e-12
+    assert abs(out[("u2", 0)][1] - (151 + 12 / 60 + 36 / 3600)) < 1e-12
+    assert ("u3", 0) not in out
+    assert abs(out[("u4", 1)][0] + (5 + 6 / 60 + 7.2 / 3600)) < 1e-12
+    assert abs(out[("u4", 1)][1] + (3 + 2 / 60 + 1 / 3600)) < 1e-12
+    assert len(out) == 4
