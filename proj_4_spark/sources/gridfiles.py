@@ -156,6 +156,8 @@ def load_grid_bytes(name: str, data: bytes):
         if len(grids) == 1:
             return grids[0][2]
         return GridSet(grids=tuple(g for _, _, g in grids))
+    if data[:9] == CTABLE2_MAGIC:
+        return parse_ctable2(data)
     if name.lower().endswith(".gtx") or len(data) >= 40:
         return parse_gtx(data)
     raise ValueError(f"unrecognized grid format for '{name}'")
@@ -182,3 +184,57 @@ def synthetic_geoid_gtx_bytes() -> bytes:
     und = 30.0 * np.sin(2.0 * LO) * np.cos(3.0 * LA)
     return write_gtx(20.0, -30.0, float(lat[1] - lat[0]),
                      float(lon[1] - lon[0]), und)
+
+
+CTABLE2_MAGIC = b"CTABLE V2"
+
+
+def parse_ctable2(data: bytes) -> Grid:
+    """Parse CTable2 bytes (the reference's third native grid format,
+    ``src/grids.cpp:1974-2051`` CTable2Grid::open/valueAt): 160-byte
+    header with the magic at offset 0, little-endian ``west, south,
+    resX, resY`` float64 **in radians** at offset 96, ``width,
+    height`` int32 at 128; data from offset 160 as height*width
+    little-endian float32 pairs (lonShift, latShift), lonShift stored
+    WEST-POSITIVE (grids.cpp:2049 "west longitude positive
+    convention"), rows south->north."""
+    if len(data) < 160 or data[:9] != CTABLE2_MAGIC:
+        raise ValueError("ctable2: missing 'CTABLE V2' magic")
+    west, south, res_x, res_y = struct.unpack("<4d", data[96:128])
+    width, height = struct.unpack("<2i", data[128:136])
+    if width <= 0 or height <= 0 or not (
+            abs(west) <= 4 * np.pi and abs(south) <= np.pi + 1e-5
+            and res_x > 1e-10 and res_y > 1e-10):
+        raise ValueError("ctable2: inconsistent georeferencing")
+    n = width * height
+    if len(data) < 160 + 8 * n:
+        raise ValueError("ctable2: truncated data section")
+    raw = np.frombuffer(data, dtype="<f4", count=2 * n, offset=160)
+    rec = raw.astype(np.float64).reshape(height, width, 2)
+    dlam = -rec[:, :, 0]   # west-positive -> east-positive
+    dphi = rec[:, :, 1]
+    return Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
+                values=np.stack([dlam, dphi], axis=-1))
+
+
+def write_ctable2(west_rad: float, south_rad: float, res_x_rad: float,
+                  res_y_rad: float, dlam: np.ndarray,
+                  dphi: np.ndarray, description: str = "synthetic") -> bytes:
+    """Inverse of :func:`parse_ctable2` (east-positive inputs in
+    radians; stored west-positive like the on-disk format)."""
+    dlam = np.asarray(dlam, dtype=np.float64)
+    dphi = np.asarray(dphi, dtype=np.float64)
+    if dlam.shape != dphi.shape or dlam.ndim != 2:
+        raise ValueError("write_ctable2: dlam/dphi must be same-shape 2-D")
+    height, width = dlam.shape
+    head = bytearray(160)
+    head[:9] = CTABLE2_MAGIC
+    head[16:16 + min(80, len(description))] = \
+        description.encode("ascii", "replace")[:80]
+    head[96:128] = struct.pack("<4d", west_rad, south_rad,
+                               res_x_rad, res_y_rad)
+    head[128:136] = struct.pack("<2i", width, height)
+    rec = np.empty((height, width, 2), dtype="<f4")
+    rec[:, :, 0] = -dlam
+    rec[:, :, 1] = dphi
+    return bytes(head) + rec.tobytes()

@@ -129,3 +129,40 @@ def test_register_grid_file_vgridshift_end_to_end():
     _, _, z2, _ = tr.transform_deg(
         np.array([10.0]), np.array([45.0]), z[:1], direction="inv")
     assert abs(z2[0]) < 1e-9
+
+
+def test_ctable2_byte_roundtrip():
+    rng = np.random.RandomState(7)
+    dlam = rng.uniform(-1e-5, 1e-5, (9, 12))
+    dphi = rng.uniform(-1e-5, 1e-5, (9, 12))
+    blob = GF.write_ctable2(np.radians(-120.0), np.radians(30.0),
+                            np.radians(0.5), np.radians(0.25),
+                            dlam, dphi, "roundtrip fixture")
+    g = GF.parse_ctable2(blob)
+    assert g.values.shape == (9, 12, 2)
+    np.testing.assert_allclose(g.values[:, :, 0], dlam, atol=1e-12)
+    np.testing.assert_allclose(g.values[:, :, 1], dphi, atol=1e-12)
+    assert g.lon0 == pytest.approx(np.radians(-120.0))
+    assert g.dlat == pytest.approx(np.radians(0.25))
+    assert GF.load_grid_bytes("x.ct2", blob).values.shape == (9, 12, 2)
+
+
+@needs_ref
+def test_ctable2_conus_golden():
+    """Golden from test/cli/test_cs2cs_datumfile.yaml:46-53 (NAD27 ->
+    NAD83 via +nadgrids=conus): 111W 44N -> 111d0'2.788"W
+    43d59'59.725"N; 111W 39N -> 111d0'2.604"W 38d59'59.912"N
+    (printed at 0.001 arcsec)."""
+    GF.register_grid_file("conus", _read("conus"))
+    tr = compile_projstring("+proj=hgridshift +grids=conus +ellps=clrk66")
+    lon, lat = np.array([-111.0, -111.0]), np.array([44.0, 39.0])
+    xo, yo = tr.transform_deg(lon, lat)[:2]
+    exp_lon = -(111.0 + np.array([2.788, 2.604]) / 3600.0)
+    exp_lat = np.array([43 + 59 / 60 + 59.725 / 3600,
+                        38 + 59 / 60 + 59.912 / 3600])
+    np.testing.assert_allclose(xo, exp_lon, atol=3e-7)
+    np.testing.assert_allclose(yo, exp_lat, atol=3e-7)
+    # inverse roundtrip (iterative) back to 0.1 mm-level
+    xi, yi = tr.transform_deg(xo.copy(), yo.copy(), direction="inv")[:2]
+    np.testing.assert_allclose(xi, lon, atol=1e-9)
+    np.testing.assert_allclose(yi, lat, atol=1e-9)
