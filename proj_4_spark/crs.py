@@ -16,7 +16,8 @@ removed by the pipeline compiler.
 from __future__ import annotations
 
 from .proj import (Transform, _ANGULAR_IDS, compile_operation,
-                   compile_projstring, invert_step_dict, parse_projstring,
+                   compile_projstring, invert_step_dict,
+                   nadgrids_step_dicts, parse_projstring,
                    towgs84_step_dicts)
 
 _UTM_NORTH = range(32601, 32661)
@@ -122,6 +123,10 @@ def compile_crs(defn) -> Transform:
 def _crs_step_dicts(top: dict) -> list[dict]:
     """Step dicts whose combined forward maps WGS84 angular -> the
     CRS; empty for a WGS84-compatible geographic CRS."""
+    if "nadgrids" in top and top.get("proj") != "hgridshift":
+        # datum-file shift takes precedence over +towgs84, matching
+        # the reference's classic +nadgrids handling
+        return nadgrids_step_dicts(top)
     if "towgs84" in top and top.get("proj") != "helmert":
         return towgs84_step_dicts(top)
     if top.get("proj") in _ANGULAR_IDS:

@@ -102,16 +102,26 @@ def vgrid_apply(grid: Grid, lam, phi, z, forward: bool = True):
 
 @dataclass(frozen=True)
 class GridSet:
-    """Multi-subfile grid (NTv2 parent + children): per-point selection
-    picks the finest grid containing the point (the reference walks
-    parent->child extents, grids.cpp:2332-2380 / gridinfo hierarchy —
-    children are always finer refinements of their parent)."""
+    """Multi-grid selection.  policy="finest": per-point pick of the
+    finest grid containing the point (NTv2 parent + children — the
+    reference walks parent->child extents, grids.cpp:2332-2380;
+    children are always finer refinements of their parent).
+    policy="first": FIRST listed grid containing the point wins — the
+    +nadgrids list semantics (the reference iterates the list in order
+    and stops at the first containing grid, grids.cpp gridshift
+    apply)."""
     grids: tuple  # tuple[Grid, ...]
+    policy: str = "finest"
 
 
 def _select(gs: GridSet, lam, phi):
-    """Index of the finest containing grid per point (-1 if none)."""
+    """Index of the selected grid per point (-1 if none)."""
     best = np.full(np.shape(lam), -1, dtype=np.int64)
+    if gs.policy == "first":
+        for k, g in enumerate(gs.grids):
+            m = in_grid(g, lam, phi) & (best == -1)
+            best = np.where(m, k, best)
+        return best
     best_area = np.full(np.shape(lam), np.inf)
     for k, g in enumerate(gs.grids):
         m = in_grid(g, lam, phi)

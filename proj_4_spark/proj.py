@@ -792,10 +792,33 @@ def compile_operation(params: dict) -> Operation:
         name = params.get("grids")
         if not name:
             raise ValueError(f"{proj_id}: missing +grids")
-        grid = GRID_REGISTRY.get(str(name))
-        if grid is None:
+        # comma-separated ordered list with optional '@' prefix, the
+        # +nadgrids syntax (first listed grid containing the point
+        # wins; '@'-prefixed grids may be absent without error)
+        names = [n.strip() for n in str(name).split(",") if n.strip()]
+        found = []
+        for nm in names:
+            optional = nm.startswith("@")
+            key = nm[1:] if optional else nm
+            g = GRID_REGISTRY.get(key)
+            if g is None:
+                if optional:
+                    continue
+                raise FileNotFoundError(
+                    f"{proj_id}: grid '{key}' not in GRID_REGISTRY")
+            found.append(g)
+        if not found:
             raise FileNotFoundError(
-                f"{proj_id}: grid '{name}' not in GRID_REGISTRY")
+                f"{proj_id}: no grid of '{name}' in GRID_REGISTRY")
+        if len(found) == 1:
+            grid = found[0]
+        else:
+            from .kernels.gridshift import GridSet as _GS
+
+            flat = []
+            for g in found:
+                flat.extend(g.grids if isinstance(g, _GS) else (g,))
+            grid = _GS(grids=tuple(flat), policy="first")
         op.left, op.right = RADIANS, RADIANS
         if proj_id == "hgridshift":
             if isinstance(grid, k_grid.GridSet):
@@ -1966,6 +1989,23 @@ def towgs84_step_dicts(step: dict) -> list[dict]:
     if step.get("proj") not in _ANGULAR_IDS:
         steps.append({k: v for k, v in step.items()
                       if k not in ("towgs84", "inv")})
+    if "inv" in step:
+        steps = [invert_step_dict(d) for d in reversed(steps)]
+    return steps
+
+
+def nadgrids_step_dicts(step: dict) -> list[dict]:
+    """cs2cs-emulation expansion of one +nadgrids-carrying CRS step
+    (the classic datum-file syntax, e.g. ``+proj=latlong +ellps=clrk66
+    +nadgrids=ntv1_can.dat,conus``).  The grid's forward maps the CRS
+    datum -> the NAD83/WGS84 hub, so the combined FORWARD here (hub ->
+    CRS, same orientation contract as towgs84_step_dicts) applies it
+    inverted, then the projection."""
+    steps = [{"proj": "hgridshift", "grids": step["nadgrids"],
+              "inv": True}]
+    if step.get("proj") not in _ANGULAR_IDS:
+        steps.append({k: v for k, v in step.items()
+                      if k not in ("nadgrids", "towgs84", "inv")})
     if "inv" in step:
         steps = [invert_step_dict(d) for d in reversed(steps)]
     return steps

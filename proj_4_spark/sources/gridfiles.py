@@ -158,6 +158,8 @@ def load_grid_bytes(name: str, data: bytes):
         return GridSet(grids=tuple(g for _, _, g in grids))
     if data[:9] == CTABLE2_MAGIC:
         return parse_ctable2(data)
+    if data[:6] == NTV1_MAGIC:
+        return parse_ntv1(data)
     if name.lower().endswith(".gtx") or len(data) >= 40:
         return parse_gtx(data)
     raise ValueError(f"unrecognized grid format for '{name}'")
@@ -238,3 +240,40 @@ def write_ctable2(west_rad: float, south_rad: float, res_x_rad: float,
     rec[:, :, 0] = -dlam
     rec[:, :, 1] = dphi
     return bytes(head) + rec.tobytes()
+
+
+NTV1_MAGIC = b"HEADER"
+
+
+def parse_ntv1(data: bytes) -> Grid:
+    """Parse NTv1 bytes (``src/grids.cpp`` NTv1Grid::open/valueAt):
+    192-byte big-endian header — int32 record count (must be 12) at
+    offset 8; float64 degrees at 24 (south), 40 (north), 56 (east,
+    west-positive), 72 (west, west-positive), 88 (resY), 104 (resX) —
+    then float64 pairs (latShift, lonShift) in arc-seconds from offset
+    192, rows south->north, columns EAST TO WEST, lonShift
+    west-positive."""
+    if len(data) < 192 or data[:6] != NTV1_MAGIC:
+        raise ValueError("ntv1: missing HEADER magic")
+    if struct.unpack(">i", data[8:12])[0] != 12:
+        raise ValueError("ntv1: wrong record count, corrupt?")
+    south = struct.unpack(">d", data[24:32])[0] * DEG_TO_RAD
+    north = struct.unpack(">d", data[40:48])[0] * DEG_TO_RAD
+    east = -struct.unpack(">d", data[56:64])[0] * DEG_TO_RAD
+    west = -struct.unpack(">d", data[72:80])[0] * DEG_TO_RAD
+    res_y = struct.unpack(">d", data[88:96])[0] * DEG_TO_RAD
+    res_x = struct.unpack(">d", data[104:112])[0] * DEG_TO_RAD
+    if not (west < east and south < north and res_x > 1e-10
+            and res_y > 1e-10):
+        raise ValueError("ntv1: inconsistent georeferencing")
+    columns = int(abs((east - west) / res_x + 0.5)) + 1
+    rows = int(abs((north - south) / res_y + 0.5)) + 1
+    n = rows * columns
+    if len(data) < 192 + 16 * n:
+        raise ValueError("ntv1: truncated data section")
+    raw = np.frombuffer(data, dtype=">f8", count=2 * n, offset=192)
+    rec = raw.astype(np.float64).reshape(rows, columns, 2)
+    dphi = rec[:, ::-1, 0] * SEC_TO_RAD
+    dlam = -rec[:, ::-1, 1] * SEC_TO_RAD
+    return Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
+                values=np.stack([dlam, dphi], axis=-1))

@@ -166,3 +166,43 @@ def test_ctable2_conus_golden():
     xi, yi = tr.transform_deg(xo.copy(), yo.copy(), direction="inv")[:2]
     np.testing.assert_allclose(xi, lon, atol=1e-9)
     np.testing.assert_allclose(yi, lat, atol=1e-9)
+
+
+@needs_ref
+def test_ntv1_nadgrids_list_golden():
+    """Goldens from test/cli/test_cs2cs_datumfile.yaml:8-15:
+    +nadgrids=ntv1_can.dat,conus — 44N goes through ntv1 (first listed
+    containing grid wins), 39N through conus."""
+    GF.register_grid_file("ntv1_can.dat", _read("ntv1_can.dat"))
+    GF.register_grid_file("conus", _read("conus"))
+    from proj_4_spark.crs import crs_to_crs
+
+    tr = crs_to_crs("+proj=latlong +ellps=clrk66 "
+                    "+nadgrids=ntv1_can.dat,conus",
+                    "+proj=longlat +ellps=GRS80")
+    lon, lat = np.array([-111.0, -111.0]), np.array([44.0, 39.0])
+    xo, yo = tr.transform_deg(lon, lat)[:2]
+    exp_lon = -(111.0 + np.array([3.208, 2.604]) / 3600.0)
+    exp_lat = np.array([43 + 59 / 60 + 59.732 / 3600,
+                        38 + 59 / 60 + 59.912 / 3600])
+    np.testing.assert_allclose(xo, exp_lon, atol=3e-7)
+    np.testing.assert_allclose(yo, exp_lat, atol=3e-7)
+    # inverse of the CRS-to-CRS pipeline restores the input
+    xi, yi = tr.transform_deg(xo.copy(), yo.copy(), direction="inv")[:2]
+    np.testing.assert_allclose(xi, lon, atol=1e-9)
+    np.testing.assert_allclose(yi, lat, atol=1e-9)
+
+
+@needs_ref
+def test_nadgrids_optional_marker():
+    from proj_4_spark.crs import crs_to_crs
+    from proj_4_spark.proj import compile_projstring
+
+    GF.register_grid_file("conus", _read("conus"))
+    tr = crs_to_crs("+proj=latlong +ellps=clrk66 "
+                    "+nadgrids=@not_loaded_anywhere,conus",
+                    "+proj=longlat +ellps=GRS80")
+    xo, _ = tr.transform_deg(np.array([-111.0]), np.array([39.0]))[:2]
+    assert abs(xo[0] + (111.0 + 2.604 / 3600.0)) < 3e-7
+    with pytest.raises(FileNotFoundError):
+        compile_projstring("+proj=hgridshift +grids=definitely_missing")
