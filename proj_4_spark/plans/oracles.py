@@ -1854,3 +1854,94 @@ SELECT h.hex_cell, count(*) AS n_docs
 FROM documents d JOIN hv h USING (doc_id)
 GROUP BY h.hex_cell ORDER BY h.hex_cell
 """
+
+
+def nadgrids_ctable2_sql(round_to: int = 6) -> str:
+    """Oracle for the ``nadgrids_ctable2`` query: BOTH synthetic
+    CTable2 byte payloads are parsed driver-side with the SAME
+    parse_ctable2 the engine uses and their float32 node values
+    embedded as VALUES tables joined by (iy, ix) — the GTX VALUES-join
+    pattern, doubled.  Selection mirrors the +nadgrids ordered-list
+    rule: a point inside the FINE grid's extent samples it, else the
+    COARSE grid, else passes through unshifted."""
+    from ..sources.gridfiles import parse_ctable2, synthetic_ctable2_pair
+
+    fine_b, coarse_b = synthetic_ctable2_pair()
+    tables = []
+    for tag, g in (("f", parse_ctable2(fine_b)),
+                   ("c", parse_ctable2(coarse_b))):
+        h, w = g.values.shape[:2]
+        rows = ",\n    ".join(
+            ", ".join(f"({iy}, {ix}, {L(g.values[iy, ix, 0])}, "
+                      f"{L(g.values[iy, ix, 1])})" for ix in range(w))
+            for iy in range(h))
+        tables.append((tag, g, h, w, rows))
+
+    def block(tag, g, h, w):
+        lon_max = g.lon0 + (w - 1) * g.dlon
+        lat_max = g.lat0 + (h - 1) * g.dlat
+        bl = (f"((1.0-t.tx_{tag})*(1.0-t.ty_{tag})*{tag}00.{{v}}"
+              f" + t.tx_{tag}*(1.0-t.ty_{tag})*{tag}10.{{v}}"
+              f" + (1.0-t.tx_{tag})*t.ty_{tag}*{tag}01.{{v}}"
+              f" + t.tx_{tag}*t.ty_{tag}*{tag}11.{{v}})")
+        sel = (f"SELECT doc_id, lam, phi, fx_{tag} - ix_{tag} AS tx_{tag},"
+               f" fy_{tag} - iy_{tag} AS ty_{tag}, ix_{tag}, iy_{tag},"
+               f" ing_{tag}")
+        pre = f"""
+    ((lam - {L(g.lon0)})/{L(g.dlon)}) AS fx_{tag},
+    ((phi - {L(g.lat0)})/{L(g.dlat)}) AS fy_{tag},
+    (lam >= {L(g.lon0)} AND lam <= {L(lon_max)}
+     AND phi >= {L(g.lat0)} AND phi <= {L(lat_max)}) AS ing_{tag}"""
+        idx = f"""
+    least(greatest(CAST(floor(fx_{tag}) AS BIGINT), 0), {w - 2}) AS ix_{tag},
+    least(greatest(CAST(floor(fy_{tag}) AS BIGINT), 0), {h - 2}) AS iy_{tag}"""
+        return bl, sel, pre, idx
+
+    (tf, gf, hf, wf, rows_f), (tc, gc, hc, wc, rows_c) = tables
+    bl_f, _, pre_f, idx_f = block(tf, gf, hf, wf)
+    bl_c, _, pre_c, idx_c = block(tc, gc, hc, wc)
+    return f"""
+WITH coords AS ({coords_cte()}),
+gf(iy, ix, dl, dp) AS (VALUES
+    {rows_f}),
+gc(iy, ix, dl, dp) AS (VALUES
+    {rows_c}),
+r AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM coords
+),
+f AS (
+  SELECT doc_id, lam, phi,{pre_f},{pre_c}
+  FROM r
+),
+i AS (
+  SELECT doc_id, lam, phi, fx_f, fy_f, ing_f, fx_c, fy_c, ing_c,{idx_f},{idx_c}
+  FROM f
+),
+t AS (
+  SELECT doc_id, lam, phi, ing_f, ing_c,
+    (fx_f - ix_f) AS tx_f, (fy_f - iy_f) AS ty_f, ix_f, iy_f,
+    (fx_c - ix_c) AS tx_c, (fy_c - iy_c) AS ty_c, ix_c, iy_c
+  FROM i
+),
+s AS (
+  SELECT t.doc_id,
+    (t.lam + CASE WHEN t.ing_f THEN {bl_f.format(v="dl")}
+                  WHEN t.ing_c THEN {bl_c.format(v="dl")}
+                  ELSE 0.0 END) AS lam_s,
+    (t.phi + CASE WHEN t.ing_f THEN {bl_f.format(v="dp")}
+                  WHEN t.ing_c THEN {bl_c.format(v="dp")}
+                  ELSE 0.0 END) AS phi_s
+  FROM t
+  JOIN gf f00 ON f00.iy = t.iy_f     AND f00.ix = t.ix_f
+  JOIN gf f10 ON f10.iy = t.iy_f     AND f10.ix = t.ix_f + 1
+  JOIN gf f01 ON f01.iy = t.iy_f + 1 AND f01.ix = t.ix_f
+  JOIN gf f11 ON f11.iy = t.iy_f + 1 AND f11.ix = t.ix_f + 1
+  JOIN gc c00 ON c00.iy = t.iy_c     AND c00.ix = t.ix_c
+  JOIN gc c10 ON c10.iy = t.iy_c     AND c10.ix = t.ix_c + 1
+  JOIN gc c01 ON c01.iy = t.iy_c + 1 AND c01.ix = t.ix_c
+  JOIN gc c11 ON c11.iy = t.iy_c + 1 AND c11.ix = t.ix_c + 1
+)
+SELECT doc_id, (round(degrees(lam_s), {round_to}) + 0.0) AS lon_s,
+       (round(degrees(phi_s), {round_to}) + 0.0) AS lat_s
+FROM s ORDER BY doc_id
+"""

@@ -1674,3 +1674,30 @@ def q_mined_coords_dms(spark, sf_dir):
             .select("doc_id", (F.round("lat", 6) + 0.0).alias("lat"),
                     (F.round("lon", 6) + 0.0).alias("lon"))
             .orderBy("doc_id"))
+
+
+@register("nadgrids_ctable2", O.nadgrids_ctable2_sql())
+def q_nadgrids_ctable2(spark, sf_dir):
+    """The classic +nadgrids datum-file path end-to-end on REAL
+    CTable2 byte payloads: two synthetic grids are serialized to
+    CTable2 bytes (grids.cpp:1974-2051 layout), parsed back through
+    the binary reader, and applied as an ORDERED first-containing-
+    grid-wins list with an '@' optional marker — the cs2cs
+    +nadgrids=@missing,fine,coarse semantics.  Oracle: both grids'
+    parsed float32 nodes as VALUES joins with the same selection rule
+    (plans/oracles.py::nadgrids_ctable2_sql)."""
+    from .sources import gridfiles as GF
+
+    fine_b, coarse_b = GF.synthetic_ctable2_pair()
+    GF.register_grid_file("synth_fine.ct2", fine_b)
+    GF.register_grid_file("synth_coarse.ct2", coarse_b)
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=hgridshift "
+                      "+grids=@not_shipped,synth_fine.ct2,synth_coarse.ct2 "
+                      "+ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_g", st)
+              .select("doc_id",
+                      (F.round("_g.x", 6) + 0.0).alias("lon_s"),
+                      (F.round("_g.y", 6) + 0.0).alias("lat_s"))
+              .orderBy("doc_id"))
