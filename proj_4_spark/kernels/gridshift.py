@@ -56,22 +56,67 @@ def _bilinear(grid: Grid, lam, phi):
             + (1 - tx) * ty * v01 + tx * ty * v11)
 
 
+def _biquadratic(grid: Grid, lam, phi):
+    """3x3-window quadratic sample — the reference's port of NOAA's
+    qterp() (transformations/gridshift.cpp:474-540, after NOAA TM NOS
+    NGS 0084): the window shifts one cell left/down when the fraction
+    is before the half-pixel (or the base index touches the east/north
+    edge), then a parabola through f(0), f(1), f(2) is evaluated along
+    x for each of the 3 rows and once more along y."""
+    g = grid.values
+    h, w = g.shape[:2]
+    if h < 3 or w < 3:
+        return _bilinear(grid, lam, phi)
+    fx = (lam - grid.lon0) / grid.dlon
+    fy = (phi - grid.lat0) / grid.dlat
+    ix = np.clip(np.floor(fx).astype(np.int64), 0, w - 2)
+    iy = np.clip(np.floor(fy).astype(np.int64), 0, h - 2)
+    tx = fx - ix
+    ty = fy - iy
+    sx = ((tx <= 0.5) & (ix > 0)) | (ix + 2 == w)
+    ix = np.where(sx, ix - 1, ix)
+    tx = np.where(sx, tx + 1.0, tx)
+    sy = ((ty <= 0.5) & (iy > 0)) | (iy + 2 == h)
+    iy = np.where(sy, iy - 1, iy)
+    ty = np.where(sy, ty + 1.0, ty)
+    if g.ndim == 3:
+        tx = tx[..., None]
+        ty = ty[..., None]
+
+    def qterp(x, f0, f1, f2):
+        df0 = f1 - f0
+        d2f0 = (f2 - f1) - df0
+        return f0 + x * df0 + 0.5 * x * (x - 1.0) * d2f0
+
+    r0 = qterp(tx, g[iy, ix], g[iy, ix + 1], g[iy, ix + 2])
+    r1 = qterp(tx, g[iy + 1, ix], g[iy + 1, ix + 1], g[iy + 1, ix + 2])
+    r2 = qterp(tx, g[iy + 2, ix], g[iy + 2, ix + 1], g[iy + 2, ix + 2])
+    return qterp(ty, r0, r1, r2)
+
+
+def sample(grid: Grid, lam, phi, interp: str = "bilinear"):
+    """Interpolated grid sample with method dispatch."""
+    if interp == "biquadratic":
+        return _biquadratic(grid, lam, phi)
+    return _bilinear(grid, lam, phi)
+
+
 def in_grid(grid: Grid, lam, phi):
     h, w = grid.values.shape[:2]
     return ((lam >= grid.lon0) & (lam <= grid.lon0 + (w - 1) * grid.dlon)
             & (phi >= grid.lat0) & (phi <= grid.lat0 + (h - 1) * grid.dlat))
 
 
-def hgrid_fwd(grid: Grid, lam, phi):
+def hgrid_fwd(grid: Grid, lam, phi, interp: str = "bilinear"):
     """Apply horizontal shift: out = in + interp(in)."""
-    d = _bilinear(grid, lam, phi)
+    d = sample(grid, lam, phi, interp)
     m = in_grid(grid, lam, phi)
     dl = np.where(m, d[..., 0], 0.0)
     dp = np.where(m, d[..., 1], 0.0)
     return lam + dl, phi + dp
 
 
-def hgrid_inv(grid: Grid, lam, phi):
+def hgrid_inv(grid: Grid, lam, phi, interp: str = "bilinear"):
     """Iterative inverse (grids.cpp:3400-3450): fixed-point solve
     out + interp(out) = in, <= MAX_ITER, tol 1e-12 rad."""
     cl = lam.copy()
@@ -80,7 +125,7 @@ def hgrid_inv(grid: Grid, lam, phi):
     for _ in range(MAX_ITER):
         if not active.any():
             break
-        fl, fp = hgrid_fwd(grid, cl[active], cp[active])
+        fl, fp = hgrid_fwd(grid, cl[active], cp[active], interp)
         rl = fl - lam[active]
         rp = fp - phi[active]
         cl[active] -= rl
@@ -251,3 +296,111 @@ def tin_inv(tin: Tin, x, y, z):
         -tin.vertices[:, 4] if tin.has_z else np.zeros(len(tin.vertices)),
     ]), triangles=tin.triangles, has_z=tin.has_z)
     return tin_fwd(inv_tin, x, y, z)
+
+
+@dataclass(frozen=True)
+class UnifiedGrid:
+    """One unified-gridshift component (transformations/gridshift.cpp):
+    an optional horizontal grid (values (h, w, 2) east-positive
+    radians, or (h, w, 3) with an ellipsoidal-height-offset channel in
+    meters) plus an optional separate vertical grid (values (h, w)
+    meters) — the GeoTIFF layout where HORIZONTAL_OFFSET and
+    ELLIPSOIDAL_HEIGHT_OFFSET live in different IFDs.  interp is the
+    file-declared default interpolation_method."""
+    hgrid: Grid | None
+    vgrid: Grid | None
+    interp: str = "bilinear"
+
+    def extent_grid(self) -> Grid:
+        g = self.hgrid if self.hgrid is not None else self.vgrid
+        if g is None:
+            raise ValueError("UnifiedGrid with no component grids")
+        return g
+
+
+def unified_fwd(entries, lam, phi, z, no_z: bool = False,
+                interp: str | None = None):
+    """Forward unified grid shift over an ORDERED list of UnifiedGrid
+    entries: per point, the first entry whose extent contains it wins
+    (gridshift.cpp grid iteration); horizontal shift then height
+    offset (z + dz, sampled at the SOURCE position), both with the
+    entry's interpolation unless overridden."""
+    out_l = np.array(lam, dtype=np.float64, copy=True)
+    out_p = np.array(phi, dtype=np.float64, copy=True)
+    out_z = np.array(z, dtype=np.float64, copy=True)
+    remaining = np.ones(np.shape(lam), dtype=bool)
+    for ug in entries:
+        eg = ug.extent_grid()
+        m = remaining & in_grid(eg, lam, phi)
+        if not m.any():
+            continue
+        remaining &= ~m
+        method = interp or ug.interp
+        la, ph = lam[m], phi[m]
+        if ug.hgrid is not None:
+            sl, sp = hgrid_fwd(ug.hgrid, la, ph, method)
+            out_l[m] = sl
+            out_p[m] = sp
+        if no_z:
+            continue
+        if ug.hgrid is not None and ug.hgrid.values.ndim == 3 \
+                and ug.hgrid.values.shape[2] >= 3:
+            dz = sample(ug.hgrid, la, ph, method)[..., 2]
+            out_z[m] = out_z[m] + np.where(in_grid(ug.hgrid, la, ph),
+                                           dz, 0.0)
+        elif ug.vgrid is not None:
+            dz = sample(ug.vgrid, la, ph, method)
+            out_z[m] = out_z[m] + np.where(in_grid(ug.vgrid, la, ph),
+                                           dz, 0.0)
+    return out_l, out_p, out_z
+
+
+def unified_inv(entries, lam, phi, z, no_z: bool = False,
+                interp: str | None = None):
+    """Inverse of unified_fwd, mirroring gridshift.cpp:645-705: the
+    first approximation is the NCAT single step guess = in -
+    shift(in); with BIQUADRATIC interpolation that approximation IS
+    the answer (NOAA's Transformer.java does no reverse iteration, and
+    fixed-point iteration can fail to converge at cell/half-cell
+    window boundaries — the gie sanfrancisco case), while bilinear
+    points run the usual fixed-point iteration.  The height offset is
+    subtracted using the same (final) shift sample."""
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    sl, sp, zshift = _unified_shift(entries, lam, phi, no_z=no_z,
+                                    interp=interp)
+    cl = lam - sl
+    cp = phi - sp
+    it = _entry_is_bilinear(entries, lam, phi, interp)
+    if it.any():
+        for _ in range(MAX_ITER):
+            dl, dp, dz = _unified_shift(entries, cl[it], cp[it],
+                                        no_z=no_z, interp=interp)
+            rl = cl[it] + dl - lam[it]
+            rp = cp[it] + dp - phi[it]
+            cl[it] = cl[it] - rl
+            cp[it] = cp[it] - rp
+            zshift[it] = dz
+            if np.all(np.isnan(rl) | ((np.abs(rl) < TOL)
+                                      & (np.abs(rp) < TOL))):
+                break
+    return cl, cp, np.array(z, dtype=np.float64, copy=True) - zshift
+
+
+def _unified_shift(entries, lam, phi, no_z, interp):
+    """(dlam, dphi, dz) of the first containing entry per point."""
+    fl, fp, fz = unified_fwd(entries, lam, phi, np.zeros(np.shape(lam)),
+                             no_z=no_z, interp=interp)
+    return fl - lam, fp - phi, fz
+
+
+def _entry_is_bilinear(entries, lam, phi, interp):
+    """True where the winning entry's effective method is bilinear."""
+    out = np.zeros(np.shape(lam), dtype=bool)
+    remaining = np.ones(np.shape(lam), dtype=bool)
+    for ug in entries:
+        m = remaining & in_grid(ug.extent_grid(), lam, phi)
+        if m.any():
+            out[m] = (interp or ug.interp) == "bilinear"
+            remaining &= ~m
+    return out

@@ -584,40 +584,52 @@ def compile_operation(params: dict) -> Operation:
         op.fwd_k = lambda x, y, z, t: (x, geoc_fwd(y, one_es), z)
         op.inv_k = lambda x, y, z, t: (x, geoc_inv(y, one_es), z)
     elif proj_id == "gridshift":
-        # unified grid shift (transformations/gridshift.cpp): one grid
-        # carrying horizontal (radians, channels 0-1) and optionally
-        # vertical (meters, channel 2) corrections
+        # unified grid shift (transformations/gridshift.cpp): an
+        # ordered +grids list of components, each carrying horizontal
+        # (radians) and/or ellipsoidal-height (meters) corrections,
+        # bilinear or biquadratic (+interpolation= overrides the
+        # file-declared default, gridshift.cpp:344-382)
         from .kernels import gridshift as k_grid
 
         name = params.get("grids")
         if not name:
             raise ValueError("gridshift: missing +grids")
-        grid = GRID_REGISTRY.get(str(name))
-        if grid is None:
+        interp = params.get("interpolation")
+        if interp is not None and interp not in ("bilinear",
+                                                 "biquadratic"):
+            raise ValueError(
+                f"gridshift: unsupported +interpolation={interp}")
+        entries = []
+        for nm in [n.strip() for n in str(name).split(",") if n.strip()]:
+            optional = nm.startswith("@")
+            key = nm[1:] if optional else nm
+            g = GRID_REGISTRY.get(key)
+            if g is None:
+                if optional:
+                    continue
+                raise FileNotFoundError(
+                    f"gridshift: grid '{key}' not in GRID_REGISTRY")
+            if isinstance(g, k_grid.UnifiedGrid):
+                entries.append(g)
+            elif isinstance(g, tuple):
+                entries.extend(g)
+            elif isinstance(g, k_grid.GridSet):
+                entries.extend(
+                    k_grid.UnifiedGrid(hgrid=sg, vgrid=None)
+                    for sg in g.grids)
+            elif g.values.ndim == 3:
+                entries.append(k_grid.UnifiedGrid(hgrid=g, vgrid=None))
+            else:
+                entries.append(k_grid.UnifiedGrid(hgrid=None, vgrid=g))
+        if not entries:
             raise FileNotFoundError(
-                f"gridshift: grid '{name}' not in GRID_REGISTRY")
-        nch = grid.values.shape[2] if grid.values.ndim == 3 else 1
+                f"gridshift: no grid of '{name}' in GRID_REGISTRY")
         no_z = "no_z_transform" in params
         op.left, op.right = RADIANS, RADIANS
-
-        def _gs_fwd(x, y, z, t):
-            la, ph = k_grid.hgrid_fwd(grid, x, y)
-            if nch >= 3 and not no_z:
-                d = k_grid._bilinear(grid, x, y)[..., 2]
-                ok = k_grid.in_grid(grid, x, y)
-                z = z + np.where(ok, d, 0.0)
-            return la, ph, z
-
-        def _gs_inv(x, y, z, t):
-            la, ph = k_grid.hgrid_inv(grid, x, y)
-            if nch >= 3 and not no_z:
-                d = k_grid._bilinear(grid, la, ph)[..., 2]
-                ok = k_grid.in_grid(grid, la, ph)
-                z = z - np.where(ok, d, 0.0)
-            return la, ph, z
-
-        op.fwd_k = _gs_fwd
-        op.inv_k = _gs_inv
+        op.fwd_k = lambda x, y, z, t: k_grid.unified_fwd(
+            entries, x, y, z, no_z=no_z, interp=interp)
+        op.inv_k = lambda x, y, z, t: k_grid.unified_inv(
+            entries, x, y, z, no_z=no_z, interp=interp)
     elif proj_id == "deformation":
         # kinematic velocity-grid shift (transformations/deformation.cpp):
         # cartesian in/out, ENU velocity grid in mm/yr
@@ -806,6 +818,14 @@ def compile_operation(params: dict) -> Operation:
                     continue
                 raise FileNotFoundError(
                     f"{proj_id}: grid '{key}' not in GRID_REGISTRY")
+            if isinstance(g, k_grid.UnifiedGrid):
+                # GeoTIFF-sourced component: take the matching part
+                g = g.hgrid if proj_id == "hgridshift" else g.vgrid
+                if g is None:
+                    raise ValueError(
+                        f"{proj_id}: grid '{key}' has no "
+                        f"{'horizontal' if proj_id == 'hgridshift' else 'vertical'}"
+                        " component")
             found.append(g)
         if not found:
             raise FileNotFoundError(

@@ -160,6 +160,9 @@ def load_grid_bytes(name: str, data: bytes):
         return parse_ctable2(data)
     if data[:6] == NTV1_MAGIC:
         return parse_ntv1(data)
+    if data[:2] in (b"II", b"MM"):
+        entries = geotiff_unified(data)
+        return entries[0] if len(entries) == 1 else tuple(entries)
     if name.lower().endswith(".gtx") or len(data) >= 40:
         return parse_gtx(data)
     raise ValueError(f"unrecognized grid format for '{name}'")
@@ -277,3 +280,256 @@ def parse_ntv1(data: bytes) -> Grid:
     dlam = -rec[:, ::-1, 1] * SEC_TO_RAD
     return Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
                 values=np.stack([dlam, dphi], axis=-1))
+
+
+def synthetic_ctable2_pair() -> tuple[bytes, bytes]:
+    """Two deterministic CTable2 byte payloads for the ordered
+    +nadgrids list: a FINE grid over lon [-10, 30] lat [35, 60]
+    (field amp*sin(2λ)cos(3φ) / amp*cos(3λ)sin(2φ), amp = 8e-6 rad)
+    and a COARSE grid over lon [-30, 50] lat [20, 70] (field
+    amp*cos(λ)sin(φ) / amp*sin(λ)cos(φ), amp = 1.5e-5 rad).  Points in
+    both extents must resolve through the FINE grid (first listed)."""
+    lon_f = np.radians(np.linspace(-10.0, 30.0, 33))
+    lat_f = np.radians(np.linspace(35.0, 60.0, 26))
+    LO, LA = np.meshgrid(lon_f, lat_f)
+    fine = write_ctable2(
+        float(lon_f[0]), float(lat_f[0]),
+        float(lon_f[1] - lon_f[0]), float(lat_f[1] - lat_f[0]),
+        8e-6 * np.sin(2.0 * LO) * np.cos(3.0 * LA),
+        8e-6 * np.cos(3.0 * LO) * np.sin(2.0 * LA), "fine synthetic")
+    lon_c = np.radians(np.linspace(-30.0, 50.0, 21))
+    lat_c = np.radians(np.linspace(20.0, 70.0, 26))
+    LO, LA = np.meshgrid(lon_c, lat_c)
+    coarse = write_ctable2(
+        float(lon_c[0]), float(lat_c[0]),
+        float(lon_c[1] - lon_c[0]), float(lat_c[1] - lat_c[0]),
+        1.5e-5 * np.cos(LO) * np.sin(LA),
+        1.5e-5 * np.sin(LO) * np.cos(LA), "coarse synthetic")
+    return fine, coarse
+
+
+# ------------------------------------------------------------- GeoTIFF
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                   9: 4, 10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _tiff_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+    size = _TIFF_TYPE_SIZE[typ] * cnt
+    buf = raw[:4] if size <= 4 else None
+    if buf is None:
+        off = struct.unpack(bo + "I", raw[:4])[0]
+        buf = data[off:off + size]
+    if typ == 2:
+        return buf.split(b"\0", 1)[0].decode("ascii", "replace")
+    fmt = _TIFF_TYPE_FMT.get(typ)
+    if fmt is None:
+        return buf
+    return list(struct.unpack(bo + str(cnt) + fmt, buf[:size]))
+
+
+def _parse_gdal_meta(xml: str):
+    """<Item name="..." [sample="n"]>value</Item> -> {(name, sample)}"""
+    import re as _re
+
+    out = {}
+    for m in _re.finditer(
+            r'<Item\s+name="([^"]+)"(?:\s+sample="(\d+)")?[^>]*>'
+            r'([^<]*)</Item>', xml):
+        out[(m.group(1),
+             int(m.group(2)) if m.group(2) is not None else None)] = \
+            m.group(3).strip()
+    return out
+
+
+def parse_geotiff(data: bytes):
+    """Parse a (Geo)TIFF grid file into a list of per-IFD dicts
+    ``{"type", "grid", "interp", "name", "parent"}``.
+
+    Re-derivation of the reference's GTiff grid reader
+    (``src/grids.cpp:439-1030`` GTiffDataset/GTiffGrid +
+    ``:2520-2650`` channel identification): classic TIFF, both byte
+    orders, strip or tile organization, float32 samples, compression
+    none or DEFLATE (zlib), pixel-interleaved;
+    georeferencing from ModelPixelScale (33550) + ModelTiepoint
+    (33922); channel semantics, units, sign convention, default
+    interpolation and grid hierarchy from the GDAL_METADATA XML
+    (42112).  TIFF rows run north->south and are flipped to the
+    south-first Grid layout; longitude offsets default arc-second
+    east-positive (``positive_value`` west negates, UNITTYPE
+    overrides, grids.cpp:2590-2640)."""
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("geotiff: not a TIFF byte stream")
+    bo = "<" if data[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError("geotiff: BigTIFF or bad magic not supported")
+    out = []
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    while off:
+        n = struct.unpack(bo + "H", data[off:off + 2])[0]
+        tags = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack(
+                bo + "HHI", data[off + 2 + i * 12:off + 10 + i * 12])
+            raw = data[off + 10 + i * 12:off + 14 + i * 12]
+            tags[tag] = (typ, cnt, raw)
+        off = struct.unpack(
+            bo + "I", data[off + 2 + n * 12:off + 6 + n * 12])[0]
+
+        def tv(tag, default=None):
+            if tag not in tags:
+                return default
+            typ, cnt, raw = tags[tag]
+            return _tiff_values(data, bo, typ, cnt, raw)
+
+        w = int(tv(256)[0])
+        h = int(tv(257)[0])
+        spp = int(tv(277, [1])[0])
+        comp = int(tv(259, [1])[0])
+        planar = int(tv(284, [1])[0])
+        predictor = int(tv(317, [1])[0])
+        bits = tv(258, [32])
+        sfmt = tv(339, [3])
+        if any(b != 32 for b in bits) or any(f != 3 for f in sfmt):
+            raise ValueError("geotiff: only float32 samples supported")
+        if planar != 1:
+            raise ValueError("geotiff: only pixel-interleaved supported")
+        if predictor != 1:
+            raise ValueError("geotiff: predictors not supported")
+        if comp not in (1, 8, 32946):
+            raise ValueError(f"geotiff: compression {comp} not supported")
+
+        def decomp(b: bytes) -> bytes:
+            if comp == 1:
+                return b
+            import zlib
+            return zlib.decompress(b)
+
+        arr = np.empty((h, w, spp), dtype=np.float32)
+        if 322 in tags:                                   # tiled
+            tw, th = int(tv(322)[0]), int(tv(323)[0])
+            toffs, tcnts = tv(324), tv(325)
+            k = 0
+            for ty0 in range(0, h, th):
+                for tx0 in range(0, w, tw):
+                    raw = decomp(data[toffs[k]:toffs[k] + tcnts[k]])
+                    tile = np.frombuffer(raw, dtype=bo + "f4",
+                                         count=tw * th * spp)
+                    tile = tile.reshape(th, tw, spp)
+                    arr[ty0:min(ty0 + th, h), tx0:min(tx0 + tw, w)] = \
+                        tile[:min(th, h - ty0), :min(tw, w - tx0)]
+                    k += 1
+        else:                                             # strips
+            rps = int(tv(278, [h])[0])
+            soffs, scnts = tv(273), tv(279)
+            rows = []
+            for k in range(len(soffs)):
+                raw = decomp(data[soffs[k]:soffs[k] + scnts[k]])
+                nrow = min(rps, h - k * rps)
+                rows.append(np.frombuffer(raw, dtype=bo + "f4",
+                                          count=nrow * w * spp))
+            arr = np.concatenate(rows).reshape(h, w, spp)
+
+        scale = tv(33550)
+        tie = tv(33922)
+        if scale is None or tie is None:
+            raise ValueError("geotiff: missing georeferencing tags")
+        dlon, dlat = float(scale[0]), float(scale[1])
+        lon_ul, lat_ul = float(tie[3]), float(tie[4])
+        # 0-360 grids (NOAA Alaska) shift into -180..180, the same
+        # normalization the GTX reader applies (grids.cpp:288-296)
+        if lon_ul >= 180.0:
+            lon_ul -= 360.0
+        lat0 = lat_ul - (h - 1) * dlat
+        vals = arr[::-1].astype(np.float64)               # south-first
+
+        nodata = tv(42113)
+        if isinstance(nodata, str) and nodata.strip():
+            vals[vals == float(nodata)] = np.nan
+
+        meta = _parse_gdal_meta(tv(42112, "") or "")
+        gtype = meta.get(("TYPE", None), "")
+        interp = meta.get(("interpolation_method", None), "bilinear")
+        name = meta.get(("grid_name", None), "")
+        parent = meta.get(("parent_grid_name", None), "")
+        desc = {v: s for (k, s), v in meta.items()
+                if k == "DESCRIPTION"}
+
+        def unit_factor(sample, default):
+            u = meta.get(("UNITTYPE", sample), default)
+            if u in ("arc-second", "arc-seconds per year"):
+                return SEC_TO_RAD
+            if u == "degree":
+                return DEG_TO_RAD
+            if u == "radian":
+                return 1.0
+            if u in ("metre", "metres per year"):
+                return 1.0
+            raise ValueError(f"geotiff: unsupported UNITTYPE {u!r}")
+
+        if not gtype:
+            gtype = ("HORIZONTAL_OFFSET" if spp >= 2
+                     else "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL")
+        if gtype in ("HORIZONTAL_OFFSET", "GEOGRAPHIC_3D_OFFSET"):
+            i_lat = desc.get("latitude_offset", 0)
+            i_lon = desc.get("longitude_offset", 1)
+            dphi = vals[:, :, i_lat] * unit_factor(i_lat, "arc-second")
+            dlam = vals[:, :, i_lon] * unit_factor(i_lon, "arc-second")
+            if meta.get(("positive_value", i_lon), "east") == "west":
+                dlam = -dlam
+            chans = [dlam, dphi]
+            if gtype == "GEOGRAPHIC_3D_OFFSET":
+                i_z = desc.get("ellipsoidal_height_offset", 2)
+                chans.append(vals[:, :, i_z] * unit_factor(i_z, "metre"))
+            gvals = np.stack(chans, axis=-1)
+        elif gtype in ("ELLIPSOIDAL_HEIGHT_OFFSET",
+                       "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL",
+                       "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL",
+                       "GEOCENTRIC_TRANSLATION"):
+            i_z = (desc.get("ellipsoidal_height_offset")
+                   or desc.get("geoid_undulation")
+                   or desc.get("vertical_offset") or 0)
+            gvals = vals[:, :, i_z] * unit_factor(i_z, "metre")
+        else:
+            raise ValueError(f"geotiff: unsupported grid TYPE {gtype!r}")
+
+        out.append({
+            "type": gtype,
+            "interp": interp,
+            "name": name, "parent": parent,
+            "grid": Grid(lon0=lon_ul * DEG_TO_RAD, lat0=lat0 * DEG_TO_RAD,
+                         dlon=dlon * DEG_TO_RAD, dlat=dlat * DEG_TO_RAD,
+                         values=gvals),
+        })
+    return out
+
+
+def geotiff_unified(data: bytes):
+    """Compose parse_geotiff IFDs into UnifiedGrid entries: a
+    HORIZONTAL_OFFSET IFD pairs with the file's
+    ELLIPSOIDAL_HEIGHT_OFFSET IFD (the NADCON5 split layout,
+    gridshift.cpp auxiliary_data handling); GEOGRAPHIC_3D_OFFSET IFDs
+    stand alone."""
+    from ..kernels.gridshift import UnifiedGrid
+
+    entries = parse_geotiff(data)
+    vgrids = [e for e in entries if e["type"] == "ELLIPSOIDAL_HEIGHT_OFFSET"]
+    out = []
+    for e in entries:
+        if e["type"] in ("HORIZONTAL_OFFSET",):
+            v = vgrids[0]["grid"] if vgrids else None
+            out.append(UnifiedGrid(hgrid=e["grid"], vgrid=v,
+                                   interp=e["interp"]))
+        elif e["type"] == "GEOGRAPHIC_3D_OFFSET":
+            out.append(UnifiedGrid(hgrid=e["grid"], vgrid=None,
+                                   interp=e["interp"]))
+        elif e["type"] == "ELLIPSOIDAL_HEIGHT_OFFSET":
+            continue
+        else:
+            out.append(UnifiedGrid(hgrid=None, vgrid=e["grid"],
+                                   interp=e["interp"]))
+    if not out and vgrids:
+        out = [UnifiedGrid(hgrid=None, vgrid=v["grid"],
+                           interp=v["interp"]) for v in vgrids]
+    return out
