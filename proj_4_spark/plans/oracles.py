@@ -1945,3 +1945,107 @@ SELECT doc_id, (round(degrees(lam_s), {round_to}) + 0.0) AS lon_s,
        (round(degrees(phi_s), {round_to}) + 0.0) AS lat_s
 FROM s ORDER BY doc_id
 """
+
+
+def synthetic_geotiff_3d_bytes() -> bytes:
+    """Deterministic GEOGRAPHIC_3D_OFFSET GeoTIFF payload (21x25 nodes
+    over lon [-12, 36] lat [34, 64]; arc-second offset fields
+    0.8*sin(2λ)cos(3φ) / 0.9*cos(3λ)sin(2φ), height offset
+    0.5*sin(λ+φ) m; interpolation_method=biquadratic)."""
+    from ..sources.gridfiles import write_geotiff_3d
+
+    lon = np.linspace(-12.0, 36.0, 25)
+    lat = np.linspace(34.0, 64.0, 21)
+    LO, LA = np.meshgrid(np.radians(lon), np.radians(lat))
+    return write_geotiff_3d(
+        float(lon[0]), float(lat[0]),
+        float(lon[1] - lon[0]), float(lat[1] - lat[0]),
+        0.8 * np.sin(2.0 * LO) * np.cos(3.0 * LA),
+        0.9 * np.cos(3.0 * LO) * np.sin(2.0 * LA),
+        0.5 * np.sin(LO + LA), interp="biquadratic")
+
+
+def gridshift_biquadratic_sql(round_to: int = 6) -> str:
+    """Oracle for ``gridshift_biquadratic``: the synthetic GeoTIFF
+    payload is parsed driver-side with the SAME parse_geotiff the
+    engine uses; the float32 node values (radians/meters) are a
+    VALUES table and NOAA's qterp 3x3 parabola
+    (transformations/gridshift.cpp:474-540) is written out in closed
+    form, window-shift rule included."""
+    from ..sources.gridfiles import parse_geotiff
+
+    e = parse_geotiff(synthetic_geotiff_3d_bytes())[0]
+    g = e["grid"]
+    h, w = g.values.shape[:2]
+    lon_max = g.lon0 + (w - 1) * g.dlon
+    lat_max = g.lat0 + (h - 1) * g.dlat
+    rows = ",\n    ".join(
+        ", ".join(f"({iy}, {ix}, {L(g.values[iy, ix, 0])}, "
+                  f"{L(g.values[iy, ix, 1])}, {L(g.values[iy, ix, 2])})"
+                  for ix in range(w))
+        for iy in range(h))
+
+    def qterp(x, f0, f1, f2):
+        return (f"({f0} + {x}*(({f1})-({f0})) + 0.5*{x}*({x}-1.0)"
+                f"*((({f2})-({f1}))-(({f1})-({f0}))))")
+
+    def chan(v):
+        r = [qterp("t.tx", f"g{j}0.{v}", f"g{j}1.{v}", f"g{j}2.{v}")
+             for j in range(3)]
+        return qterp("t.ty", r[0], r[1], r[2])
+
+    joins = "\n  ".join(
+        f"JOIN gv g{j}{i} ON g{j}{i}.iy = t.iy + {j} "
+        f"AND g{j}{i}.ix = t.ix + {i}"
+        for j in range(3) for i in range(3))
+    return f"""
+WITH coords AS ({coords_cte()}),
+gv(iy, ix, dl, dp, dz) AS (VALUES
+    {rows}),
+r AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM coords
+),
+f AS (
+  SELECT doc_id, lam, phi,
+    ((lam - {L(g.lon0)})/{L(g.dlon)}) AS fx,
+    ((phi - {L(g.lat0)})/{L(g.dlat)}) AS fy,
+    (lam >= {L(g.lon0)} AND lam <= {L(lon_max)}
+     AND phi >= {L(g.lat0)} AND phi <= {L(lat_max)}) AS ing
+  FROM r
+),
+i0 AS (
+  SELECT doc_id, lam, phi, ing,
+    least(greatest(CAST(floor(fx) AS BIGINT), 0), {w - 2}) AS jx,
+    least(greatest(CAST(floor(fy) AS BIGINT), 0), {h - 2}) AS jy,
+    fx, fy
+  FROM f
+),
+i1 AS (
+  SELECT doc_id, lam, phi, ing, (fx - jx) AS ux, (fy - jy) AS uy, jx, jy
+  FROM i0
+),
+t AS (
+  SELECT doc_id, lam, phi, ing,
+    CASE WHEN (ux <= 0.5 AND jx > 0) OR jx + 2 = {w}
+         THEN jx - 1 ELSE jx END AS ix,
+    CASE WHEN (ux <= 0.5 AND jx > 0) OR jx + 2 = {w}
+         THEN ux + 1.0 ELSE ux END AS tx,
+    CASE WHEN (uy <= 0.5 AND jy > 0) OR jy + 2 = {h}
+         THEN jy - 1 ELSE jy END AS iy,
+    CASE WHEN (uy <= 0.5 AND jy > 0) OR jy + 2 = {h}
+         THEN uy + 1.0 ELSE uy END AS ty
+  FROM i1
+),
+s AS (
+  SELECT t.doc_id,
+    (t.lam + CASE WHEN t.ing THEN {chan("dl")} ELSE 0.0 END) AS lam_s,
+    (t.phi + CASE WHEN t.ing THEN {chan("dp")} ELSE 0.0 END) AS phi_s,
+    (CASE WHEN t.ing THEN {chan("dz")} ELSE 0.0 END) AS z_s
+  FROM t
+  {joins}
+)
+SELECT doc_id, (round(degrees(lam_s), {round_to}) + 0.0) AS lon_s,
+       (round(degrees(phi_s), {round_to}) + 0.0) AS lat_s,
+       (round(z_s, 4) + 0.0) AS dz_m
+FROM s ORDER BY doc_id
+"""

@@ -1701,3 +1701,26 @@ def q_nadgrids_ctable2(spark, sf_dir):
                       (F.round("_g.x", 6) + 0.0).alias("lon_s"),
                       (F.round("_g.y", 6) + 0.0).alias("lat_s"))
               .orderBy("doc_id"))
+
+
+@register("gridshift_biquadratic", O.gridshift_biquadratic_sql())
+def q_gridshift_biquadratic(spark, sf_dir):
+    """Unified gridshift from REAL GeoTIFF bytes with the NOAA
+    biquadratic interpolation (transformations/gridshift.cpp:474-540,
+    file-default via GDAL_METADATA): serialize the synthetic
+    GEOGRAPHIC_3D_OFFSET grid to GeoTIFF, parse through the binary
+    reader (grids.cpp:439-1030 layout), apply horizontal + height
+    offsets.  Oracle: float32 nodes as VALUES + closed-form qterp 3x3
+    window with the half-pixel shift rule."""
+    from .sources import gridfiles as GF
+
+    GF.register_grid_file("synth3d.tif", O.synthetic_geotiff_3d_bytes())
+    df = _coords(spark, sf_dir)
+    u = G.project_udf("+proj=gridshift +grids=synth3d.tif +ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_g", st)
+              .select("doc_id",
+                      (F.round("_g.x", 6) + 0.0).alias("lon_s"),
+                      (F.round("_g.y", 6) + 0.0).alias("lat_s"),
+                      (F.round("_g.z", 4) + 0.0).alias("dz_m"))
+              .orderBy("doc_id"))

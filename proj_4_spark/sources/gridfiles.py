@@ -533,3 +533,91 @@ def geotiff_unified(data: bytes):
         out = [UnifiedGrid(hgrid=None, vgrid=v["grid"],
                            interp=v["interp"]) for v in vgrids]
     return out
+
+
+def write_geotiff_3d(lon0_deg: float, lat0_deg: float, dlon_deg: float,
+                     dlat_deg: float, dlat_sec: np.ndarray,
+                     dlon_sec: np.ndarray, dz_m: np.ndarray,
+                     interp: str = "biquadratic") -> bytes:
+    """Serialize a GEOGRAPHIC_3D_OFFSET grid to minimal GeoTIFF bytes
+    readable by :func:`parse_geotiff` (and by the reference's GTiff
+    reader): little-endian classic TIFF, one uncompressed strip,
+    float32 pixel-interleaved samples (latitude_offset arc-sec,
+    longitude_offset arc-sec east-positive, ellipsoidal_height_offset
+    m), ModelPixelScale/ModelTiepoint georeferencing and the
+    GDAL_METADATA channel description block.  Row 0 is NORTH (TIFF
+    order); inputs are south-first like Grid and flipped here."""
+    dphi = np.asarray(dlat_sec, dtype="<f4")
+    dlam = np.asarray(dlon_sec, dtype="<f4")
+    dz = np.asarray(dz_m, dtype="<f4")
+    if not (dphi.shape == dlam.shape == dz.shape) or dphi.ndim != 2:
+        raise ValueError("write_geotiff_3d: channels must be same-shape 2-D")
+    h, w = dphi.shape
+    lat_ul = lat0_deg + (h - 1) * dlat_deg
+    pix = np.stack([dphi[::-1], dlam[::-1], dz[::-1]], axis=-1)
+    data = pix.astype("<f4").tobytes()
+    meta = ("<GDALMetadata>\n"
+            f"  <Item name=\"interpolation_method\">{interp}</Item>\n"
+            "  <Item name=\"TYPE\">GEOGRAPHIC_3D_OFFSET</Item>\n"
+            "  <Item name=\"DESCRIPTION\" sample=\"0\" "
+            "role=\"description\">latitude_offset</Item>\n"
+            "  <Item name=\"positive_value\" sample=\"1\">east</Item>\n"
+            "  <Item name=\"DESCRIPTION\" sample=\"1\" "
+            "role=\"description\">longitude_offset</Item>\n"
+            "  <Item name=\"DESCRIPTION\" sample=\"2\" "
+            "role=\"description\">ellipsoidal_height_offset</Item>\n"
+            "</GDALMetadata>\n\0").encode("ascii")
+
+    entries = []          # (tag, type, count, value_or_payload)
+    payload = []          # deferred payloads: (index_in_entries, bytes)
+
+    def add(tag, typ, cnt, val=None, blob=None):
+        entries.append([tag, typ, cnt, val, blob])
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, 3, blob=struct.pack("<3H", 32, 32, 32))
+    add(259, 3, 1, 1)
+    add(262, 3, 1, 1)
+    add(273, 4, 1, None, b"STRIP")       # patched below
+    add(277, 3, 1, 3)
+    add(278, 3, 1, h)
+    add(279, 4, 1, len(data))
+    add(284, 3, 1, 1)
+    add(339, 3, 3, blob=struct.pack("<3H", 3, 3, 3))
+    add(33550, 12, 3, blob=struct.pack("<3d", dlon_deg, dlat_deg, 0.0))
+    add(33922, 12, 6, blob=struct.pack("<6d", 0.0, 0.0, 0.0,
+                                       lon0_deg, lat_ul, 0.0))
+    add(42112, 2, len(meta), blob=meta)
+
+    n = len(entries)
+    ifd_off = 8
+    ifd_size = 2 + n * 12 + 4
+    ext_off = ifd_off + ifd_size
+    ext = bytearray()
+    for e in entries:
+        tag, typ, cnt, val, blob = e
+        if blob == b"STRIP":
+            continue
+        if blob is not None and len(blob) > 4:
+            e[3] = ext_off + len(ext)
+            ext += blob
+            e[4] = None
+        elif blob is not None:
+            e[3] = int.from_bytes(blob.ljust(4, b"\0")[:4], "little")
+            e[4] = None
+    strip_off = ext_off + len(ext)
+    for e in entries:
+        if e[4] == b"STRIP":
+            e[3] = strip_off
+            e[4] = None
+    out = bytearray(b"II*\0")
+    out += struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, val, _ in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)          # no next IFD
+    out += ext
+    out += data
+    return bytes(out)

@@ -144,3 +144,25 @@ class TestGeotiffGridshift:
                                       np.array([61.5]))
         assert abs(x[0] + 157.9999996115) < MM
         assert abs(y[0] - 61.499999564) < MM
+
+
+def test_write_geotiff_3d_roundtrip():
+    dphi = np.arange(30.0).reshape(5, 6) * 0.01
+    dlam = np.arange(30.0).reshape(5, 6) * 0.02 - 0.2
+    dz = np.arange(30.0).reshape(5, 6) * 0.001
+    blob = GF.write_geotiff_3d(-10.0, 40.0, 0.5, 0.25, dphi, dlam, dz)
+    e = GF.parse_geotiff(blob)[0]
+    assert e["type"] == "GEOGRAPHIC_3D_OFFSET"
+    assert e["interp"] == "biquadratic"
+    g = e["grid"]
+    sec = np.pi / 180.0 / 3600.0
+    np.testing.assert_allclose(g.values[:, :, 0],
+                               np.float32(dlam).astype(float) * sec,
+                               rtol=1e-7)
+    np.testing.assert_allclose(g.values[:, :, 1],
+                               np.float32(dphi).astype(float) * sec,
+                               rtol=1e-7)
+    np.testing.assert_allclose(g.values[:, :, 2],
+                               np.float32(dz).astype(float), rtol=1e-7)
+    assert g.lon0 == pytest.approx(np.radians(-10.0))
+    assert g.lat0 == pytest.approx(np.radians(40.0))
