@@ -135,11 +135,33 @@ def _crs_step_dicts(top: dict) -> list[dict]:
     return [dict(top)]
 
 
-def crs_to_crs(src, dst) -> Transform:
+# curated geographic codes whose authority axis order is lat,lon
+# (EPSG "Geodetic CRS" north,east convention); projected codes in the
+# registry are all easting,northing
+_LATLON_ORDERED = {4326, 4258, 4269, 4267, 4230, 4277, 4314, 4312}
+
+
+def _epsg_code(defn) -> int | None:
+    if isinstance(defn, int):
+        return defn
+    if isinstance(defn, str) and defn.strip().upper().startswith("EPSG:"):
+        return int(defn.strip().split(":", 1)[1])
+    return None
+
+
+def crs_to_crs(src, dst, always_xy: bool = True) -> Transform:
     """proj_create_crs_to_crs equivalent: Transform whose forward maps
     src CRS coordinates -> dst CRS coordinates through the WGS84
     geographic hub.  Angular edges are degrees via transform_deg,
-    radians via transform (same convention as compile_projstring)."""
+    radians via transform (same convention as compile_projstring).
+
+    always_xy=True (default) is proj_normalize_for_visualization
+    semantics — GIS-friendly lon,lat on both angular edges.  With
+    always_xy=False the authority axis order applies: geographic EPSG
+    codes take/produce lat,lon (an axisswap step each side, matching
+    the reference where EPSG:4326 is north,east —
+    src/4D_api.cpp proj_normalize_for_visualization,
+    src/conversions/axisswap.cpp)."""
     s_str, d_str = _resolve(src), _resolve(dst)
     s_top = parse_projstring(s_str)[0]
     d_top = parse_projstring(d_str)[0]
@@ -149,6 +171,11 @@ def crs_to_crs(src, dst) -> Transform:
                              "not a pipeline")
     steps = [invert_step_dict(d) for d in reversed(_crs_step_dicts(s_top))]
     steps += _crs_step_dicts(d_top)
+    if not always_xy:
+        if _epsg_code(src) in _LATLON_ORDERED:
+            steps.insert(0, {"proj": "axisswap", "order": "2,1"})
+        if _epsg_code(dst) in _LATLON_ORDERED:
+            steps.append({"proj": "axisswap", "order": "2,1"})
     if not steps:
         steps = [{"proj": "noop"}]
     ops = [compile_operation(d) for d in steps]

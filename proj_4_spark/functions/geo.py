@@ -342,3 +342,25 @@ def transform4d_udf(projstr_or_transform, direction: str = "fwd"):
         return pd.DataFrame({"lon_out": x, "lat_out": y, "z_out": z})
 
     return _t4d
+
+
+def dms_expr(deg: Column, pos: str, neg: str) -> Column:
+    """Format decimal degrees as the reference's DMS ascii
+    (src/rtodms.cpp:38-100 with the default 3 fractional second
+    digits): ``49d30'30.5"N`` — seconds rounded to 0.001" with
+    trailing fraction zeros trimmed, the seconds term dropped when it
+    rounds to zero, the minutes term dropped when both are zero.
+    Pure Catalyst (format_string + regexp_replace), no Python."""
+    total = F.floor(F.abs(deg) * (3600.0 * 1000.0) + F.lit(0.5))
+    sec = (total % 60000).cast("double") / 1000.0
+    rem = F.floor(total / 60000)
+    minute = (rem % 60).cast("int")
+    d = F.floor(rem / 60).cast("int")
+    hemi = F.when(deg < 0, F.lit(neg)).otherwise(F.lit(pos))
+    with_sec = F.format_string("%dd%d'%.3f", d, minute, sec)
+    with_sec = F.regexp_replace(with_sec, r"(\.\d*?)0+$", "$1")
+    with_sec = F.regexp_replace(with_sec, r"\.$", "")
+    body = (F.when(sec != 0.0, F.concat(with_sec, F.lit("\"")))
+             .when(minute != 0, F.format_string("%dd%d'", d, minute))
+             .otherwise(F.format_string("%dd", d)))
+    return F.concat(body, hemi)

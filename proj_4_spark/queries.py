@@ -1724,3 +1724,35 @@ def q_gridshift_biquadratic(spark, sf_dir):
                       (F.round("_g.y", 6) + 0.0).alias("lat_s"),
                       (F.round("_g.z", 4) + 0.0).alias("dz_m"))
               .orderBy("doc_id"))
+
+
+def _dms_sql(col: str, pos: str, neg: str) -> str:
+    t = f"CAST(floor(abs({col})*3600000.0 + 0.5) AS BIGINT)"
+    sec = f"(CAST({t} % 60000 AS DOUBLE)/1000.0)"
+    mins = f"(({t} // 60000) % 60)"
+    degs = f"({t} // 3600000)"
+    hemi = f"(CASE WHEN {col} < 0 THEN '{neg}' ELSE '{pos}' END)"
+    with_sec = (f"regexp_replace(regexp_replace(printf('%dd%d''%.3f', "
+                f"{degs}, {mins}, {sec}), '(\\.\\d*?)0+$', '\\1'), "
+                f"'\\.$', '')")
+    return (f"(CASE WHEN {sec} <> 0.0 THEN {with_sec} || '\"' "
+            f"WHEN {mins} <> 0 THEN printf('%dd%d''', {degs}, {mins}) "
+            f"ELSE printf('%dd', {degs}) END || {hemi})")
+
+
+@register("dms_format", f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, {_dms_sql('lat', 'N', 'S')} AS lat_dms,
+       {_dms_sql('lon', 'E', 'W')} AS lon_dms
+FROM coords ORDER BY doc_id
+""")
+def q_dms_format(spark, sf_dir):
+    """rtodms output formatting (src/rtodms.cpp:38-100, the cs2cs/
+    proj ascii output path): decimal degrees -> 49d30'30.5\"N strings
+    with the reference's 0.001\" rounding and zero-trimming, as a pure
+    Catalyst expression."""
+    d = _coords(spark, sf_dir)
+    return (d.select("doc_id",
+                     G.dms_expr(F.col("lat"), "N", "S").alias("lat_dms"),
+                     G.dms_expr(F.col("lon"), "E", "W").alias("lon_dms"))
+             .orderBy("doc_id"))

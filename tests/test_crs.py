@@ -112,3 +112,30 @@ def test_crs_to_crs_geographic_pairs():
 def test_crs_to_crs_rejects_pipeline():
     with pytest.raises(ValueError):
         crs_to_crs("+proj=pipeline +step +proj=utm +zone=32", 4326)
+
+
+def test_always_xy_axis_order():
+    """always_xy=False follows the authority order: EPSG:4326 is
+    lat,lon (4D_api.cpp proj_normalize_for_visualization inverse
+    direction)."""
+    import numpy as np
+
+    from proj_4_spark.crs import crs_to_crs
+
+    xy = crs_to_crs(4326, 32632)
+    auth = crs_to_crs(4326, 32632, always_xy=False)
+    e1, n1 = xy.transform_deg(np.array([12.0]), np.array([56.0]))[:2]
+    # authority order: first coordinate is LATITUDE
+    e2, n2 = auth.transform_deg(np.array([56.0]), np.array([12.0]))[:2]
+    assert abs(e1[0] - 687071.439) < 1e-3
+    assert abs(e1[0] - e2[0]) < 1e-9 and abs(n1[0] - n2[0]) < 1e-9
+    # geographic destination swaps the OUTPUT too
+    back = crs_to_crs(32632, "EPSG:4326", always_xy=False)
+    la, lo = back.transform_deg(e1.copy(), n1.copy())[:2]
+    assert abs(la[0] - 56.0) < 1e-9 and abs(lo[0] - 12.0) < 1e-9
+    # projected codes are x,y in both modes
+    both = crs_to_crs(27700, 32630, always_xy=False)
+    bxy = crs_to_crs(27700, 32630)
+    a = both.transform_deg(np.array([400000.0]), np.array([180000.0]))
+    b = bxy.transform_deg(np.array([400000.0]), np.array([180000.0]))
+    assert abs(a[0][0] - b[0][0]) < 1e-9
