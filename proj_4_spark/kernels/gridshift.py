@@ -404,3 +404,11 @@ def _entry_is_bilinear(entries, lam, phi, interp):
             out[m] = (interp or ug.interp) == "bilinear"
             remaining &= ~m
     return out
+
+
+def null_grid(vertical: bool = False) -> Grid:
+    """The reference's literal 'null' grid (grids.cpp:1613-1621 /
+    :2659-2667): world-covering, zero shift everywhere."""
+    shape = (2, 2) if vertical else (2, 2, 2)
+    return Grid(lon0=-np.pi, lat0=-np.pi / 2.0, dlon=2.0 * np.pi,
+                dlat=np.pi, values=np.zeros(shape))

@@ -603,6 +603,10 @@ def compile_operation(params: dict) -> Operation:
         for nm in [n.strip() for n in str(name).split(",") if n.strip()]:
             optional = nm.startswith("@")
             key = nm[1:] if optional else nm
+            if key == "null":
+                entries.append(k_grid.UnifiedGrid(
+                    hgrid=k_grid.null_grid(), vgrid=None))
+                continue
             g = GRID_REGISTRY.get(key)
             if g is None:
                 if optional:
@@ -812,6 +816,12 @@ def compile_operation(params: dict) -> Operation:
         for nm in names:
             optional = nm.startswith("@")
             key = nm[1:] if optional else nm
+            if key == "null":
+                # the reference's literal world-covering zero grid
+                # (grids.cpp:1613-1621, :2659-2667)
+                found.append(k_grid.null_grid(
+                    vertical=proj_id == "vgridshift"))
+                continue
             g = GRID_REGISTRY.get(key)
             if g is None:
                 if optional:
