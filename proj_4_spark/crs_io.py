@@ -688,3 +688,199 @@ def _pj_proj(obj) -> str:
         parts.append(f"+lat_0={90.0 if ts >= 0 else -90.0:.12g}")
     parts.append(ell)
     return " ".join(parts)
+
+
+# ------------------------------------------------------------ proj -> WKT2
+
+_WKT_ELLPS_NAMES = {
+    "WGS84": "WGS 84", "GRS80": "GRS 1980", "intl": "International 1924",
+    "bessel": "Bessel 1841", "clrk66": "Clarke 1866",
+    "clrk80ign": "Clarke 1880 (IGN)", "airy": "Airy 1830",
+    "krass": "Krassowsky 1940",
+}
+
+_DEG_UNIT = 'ANGLEUNIT["degree",0.0174532925199433]'
+_M_UNIT = 'LENGTHUNIT["metre",1]'
+
+
+def _wkt_num(v: float) -> str:
+    return _fmt_num(float(v))
+
+
+def _wkt2_ellipsoid(params: dict) -> str:
+    from .kernels.ellipsoid import ELLIPSOIDS
+
+    name = str(params.get("ellps", "WGS84"))
+    if name in ELLIPSOIDS:
+        a, kind, v = ELLIPSOIDS[name]
+        rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
+        wname = _WKT_ELLPS_NAMES.get(name, name)
+    else:
+        a = float(params.get("a", 6378137.0))
+        rf = float(params.get("rf", 0.0))
+        wname = "unnamed"
+    return (f'ELLIPSOID["{wname}",{_wkt_num(a)},{_wkt_num(rf)},'
+            f'{_M_UNIT}]')
+
+
+def _wkt2_basegeog(params: dict, name: str = "unknown") -> str:
+    return (f'BASEGEOGCRS["{name}",DATUM["{name}",'
+            f'{_wkt2_ellipsoid(params)}],'
+            f'PRIMEM["Greenwich",0,{_DEG_UNIT}]]')
+
+
+def _p(name: str, value, unit: str) -> str:
+    return f'PARAMETER["{name}",{_wkt_num(value)},{unit}]'
+
+
+# proj id -> (EPSG method name, [(epsg param name, proj key, default,
+# angular?)]); mirrors the export direction of the reference's
+# parammappings (src/iso19111/operation/parammappings.cpp)
+_EXPORT_METHODS = {
+    "tmerc": ("Transverse Mercator", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("Scale factor at natural origin", ("k", "k_0"), 1.0, False),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "sterea": ("Oblique Stereographic", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("Scale factor at natural origin", ("k", "k_0"), 1.0, False),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "merc": ("Mercator (variant A)", [
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("Scale factor at natural origin", ("k", "k_0"), 1.0, False),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "lcc": ("Lambert Conic Conformal (2SP)", [
+        ("Latitude of false origin", "lat_0", 0.0, True),
+        ("Longitude of false origin", "lon_0", 0.0, True),
+        ("Latitude of 1st standard parallel", "lat_1", 0.0, True),
+        ("Latitude of 2nd standard parallel", "lat_2", 0.0, True),
+        ("Easting at false origin", "x_0", 0.0, False),
+        ("Northing at false origin", "y_0", 0.0, False)]),
+    "laea": ("Lambert Azimuthal Equal Area", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "aea": ("Albers Equal Area", [
+        ("Latitude of false origin", "lat_0", 0.0, True),
+        ("Longitude of false origin", "lon_0", 0.0, True),
+        ("Latitude of 1st standard parallel", "lat_1", 0.0, True),
+        ("Latitude of 2nd standard parallel", "lat_2", 0.0, True),
+        ("Easting at false origin", "x_0", 0.0, False),
+        ("Northing at false origin", "y_0", 0.0, False)]),
+    "stere": ("Polar Stereographic (variant B)", [
+        ("Latitude of standard parallel", "lat_ts", 0.0, True),
+        ("Longitude of origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "cass": ("Cassini-Soldner", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "krovak": ("Krovak", [
+        ("Latitude of projection centre", "lat_0", 49.5, True),
+        ("Longitude of origin", "lon_0", 24.833333333333332, True),
+        ("Latitude of pseudo standard parallel", "lat_1", 78.5, True),
+        ("Scale factor on pseudo standard parallel", ("k", "k_0"),
+         0.9999, False),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+}
+
+
+def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
+    """Export a proj-string CRS definition as WKT2 (the proj_as_wkt /
+    PJ_WKT2_2019 direction, src/c_api.cpp proj_as_wkt ->
+    io.cpp exportToWKT) for the method subset the reader accepts.
+    +towgs84 wraps the result in BOUNDCRS with the Position Vector
+    abridged transformation, mirroring the reference's WKT2 BoundCRS
+    export.  Roundtrip contract: wkt_to_projstring(projstring_to_wkt2
+    (s)) compiles to the same transform as s."""
+    from .proj import parse_projstring
+
+    top = dict(parse_projstring(projstr)[0])
+    tow = top.pop("towgs84", None)
+    pid = top.get("proj")
+    if pid in _ANGULAR_EXPORT:
+        body = (f'GEOGCRS["{name}",DATUM["{name}",'
+                f'{_wkt2_ellipsoid(top)}],'
+                f'PRIMEM["Greenwich",0,{_DEG_UNIT}],'
+                f'CS[ellipsoidal,2],'
+                f'AXIS["longitude",east,ORDER[1],{_DEG_UNIT}],'
+                f'AXIS["latitude",north,ORDER[2],{_DEG_UNIT}]]')
+    elif pid == "utm":
+        zone = int(float(top.get("zone", 0)))
+        south = "south" in top
+        conv = f"UTM zone {zone}{'S' if south else 'N'}"
+        lat0, lon0 = 0.0, zone * 6 - 183
+        x0, y0 = 500000.0, 10000000.0 if south else 0.0
+        body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
+                f'CONVERSION["{conv}",'
+                f'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+                + _p("Latitude of natural origin", lat0, _DEG_UNIT)
+                + _p("Longitude of natural origin", lon0, _DEG_UNIT)
+                + _p("Scale factor at natural origin", 0.9996,
+                     'SCALEUNIT["unity",1]')
+                + _p("False easting", x0, _M_UNIT)
+                + _p("False northing", y0, _M_UNIT)
+                + f'],{_WKT2_CART_CS}]')
+    elif pid in _EXPORT_METHODS:
+        method, plist = _EXPORT_METHODS[pid]
+        if pid == "stere":
+            lat0 = float(top.get("lat_0", 0.0))
+            if abs(lat0) != 90.0:
+                raise ValueError(
+                    "projstring_to_wkt2: only polar stere exportable")
+        parts = []
+        for ename, keys, dflt, angular in plist:
+            keys = (keys,) if isinstance(keys, str) else keys
+            v = dflt
+            for k in keys:
+                if k in top:
+                    v = float(top[k])
+                    break
+            unit = _DEG_UNIT if angular else (
+                'SCALEUNIT["unity",1]' if "Scale" in ename else _M_UNIT)
+            parts.append(_p(ename, v, unit))
+        body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
+                f'CONVERSION["unnamed",METHOD["{method}"],'
+                + "".join(parts) + f'],{_WKT2_CART_CS}]')
+    else:
+        raise ValueError(
+            f"projstring_to_wkt2: +proj={pid} not in the export subset")
+    if tow is None:
+        return body
+    vals = [float(v) for v in str(tow).split(",")]
+    vals += [0.0] * (7 - len(vals))
+    tr = (f'ABRIDGEDTRANSFORMATION["Transformation to WGS84",'
+          f'METHOD["Position Vector transformation (geog2D domain)",'
+          f'ID["EPSG",9606]],'
+          + _p("X-axis translation", vals[0], "")
+          + _p("Y-axis translation", vals[1], "")
+          + _p("Z-axis translation", vals[2], "")
+          + _p("X-axis rotation", vals[3], "")
+          + _p("Y-axis rotation", vals[4], "")
+          + _p("Z-axis rotation", vals[5], "")
+          + _p("Scale difference", 1.0 + vals[6] * 1e-6, "") + "]")
+    tr = tr.replace(",]", "]")
+    wgs = ('GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+           'ELLIPSOID["WGS 84",6378137,298.257223563,'
+           + _M_UNIT + ']],PRIMEM["Greenwich",0,' + _DEG_UNIT + "]]")
+    return (f"BOUNDCRS[SOURCECRS[{body}],TARGETCRS[{wgs}],{tr}]")
+
+
+_ANGULAR_EXPORT = ("longlat", "latlong", "lonlat", "latlon")
+_WKT2_CART_CS = ('CS[Cartesian,2],'
+                 'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+                 'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]')

@@ -332,3 +332,47 @@ class TestErrors:
             'UNIT["metre",1]]', 'UNIT["foot",0.3048]]'))
         assert s.endswith("+units=ft +towgs84=446.448,-125.157,542.06,"
                           "0.15,0.247,0.842,-20.489") or "+units=ft" in s
+
+
+class TestWkt2Writer:
+    CODES = [4326, 4277, 3857, 2154, 28992, 27700, 32632, 32733,
+             3413, 3035, 5070, 2193, 31466]
+
+    def test_roundtrip_compiles_identically(self):
+        from proj_4_spark.crs_io import projstring_to_wkt2
+
+        lon = np.array([5.0, 9.5, -1.0, 173.5])
+        lat = np.array([50.0, 47.0, 52.0, -41.0])
+        for c in self.CODES:
+            s = epsg_projstring(c)
+            s2 = wkt_to_projstring(projstring_to_wkt2(s, f"EPSG {c}"))
+            ta, tb = compile_crs(s), compile_crs(s2)
+            xa, ya = ta.transform_deg(lon.copy(), lat.copy())[:2]
+            xb, yb = tb.transform_deg(lon.copy(), lat.copy())[:2]
+            np.testing.assert_allclose(xa, xb, atol=1e-6, err_msg=str(c))
+            np.testing.assert_allclose(ya, yb, atol=1e-6, err_msg=str(c))
+
+    def test_towgs84_survives_boundcrs_roundtrip(self):
+        from proj_4_spark.crs_io import projstring_to_wkt2
+
+        s = epsg_projstring(27700)
+        w = projstring_to_wkt2(s, "OSGB")
+        assert w.startswith("BOUNDCRS[")
+        s2 = wkt_to_projstring(w)
+        assert "+towgs84=446.448,-125.157,542.06," \
+               "0.15,0.247,0.842,-20.489" in s2
+        # datum bridge equivalence through the cs2cs planner
+        t1 = crs_to_crs(s, 4326)
+        t2 = crs_to_crs(s2, 4326)
+        e = np.array([400000.0, 531000.0])
+        n = np.array([-100000.0, 180000.0])
+        a = t1.transform_deg(e.copy(), n.copy())
+        b = t2.transform_deg(e.copy(), n.copy())
+        np.testing.assert_allclose(a[0], b[0], atol=1e-9)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-9)
+
+    def test_unsupported_method_raises(self):
+        from proj_4_spark.crs_io import projstring_to_wkt2
+
+        with pytest.raises(ValueError, match="export subset"):
+            projstring_to_wkt2("+proj=airocean +ellps=GRS80")
