@@ -329,13 +329,31 @@ def compile_operation(params: dict) -> Operation:
         op.fwd_k = _angular_identity
         op.inv_k = _angular_identity
     elif proj_id == "axisswap":
-        order = [o.strip() for o in str(params.get("order", "1,2,3,4")).split(",")]
         idx = []
         sign = []
-        for o in order:
-            neg = o.startswith("-")
-            idx.append(int(o.lstrip("-")) - 1)
-            sign.append(-1.0 if neg else 1.0)
+        if "axis" in params and "order" in params:
+            raise ValueError(
+                "axisswap: 'order' and 'axis' are mutually exclusive")
+        if "axis" in params:
+            # classic PROJ.4 enu specification (axisswap.cpp:218-258):
+            # out[i] = in[channel(axis[i])] * direction(axis[i])
+            spec = str(params["axis"])
+            if len(spec) != 3 or any(c not in "ewnsud" for c in spec):
+                raise ValueError(f"axisswap: invalid +axis={spec}")
+            chan = {"e": 0, "w": 0, "n": 1, "s": 1, "u": 2, "d": 2}
+            neg_c = {"w", "s", "d"}
+            for c in spec:
+                idx.append(chan[c])
+                sign.append(-1.0 if c in neg_c else 1.0)
+            if sorted(idx) != [0, 1, 2]:
+                raise ValueError(f"axisswap: axis '{spec}' repeats an axis")
+        else:
+            order = [o.strip()
+                     for o in str(params.get("order", "1,2,3,4")).split(",")]
+            for o in order:
+                neg = o.startswith("-")
+                idx.append(int(o.lstrip("-")) - 1)
+                sign.append(-1.0 if neg else 1.0)
         # pad to 4 channels with identity
         for i in range(len(idx), 4):
             idx.append(i)
@@ -1906,6 +1924,8 @@ def _is_identity_step(op: Operation) -> bool:
             and not C.fourparam
         )
     if op.proj_id == "axisswap":
+        if "axis" in op.params and "order" not in op.params:
+            return str(op.params["axis"]) == "enu"
         o = str(op.params.get("order", "")).replace(" ", "")
         return o in ("1,2", "1,2,3", "1,2,3,4", "")
     return False
@@ -2024,6 +2044,30 @@ def towgs84_step_dicts(step: dict) -> list[dict]:
     return steps
 
 
+def _expand_step(st: dict) -> list[dict]:
+    """Step-dict rewrites applied before compilation: a +axis=
+    orientation on any operation becomes an axisswap on the projected
+    side (the reference attaches an internal axisswap PJ applied after
+    forward / before inverse, src/create.cpp:76-86 + fwd.cpp:172-173);
+    then the +towgs84 cs2cs expansion as before."""
+    if "axis" in st and str(st["axis"]) != "enu" \
+            and st.get("proj") not in ("axisswap",):
+        spec = str(st["axis"])
+        core = {k: v for k, v in st.items() if k != "axis"}
+        sw = {"proj": "axisswap", "axis": spec}
+        if "inv" in st:
+            steps = [invert_step_dict(sw), core]
+        else:
+            steps = [core, sw]
+        out = []
+        for d in steps:
+            out.extend(_expand_step(d))
+        return out
+    if "towgs84" in st and st.get("proj") != "helmert":
+        return towgs84_step_dicts(st)
+    return [st]
+
+
 def nadgrids_step_dicts(step: dict) -> list[dict]:
     """cs2cs-emulation expansion of one +nadgrids-carrying CRS step
     (the classic datum-file syntax, e.g. ``+proj=latlong +ellps=clrk66
@@ -2055,11 +2099,7 @@ def compile_projstring(s: str) -> Transform:
     if top.get("proj") == "pipeline":
         ops = []
         for st in top["_steps"]:
-            if "towgs84" in st and st.get("proj") != "helmert":
-                ops.extend(compile_operation(d)
-                           for d in towgs84_step_dicts(st))
-            else:
-                ops.append(compile_operation(st))
+            ops.extend(compile_operation(d) for d in _expand_step(st))
         ops = [op for op in ops if not _is_identity_step(op)]
         # cancel adjacent fwd/inv pairs with identical definitions
         # (io.cpp:8800-8840)
@@ -2079,11 +2119,11 @@ def compile_projstring(s: str) -> Transform:
                     changed = True
                     break
         return Transform(ops=ops, definition=s)
-    if "towgs84" in top and top.get("proj") != "helmert":
-        # cs2cs-emulation expansion (src/proj_internal.h:591-596 +
-        # fwd_prepare/fwd_finalize): forward maps WGS84 angular ->
-        # this CRS (angular on the local datum, or projected).
-        ops = [compile_operation(d) for d in towgs84_step_dicts(top)]
+    steps = _expand_step(top)
+    if len(steps) > 1:
+        # cs2cs-emulation +towgs84 expansion (src/proj_internal.h:
+        # 591-596 + fwd_prepare/fwd_finalize) and/or +axis orientation
+        ops = [compile_operation(d) for d in steps]
         return Transform(ops=ops, definition=s)
-    op = compile_operation(top)
+    op = compile_operation(steps[0])
     return Transform(ops=[op], definition=s)

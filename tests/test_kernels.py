@@ -210,3 +210,71 @@ def test_pipeline_rewrites():
         "+step +proj=merc +ellps=GRS80"
     )
     assert [op.proj_id for op in tr.ops] == ["merc"]
+
+
+class TestAxisParam:
+    """+axis= classic orientation — goldens from
+    test/gie/axisswap.gie:55-72 and the implicit per-CRS axisswap
+    (create.cpp:76-86, fwd.cpp:172-173)."""
+
+    def test_axisswap_axis_goldens(self):
+        import numpy as np
+
+        from proj_4_spark.proj import compile_projstring
+
+        cases = [("neu", (1.0, 2.0, 3.0), (2.0, 1.0, 3.0)),
+                 ("nue", (1.0, 2.0, 3.0), (2.0, 3.0, 1.0)),
+                 ("swd", (1.0, 2.0, 3.0), (-2.0, -1.0, -3.0))]
+        for spec, inp, exp in cases:
+            tr = compile_projstring(f"+proj=axisswap +axis={spec}")
+            x, y, z, _ = tr.transform(np.array([inp[0]]),
+                                      np.array([inp[1]]),
+                                      np.array([inp[2]]))
+            assert (x[0], y[0], z[0]) == exp, spec
+            xi, yi, zi, _ = tr.transform(x, y, z, direction="inv")
+            assert (xi[0], yi[0], zi[0]) == inp, spec
+
+    def test_axis_and_order_mutually_exclusive(self):
+        import pytest as _pytest
+
+        from proj_4_spark.proj import compile_projstring
+
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            compile_projstring("+proj=axisswap +order=1,2 +axis=enu")
+        with _pytest.raises(ValueError, match="invalid|repeats"):
+            compile_projstring("+proj=axisswap +axis=een")
+
+    def test_crs_level_axis_wsu(self):
+        import numpy as np
+
+        from proj_4_spark.proj import compile_projstring
+
+        base = ("+proj=tmerc +lat_0=0 +lon_0=29 +k=1 "
+                "+x_0=0 +y_0=0 +ellps=WGS84")
+        plain = compile_projstring(base)
+        wsu = compile_projstring(base + " +axis=wsu")
+        lon, lat = np.array([28.28]), np.array([-25.73])
+        xp, yp = plain.transform_deg(lon.copy(), lat.copy())[:2]
+        xw, yw = wsu.transform_deg(lon.copy(), lat.copy())[:2]
+        assert abs(xw[0] + xp[0]) < 1e-9
+        assert abs(yw[0] + yp[0]) < 1e-9
+        # inverse restores the geographic input
+        li, pi = wsu.transform_deg(xw.copy(), yw.copy(),
+                                   direction="inv")[:2]
+        assert abs(li[0] - lon[0]) < 1e-9
+        assert abs(pi[0] - lat[0]) < 1e-9
+
+    def test_crs_level_axis_neu_latlong(self):
+        import numpy as np
+
+        from proj_4_spark.proj import compile_projstring
+
+        tr = compile_projstring("+proj=latlong +ellps=WGS84 +axis=neu")
+        x, y = tr.transform_deg(np.array([12.0]), np.array([55.0]))[:2]
+        assert (x[0], y[0]) == (55.0, 12.0)
+
+    def test_axis_enu_is_identity(self):
+        from proj_4_spark.proj import compile_projstring
+
+        tr = compile_projstring("+proj=utm +zone=32 +axis=enu")
+        assert len(tr.ops) == 1
