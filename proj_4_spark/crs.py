@@ -23,6 +23,7 @@ from .proj import (Transform, _ANGULAR_IDS, compile_operation,
 _UTM_NORTH = range(32601, 32661)
 _UTM_SOUTH = range(32701, 32761)
 _UTM_ETRS = range(25828, 25838)   # ETRS89 / UTM 28N..37N
+_SA_LO = range(2046, 2056)        # Hartebeesthoek94 / Lo15..Lo33
 
 EPSG = {
     # geographic
@@ -92,6 +93,12 @@ def epsg_projstring(code: int) -> str:
         return f"+proj=utm +zone={code - 32700} +south +ellps=WGS84"
     if code in _UTM_ETRS:
         return f"+proj=utm +zone={code - 25800} +ellps=GRS80"
+    if code in _SA_LO:
+        # Hartebeesthoek94 / Lo15..Lo33 — south-west oriented Gauss
+        # conformal (the classic +axis=wsu family)
+        lon0 = 15 + 2 * (code - 2046)
+        return (f"+proj=tmerc +lat_0=0 +lon_0={lon0} +k=1 +x_0=0 "
+                "+y_0=0 +axis=wsu +ellps=WGS84")
     raise KeyError(
         f"EPSG:{code} not in the curated registry (full EPSG database "
         "resolution is out of scope; pass a proj-string instead)")
@@ -123,6 +130,13 @@ def compile_crs(defn) -> Transform:
 def _crs_step_dicts(top: dict) -> list[dict]:
     """Step dicts whose combined forward maps WGS84 angular -> the
     CRS; empty for a WGS84-compatible geographic CRS."""
+    if "axis" in top and str(top["axis"]) != "enu":
+        top = dict(top)
+        spec = str(top.pop("axis"))
+        steps = _crs_step_dicts(top)
+        # the CRS's +axis orientation applies on its projected side
+        # (fwd.cpp:172-173), i.e. LAST in the WGS84->CRS direction
+        return steps + [{"proj": "axisswap", "axis": spec}]
     if "nadgrids" in top and top.get("proj") != "hgridshift":
         # datum-file shift takes precedence over +towgs84, matching
         # the reference's classic +nadgrids handling

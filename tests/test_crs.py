@@ -139,3 +139,21 @@ def test_always_xy_axis_order():
     a = both.transform_deg(np.array([400000.0]), np.array([180000.0]))
     b = bxy.transform_deg(np.array([400000.0]), np.array([180000.0]))
     assert abs(a[0][0] - b[0][0]) < 1e-9
+
+
+def test_sa_lo_grid_wsu():
+    """EPSG:2053 (Hartebeesthoek94 / Lo29): south-west oriented Gauss
+    conformal via the +axis=wsu expansion."""
+    import numpy as np
+
+    from proj_4_spark.crs import crs_to_crs, epsg_projstring
+
+    assert "+axis=wsu" in epsg_projstring(2053)
+    tr = crs_to_crs(4326, 2053)
+    lon, lat = np.array([28.1881]), np.array([-25.7461])
+    x, y = tr.transform_deg(lon.copy(), lat.copy())[:2]
+    # west of Lo29 (lon 28.19 < 29) => positive westing; southern
+    # hemisphere => positive southing
+    assert x[0] > 0 and y[0] > 0
+    li, pi = tr.transform_deg(x.copy(), y.copy(), direction="inv")[:2]
+    assert abs(li[0] - lon[0]) < 1e-9 and abs(pi[0] - lat[0]) < 1e-9
