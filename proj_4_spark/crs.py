@@ -137,6 +137,15 @@ def _crs_step_dicts(top: dict) -> list[dict]:
         # the CRS's +axis orientation applies on its projected side
         # (fwd.cpp:172-173), i.e. LAST in the WGS84->CRS direction
         return steps + [{"proj": "axisswap", "axis": spec}]
+    if "geoidgrids" in top and top.get("proj") != "vgridshift":
+        # classic vertical datum emulation: CRS heights are
+        # orthometric, the hub is ellipsoidal; WGS84->CRS subtracts
+        # the geoid undulation (vgridshift forward) at hub lon/lat
+        # before any horizontal datum bridge or projection
+        top = dict(top)
+        spec = str(top.pop("geoidgrids"))
+        return ([{"proj": "vgridshift", "grids": spec}]
+                + _crs_step_dicts(top))
     if "nadgrids" in top and top.get("proj") != "hgridshift":
         # datum-file shift takes precedence over +towgs84, matching
         # the reference's classic +nadgrids handling

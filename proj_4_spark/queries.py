@@ -1756,3 +1756,36 @@ def q_dms_format(spark, sf_dir):
                      G.dms_expr(F.col("lat"), "N", "S").alias("lat_dms"),
                      G.dms_expr(F.col("lon"), "E", "W").alias("lon_dms"))
              .orderBy("doc_id"))
+
+
+@register("knn_cell_pruned_top5", f"""
+WITH coords AS ({_COORDS_CTE}),
+q(query_id, q_lon, q_lat) AS (VALUES {_KNN_VALUES}),
+pairs AS (
+  SELECT q.query_id, c.doc_id,
+         (c.lon - q.q_lon)*(c.lon - q.q_lon)
+         + (c.lat - q.q_lat)*(c.lat - q.q_lat) AS dist2
+  FROM coords c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, doc_id, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, doc_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, doc_id, dist2 FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+""")
+def q_knn_cell_pruned_top5(spark, sf_dir):
+    """The SCALE kNN path through the correctness gate: cell-bucketed
+    candidates with the widening ring and the in-ring exactness bound
+    (operators/knn.py:54).  Oracle is the brute-force SQL — the ring
+    algorithm is provably exact, so the driver hash must match the
+    exhaustive answer."""
+    pts = _coords(spark, sf_dir)
+    qdf = spark.createDataFrame(_KNN_QUERIES,
+                                "query_id long, q_lon double, q_lat double")
+    out = KNN.knn_cell_pruned(pts, qdf, k=5)
+    return (out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                       "doc_id", "dist2")
+               .orderBy("query_id", "rank"))

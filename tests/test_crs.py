@@ -157,3 +157,34 @@ def test_sa_lo_grid_wsu():
     assert x[0] > 0 and y[0] > 0
     li, pi = tr.transform_deg(x.copy(), y.copy(), direction="inv")[:2]
     assert abs(li[0] - lon[0]) < 1e-9 and abs(pi[0] - lat[0]) < 1e-9
+
+
+def test_geoidgrids_vertical_datum():
+    """+geoidgrids= emulation: orthometric CRS heights <-> ellipsoidal
+    hub heights via vgridshift at hub lon/lat."""
+    import numpy as np
+
+    from proj_4_spark.crs import crs_to_crs
+    from proj_4_spark.kernels.gridshift import _bilinear
+    from proj_4_spark.sources import gridfiles as GF
+
+    GF.register_grid_file("test_geoid.gtx", GF.synthetic_geoid_gtx_bytes())
+    tr = crs_to_crs("+proj=longlat +ellps=WGS84 "
+                    "+geoidgrids=test_geoid.gtx", 4326)
+    lon, lat = np.array([10.0]), np.array([45.0])
+    z = np.array([100.0])
+    # src orthometric -> dst ellipsoidal adds the undulation
+    _, _, zo, _ = tr.transform_deg(lon.copy(), lat.copy(), z.copy())
+    from proj_4_spark.proj import GRID_REGISTRY
+    u = _bilinear(GRID_REGISTRY["test_geoid.gtx"],
+                  np.radians(lon), np.radians(lat))
+    assert abs(zo[0] - (100.0 + u[0])) < 1e-9
+    assert abs(u[0]) > 1.0
+    # roundtrip
+    _, _, zi, _ = tr.transform_deg(lon.copy(), lat.copy(), zo.copy(),
+                                   direction="inv")
+    assert abs(zi[0] - 100.0) < 1e-9
+    # null geoid = identity
+    tr2 = crs_to_crs("+proj=longlat +ellps=WGS84 +geoidgrids=null", 4326)
+    _, _, z2, _ = tr2.transform_deg(lon.copy(), lat.copy(), z.copy())
+    assert z2[0] == 100.0
