@@ -26,6 +26,7 @@ ELLIPSOIDS: dict[str, tuple[float, str, float]] = {
     "clrk80": (6378249.145, "rf", 293.4663),
     "clrk80ign": (6378249.2, "rf", 293.4660212936269),
     "airy": (6377563.396, "rf", 299.3249646),
+    "mod_airy": (6377340.189, "b", 6356034.446),
     "krass": (6378245.0, "rf", 298.3),
     "evrst30": (6377276.345, "rf", 300.8017),
     "GRS67": (6378160.0, "rf", 298.2471674270),

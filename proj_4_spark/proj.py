@@ -19,6 +19,7 @@ Execution semantics (prepare / kernel / finalize) mirror
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -94,12 +95,85 @@ ANGULAR_UNITS: dict[str, float] = {  # to radians
 }
 
 
+# classic datum registry (src/datums.cpp pj_datums[]): +datum=NAME
+# expands to an ellipsoid + datum-shift definition
+DATUMS: dict[str, dict] = {
+    "WGS84": {"ellps": "WGS84", "towgs84": "0,0,0"},
+    "GGRS87": {"ellps": "GRS80", "towgs84": "-199.87,74.79,246.62"},
+    "NAD83": {"ellps": "GRS80", "towgs84": "0,0,0"},
+    "NAD27": {"ellps": "clrk66",
+              "nadgrids": "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"},
+    "potsdam": {"ellps": "bessel",
+                "towgs84": "598.1,73.7,418.2,0.202,0.045,-2.455,6.7"},
+    "carthage": {"ellps": "clrk80ign", "towgs84": "-263.0,6.0,431.0"},
+    "hermannskogel": {
+        "ellps": "bessel",
+        "towgs84": "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"},
+    "militargeographische_institut": {
+        "ellps": "bessel",
+        "towgs84": "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"},
+    "ire65": {"ellps": "mod_airy",
+              "towgs84": "482.530,-130.596,564.557,-1.042,-0.214,"
+                         "-0.631,8.15"},
+    "nzgd49": {"ellps": "intl",
+               "towgs84": "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993"},
+    "OSGB36": {"ellps": "airy",
+               "towgs84": "446.448,-125.157,542.060,0.1502,0.2470,"
+                          "0.8421,-20.4894"},
+}
+
+# registered classic init files (the reference resolves +init=FILE:KEY
+# against its data dir, src/init.cpp:112-230; here content is
+# registered by name — see sources/initfiles.py for the parser)
+INIT_REGISTRY: dict[str, dict] = {}
+
+
+_DMS_VALUE = re.compile(
+    r"^([+-]?)(\d+(?:\.\d+)?)[dD°]"
+    r"(?:(\d+(?:\.\d+)?)(?:'(\d+(?:\.\d+)?)\"?)?)?"
+    r"([NSEWnsew])?$")
+
+
+def _maybe_dms(v: str) -> str:
+    """Convert a DMS-form parameter value ('34d58', +lon_0=7d26'22.5\"E)
+    to decimal degrees (src/dmstor.cpp); non-DMS values pass through."""
+    m = _DMS_VALUE.match(v)
+    if m is None:
+        return v
+    sign, deg, mins, secs, hemi = m.groups()
+    val = float(deg) + (float(mins) if mins else 0.0) / 60.0 \
+        + (float(secs) if secs else 0.0) / 3600.0
+    if sign == "-":
+        val = -val
+    if hemi and hemi.upper() in "SW":
+        val = -val
+    return repr(val)
+
+
+def _resolve_init(spec: str) -> dict:
+    """'FILE:KEY' -> param dict from INIT_REGISTRY (init.cpp:112-230)."""
+    if ":" not in spec:
+        raise ValueError(f"init: malformed '{spec}' (want FILE:KEY)")
+    fname, key = spec.split(":", 1)
+    entries = INIT_REGISTRY.get(fname)
+    if entries is None:
+        raise FileNotFoundError(
+            f"init file '{fname}' not registered (use "
+            "sources.initfiles.register_init_file)")
+    if key not in entries:
+        raise KeyError(f"init: no entry <{key}> in '{fname}'")
+    return entries[key]
+
+
 def parse_projstring(s: str) -> list[dict]:
     """proj-string -> list of param dicts (one per pipeline step).
 
     Mirrors the paralist construction of /root/reference/src/init.cpp:482-496
-    (+key=value tokens; bare +key is a boolean flag) and the step splitting
-    of src/pipeline.cpp:361+.
+    (+key=value tokens; bare +key is a boolean flag; +init=FILE:KEY
+    splices the registered entry's params at its position, so explicit
+    params written BEFORE +init win, like the reference's
+    first-occurrence pj_param scan) and the step splitting of
+    src/pipeline.cpp:361+.  +datum=NAME expands per pj_datums[].
     """
     tokens = s.replace("\t", " ").split()
     global_params: dict = {}
@@ -113,11 +187,20 @@ def parse_projstring(s: str) -> list[dict]:
             continue
         if "=" in t:
             k, v = t.split("=", 1)
+            if k == "init":
+                for ik, iv in _resolve_init(v).items():
+                    cur.setdefault(ik, iv)
+                continue
             # pj_param scans the paralist from the head: on duplicate
             # keys the FIRST occurrence wins (src/init.cpp:482-496)
-            cur.setdefault(k, v)
+            cur.setdefault(k, _maybe_dms(v) if isinstance(v, str) else v)
         else:
             cur.setdefault(t, True)
+    for d in [global_params] + steps:
+        datum = d.get("datum")
+        if isinstance(datum, str) and datum in DATUMS:
+            for k, v in DATUMS[datum].items():
+                d.setdefault(k, v)
     if global_params.get("proj") == "pipeline":
         # globals (except proj=pipeline) are inherited by each step
         inherited = {k: v for k, v in global_params.items() if k not in ("proj",)}
@@ -856,8 +939,14 @@ def compile_operation(params: dict) -> Operation:
                         " component")
             found.append(g)
         if not found:
-            raise FileNotFoundError(
-                f"{proj_id}: no grid of '{name}' in GRID_REGISTRY")
+            if all(n.strip().startswith("@") for n in names):
+                # every grid optional and none present: zero shift
+                # (the reference skips '@' grids it cannot open)
+                found = [k_grid.null_grid(
+                    vertical=proj_id == "vgridshift")]
+            else:
+                raise FileNotFoundError(
+                    f"{proj_id}: no grid of '{name}' in GRID_REGISTRY")
         if len(found) == 1:
             grid = found[0]
         else:
@@ -2063,6 +2152,9 @@ def _expand_step(st: dict) -> list[dict]:
         for d in steps:
             out.extend(_expand_step(d))
         return out
+    if "nadgrids" in st and st.get("proj") not in ("hgridshift",
+                                                   "gridshift"):
+        return nadgrids_step_dicts(st)
     if "towgs84" in st and st.get("proj") != "helmert":
         return towgs84_step_dicts(st)
     return [st]
