@@ -2049,3 +2049,43 @@ SELECT doc_id, (round(degrees(lam_s), {round_to}) + 0.0) AS lon_s,
        (round(z_s, 4) + 0.0) AS dz_m
 FROM s ORDER BY doc_id
 """
+
+
+def helmert_kinematic_sql(params: dict, n_epochs: int = 21,
+                          epoch0: float = 2005.0) -> str:
+    """Oracle for ``itrf_kinematic``: cart (closed form) then the
+    14-param Helmert evaluated at per-document epochs t = epoch0 +
+    (doc_id % n_epochs).  The rotation matrix, translation, and scale
+    at each distinct epoch are computed driver-side by the SAME
+    kernel (kernels/helmert.py _params_at/_rot_matrix) and embedded as
+    a VALUES table joined on the epoch bucket."""
+    from ..kernels import helmert as k_helmert
+
+    C = k_helmert.setup(params)
+    rows = []
+    for b in range(n_epochs):
+        t = epoch0 + b
+        T, opk, scale_ppm, _ = k_helmert._params_at(C, t)
+        R = k_helmert._rot_matrix(C, opk)
+        s = 1.0 + scale_ppm * 1e-6
+        vals = [s * R[i][j] for i in range(3) for j in range(3)]
+        vals += [T[0], T[1], T[2]]
+        rows.append(f"({b}, " + ", ".join(L(v) for v in vals) + ")")
+    vals_sql = ",\n    ".join(rows)
+    cx, cy, cz = cart_xyz("+proj=cart +ellps=GRS80")
+    return f"""
+WITH coords AS ({coords_cte()}),
+hp(b, m00, m01, m02, m10, m11, m12, m20, m21, m22, t0, t1, t2) AS (VALUES
+    {vals_sql}),
+geocent AS (
+  SELECT doc_id, doc_id % {n_epochs} AS b,
+         {cx} AS gx, {cy} AS gy, {cz} AS gz
+  FROM coords
+)
+SELECT g.doc_id,
+  (round(hp.m00*g.gx + hp.m01*g.gy + hp.m02*g.gz + hp.t0, 2) + 0.0) AS hx,
+  (round(hp.m10*g.gx + hp.m11*g.gy + hp.m12*g.gz + hp.t1, 2) + 0.0) AS hy,
+  (round(hp.m20*g.gx + hp.m21*g.gy + hp.m22*g.gz + hp.t2, 2) + 0.0) AS hz
+FROM geocent g JOIN hp ON hp.b = g.b
+ORDER BY g.doc_id
+"""

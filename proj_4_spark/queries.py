@@ -1789,3 +1789,33 @@ def q_knn_cell_pruned_top5(spark, sf_dir):
     return (out.select("query_id", F.col("rank").cast("long").alias("rank"),
                        "doc_id", "dist2")
                .orderBy("query_id", "rank"))
+
+
+@register("itrf_kinematic", O.helmert_kinematic_sql(
+    {"x": "0.0007", "y": "0.0012", "z": "-0.0261", "s": "0.00212",
+     "dx": "0.0001", "dy": "0.0001", "dz": "-0.0019", "ds": "0.00011",
+     "t_epoch": "2010.0", "convention": "position_vector"}))
+def q_itrf_kinematic(spark, sf_dir):
+    """Epoch-dependent frame transformation through the classic init
+    mechanism (+init=ITRF2014:ITRF2000, src/init.cpp + the published
+    IGN table): cart -> 14-param kinematic Helmert evaluated at a
+    per-document epoch.  Oracle: the same kernel's rotation/translation
+    at each distinct epoch as a VALUES join."""
+    from .proj import compile_projstring
+    from .sources.initfiles import ITRF2014_SUBSET, register_init_file
+
+    register_init_file("ITRF2014", ITRF2014_SUBSET)
+    tr = compile_projstring(
+        "+proj=pipeline +ellps=GRS80 +step +proj=cart "
+        "+step +init=ITRF2014:ITRF2000")
+    u = G.transform4d_udf(tr)
+    d = _coords(spark, sf_dir)
+    pts = d.withColumn("t", (F.lit(2005.0)
+                             + (F.col("doc_id") % 21).cast("double")))
+    st = u(F.col("lon"), F.col("lat"), F.col("t"))
+    return (pts.withColumn("_h", st)
+               .select("doc_id",
+                       (F.round("_h.lon_out", 2) + 0.0).alias("hx"),
+                       (F.round("_h.lat_out", 2) + 0.0).alias("hy"),
+                       (F.round("_h.z_out", 2) + 0.0).alias("hz"))
+               .orderBy("doc_id"))

@@ -70,3 +70,24 @@ def register_init_file(name: str, text: str) -> dict[str, dict]:
     entries = parse_init_text(text)
     INIT_REGISTRY[name] = entries
     return entries
+
+
+# Published IGN ITRF2014 transformation parameters (subset) in the
+# reference's init-file syntax — source table:
+# http://itrf.ign.fr/doc_ITRF/Transfo-ITRF2014_ITRFs.txt (public
+# geodetic constants; same provenance note as the reference's
+# data/ITRF2014 header).  mm/yr values converted to m/yr.
+ITRF2014_SUBSET = """
+<metadata> +version=1.0.0 +origin=Transfo-ITRF2014_ITRFs.txt
+
+<ITRF2008> +proj=helmert +x=0.0016 +y=0.0019 +z=0.0024 +s=-0.00002
+  +dz=-0.0001 +ds=0.00003 +t_epoch=2010.0 +convention=position_vector
+
+<ITRF2000> +proj=helmert +x=0.0007 +y=0.0012 +z=-0.0261 +s=0.00212
+  +dx=0.0001 +dy=0.0001 +dz=-0.0019 +ds=0.00011 +t_epoch=2010.0
+  +convention=position_vector
+
+<ITRF97> +proj=helmert +x=0.0074 +y=-0.0005 +z=-0.0628 +s=0.0038
+  +rz=0.00026 +dx=0.0001 +dy=-0.0005 +dz=-0.0033 +ds=0.00012
+  +drz=0.00002 +t_epoch=2010.0 +convention=position_vector
+"""
