@@ -151,10 +151,16 @@ def _maybe_dms(v: str) -> str:
 
 
 def _resolve_init(spec: str) -> dict:
-    """'FILE:KEY' -> param dict from INIT_REGISTRY (init.cpp:112-230)."""
+    """'FILE:KEY' -> param dict from INIT_REGISTRY (init.cpp:112-230).
+    'epsg:NNNN' resolves through the curated EPSG registry, the
+    classic proj4 idiom the reference maps onto its EPSG database."""
     if ":" not in spec:
         raise ValueError(f"init: malformed '{spec}' (want FILE:KEY)")
     fname, key = spec.split(":", 1)
+    if fname.lower() == "epsg":
+        from .crs import epsg_projstring
+
+        return dict(parse_projstring(epsg_projstring(int(key)))[0])
     entries = INIT_REGISTRY.get(fname)
     if entries is None:
         raise FileNotFoundError(

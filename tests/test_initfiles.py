@@ -125,3 +125,14 @@ class TestInitFiles:
             e = parse_init_text(f.read())
         assert len(e) > 100
         assert "no_defs" not in e["3901"]
+
+
+def test_init_epsg_resolves_registry():
+    """+init=epsg:NNNN — the classic proj4 idiom — resolves through
+    the curated EPSG registry."""
+    a = compile_projstring("+init=epsg:32632")
+    b = compile_projstring("+proj=utm +zone=32 +ellps=WGS84")
+    x1, y1 = a.transform_deg(np.array([12.0]), np.array([56.0]))[:2]
+    x2, y2 = b.transform_deg(np.array([12.0]), np.array([56.0]))[:2]
+    assert x1[0] == x2[0] and y1[0] == y2[0]
+    assert abs(x1[0] - 687071.439) < 1e-3
