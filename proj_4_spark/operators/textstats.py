@@ -114,3 +114,31 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.aggregate(
         hs, F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(RH_BASE) + h) % F.lit(RH_MOD))
+
+
+_TRACKING = "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref_src)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup: strip the fragment, lowercase
+    scheme and host, drop the default port (:80 http / :443 https),
+    remove tracking query parameters (utm_*, gclid, fbclid, msclkid,
+    ref_src), and drop an empty trailing '?'.
+
+    Pure Catalyst; every regex is RE2-compatible (no lookaround, no
+    backreference in replacements) so the DuckDB oracle can run the
+    SAME patterns."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    hostport = F.when(scheme == "http",
+                      F.regexp_replace(hostport, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", "")) \
+        .otherwise(hostport)
+    rest = F.regexp_replace(rest, "&" + _TRACKING + "=[^&]*", "")
+    rest = F.regexp_replace(rest, "\\?" + _TRACKING + "=[^&]*&", "?")
+    rest = F.regexp_replace(rest, "\\?" + _TRACKING + "=[^&]*$", "")
+    rest = F.regexp_replace(rest, "\\?$", "")
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), hostport, rest))

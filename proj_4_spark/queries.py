@@ -1819,3 +1819,60 @@ def q_itrf_kinematic(spark, sf_dir):
                        (F.round("_h.lat_out", 2) + 0.0).alias("hy"),
                        (F.round("_h.z_out", 2) + 0.0).alias("hz"))
                .orderBy("doc_id"))
+
+
+# deterministic messy-URL synthesis, same construction on both sides
+_URL_SQL_T = """(CASE doc_id % 4
+  WHEN 0 THEN 'HTTP://Host' || CAST(doc_id % 37 AS VARCHAR)
+    || '.Example.COM:80/a/' || CAST(doc_id % 11 AS VARCHAR)
+    || '?utm_source=feed&id=' || CAST(doc_id % 101 AS VARCHAR)
+    || '&utm_medium=x'
+  WHEN 1 THEN 'https://host' || CAST(doc_id % 37 AS VARCHAR)
+    || '.example.com:443/b?gclid=abc' || CAST(doc_id % 13 AS VARCHAR)
+  WHEN 2 THEN 'https://Host' || CAST(doc_id % 37 AS VARCHAR)
+    || '.example.com/c/' || CAST(doc_id % 11 AS VARCHAR)
+    || '#frag' || CAST(doc_id AS VARCHAR)
+  ELSE 'http://host' || CAST(doc_id % 37 AS VARCHAR)
+    || '.example.com/d?id=' || CAST(doc_id % 101 AS VARCHAR)
+    || '&fbclid=z' END)"""
+
+_URL_SQL = _URL_SQL_T.replace("VARCHAR", "VARCHAR")
+_URL_SQL_SPARK = _URL_SQL_T.replace("VARCHAR", "STRING").replace("||", "||")
+
+_TRK = "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref_src)"
+
+
+def _canon_sql(u: str) -> str:
+    nofrag = f"regexp_replace({u}, '#.*$', '', 'g')"
+    scheme = f"lower(regexp_extract({nofrag}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (f"lower(regexp_extract({nofrag}, "
+                f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    rest = (f"regexp_replace({nofrag}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')")
+    hostport = (f"(CASE WHEN {scheme} = 'http' THEN "
+                f"regexp_replace({hostport}, ':80$', '', 'g') "
+                f"WHEN {scheme} = 'https' THEN "
+                f"regexp_replace({hostport}, ':443$', '', 'g') "
+                f"ELSE {hostport} END)")
+    r = f"regexp_replace({rest}, '&{_TRK}=[^&]*', '', 'g')"
+    r = f"regexp_replace({r}, '\\?{_TRK}=[^&]*&', '?', 'g')"
+    r = f"regexp_replace({r}, '\\?{_TRK}=[^&]*$', '', 'g')"
+    r = f"regexp_replace({r}, '\\?$', '', 'g')"
+    return f"({scheme} || '://' || {hostport} || {r})"
+
+
+@register("url_canonical", f"""
+SELECT doc_id, {_canon_sql(_URL_SQL)} AS canon
+FROM documents ORDER BY doc_id
+""")
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization for web-scale dedup (fragment strip,
+    scheme/host lowercasing, default-port drop, tracking-parameter
+    removal) as a pure-Catalyst expression chain; the oracle runs the
+    SAME RE2-safe patterns in DuckDB over the same synthesized messy
+    URLs."""
+    d = _docs(spark, sf_dir)
+    urls = d.select("doc_id", F.expr(_URL_SQL_SPARK).alias("url"))
+    return (urls.select("doc_id",
+                        TS.canonical_url(F.col("url")).alias("canon"))
+                .orderBy("doc_id"))
