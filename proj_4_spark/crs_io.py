@@ -189,8 +189,8 @@ def _method(proj: str, extra: str = "", roles: dict[str, str] | None = None,
 _method("tmerc", "", None,
         "Transverse Mercator", "Transverse_Mercator",
         "Gauss-Kruger", "Gauss_Kruger")
-_method("lcc", "", {"latitudeofnaturalorigin": "lat_1",
-                    "latitudeoforigin": "lat_1",
+_method("lcc", "", {"latitudeofnaturalorigin": ("lat_1", "lat_0"),
+                    "latitudeoforigin": ("lat_1", "lat_0"),
                     "scalefactoratnaturalorigin": "k_0",
                     "scalefactor": "k_0"},
         "Lambert Conic Conformal (1SP)", "Lambert_Conformal_Conic_1SP")
@@ -459,12 +459,41 @@ def _linear_unit_str(node: WktNode) -> str:
     if abs(fac - 1.0) < 1e-12:
         return ""
     names = u.strings()
-    wk = {"foot": "ft", "us survey foot": "us-ft",
-          "british foot (sears 1922)": "ind-ft", "kilometre": "km"}
+    wk = {"foot": "ft", "us survey foot": "us-ft", "kilometre": "km"}
     unit = wk.get(names[0].lower()) if names else None
-    if unit:
-        return f" +units={unit}"
-    return f" +to_meter={fac:.12g}"
+    if unit is not None:
+        # only take the named alias when the registry factor agrees
+        # with the WKT-carried one (e.g. the Sears 1922 foot is close
+        # to but NOT the Indian foot — such units keep the exact
+        # +to_meter)
+        from .proj import UNITS
+
+        if unit in UNITS and abs(UNITS[unit] - fac) < 1e-12 * fac:
+            return f" +units={unit}"
+    return f" +to_meter={fac!r}"
+
+
+def _param_values(params, geog_fac: float) -> dict:
+    """PARAMETER nodes -> {role: value-in-degrees/meters} using the
+    default role mapping (used by the UTM canonical check)."""
+    out: dict = {}
+    for p in params:
+        names, nums = p.strings(), p.numbers()
+        if not names or not nums:
+            continue
+        role = _PARAMS.get(_norm(names[0]))
+        if role is None or role in out:
+            continue
+        val = nums[0]
+        if role in _ANGULAR_ROLES:
+            u = _find_unit(p)
+            val *= _unit_to_deg_factor(u) if u is not None else geog_fac
+        else:
+            u = p.child("LENGTHUNIT", "UNIT")
+            if u is not None and u.numbers():
+                val *= u.numbers()[0]
+        out[role] = val
+    return out
 
 
 def _proj_to_projstring(node: WktNode) -> str:
@@ -488,17 +517,28 @@ def _proj_to_projstring(node: WktNode) -> str:
         conv_name = node.strings()[0] if node.strings() else ""
 
     # UTM shortcut: the conversion name carries the zone (io.cpp emits
-    # "UTM zone 31N" for the canonical conversions)
+    # "UTM zone 31N" for the canonical conversions) — taken ONLY when
+    # the explicit parameters agree with the canonical UTM definition
+    # (variant CRSs like "zE-N" zone-prefixed eastings reuse the name
+    # with different false origins)
     m = re.search(r"UTM zone (\d+)([NS])", conv_name or "", re.I)
     ell = _ellipsoid_str(base)
     if m and _norm(method_name) in (_norm("Transverse Mercator"),):
         zone, hemi = int(m.group(1)), m.group(2).upper()
-        s = f"+proj=utm +zone={zone}"
-        if hemi == "S":
-            s += " +south"
-        return (s + " " + ell
-                + _primem_of(base, _unit_to_deg_factor(_geog_angle_unit(base)))
-                + _towgs84_of(base) + _towgs84_of(node))
+        got = _param_values(params,
+                            _unit_to_deg_factor(_geog_angle_unit(base)))
+        canonical = {"lat_0": 0.0, "lon_0": zone * 6.0 - 183.0,
+                     "k_0": 0.9996, "x_0": 500000.0,
+                     "y_0": 10000000.0 if hemi == "S" else 0.0}
+        if all(abs(got.get(k, v) - v) < 1e-9
+               for k, v in canonical.items()):
+            s = f"+proj=utm +zone={zone}"
+            if hemi == "S":
+                s += " +south"
+            return (s + " " + ell
+                    + _primem_of(base,
+                                 _unit_to_deg_factor(_geog_angle_unit(base)))
+                    + _towgs84_of(base) + _towgs84_of(node))
 
     key = _norm(method_name)
     if key not in _METHODS:
@@ -516,19 +556,22 @@ def _proj_to_projstring(node: WktNode) -> str:
             continue
         pkey = _norm(names[0])
         role = roles.get(pkey, _PARAMS.get(pkey))
-        if role is None or role in seen:
+        if role is None:
             continue
-        seen.add(role)
-        val = nums[0]
-        if role in _ANGULAR_ROLES:
-            u = _find_unit(p)
-            fac = _unit_to_deg_factor(u) if u is not None else geog_fac
-            val *= fac
-        else:
-            u = p.child("LENGTHUNIT", "UNIT")
-            if u is not None and u.numbers():
-                val *= u.numbers()[0]
-        parts.append(f"+{role}={_fmt_num(val)}")
+        for r in (role if isinstance(role, tuple) else (role,)):
+            if r in seen:
+                continue
+            seen.add(r)
+            val = nums[0]
+            if r in _ANGULAR_ROLES:
+                u = _find_unit(p)
+                fac = _unit_to_deg_factor(u) if u is not None else geog_fac
+                val *= fac
+            else:
+                u = p.child("LENGTHUNIT", "UNIT")
+                if u is not None and u.numbers():
+                    val *= u.numbers()[0]
+            parts.append(f"+{r}={_fmt_num(val)}")
     # polar stereographic variant B: lat_0 is +/-90 by the lat_ts sign
     if proj == "stere" and "lat_ts" in seen and "lat_0" not in seen:
         ts = float(next(p.split("=")[1] for p in parts
@@ -606,7 +649,10 @@ def projjson_to_projstring(obj) -> str:
             if k in _HELMERT_SLOTS:
                 i = _HELMERT_SLOTS[k]
                 v = float(p.get("value", 0.0))
-                if i == 6 and _norm(p.get("unit", "")) == "unity":
+                unit = p.get("unit", "")
+                uname = unit if isinstance(unit, str) \
+                    else unit.get("name", "")
+                if i == 6 and _norm(uname) == "unity":
                     v = (v - 1.0) * 1e6
                 if 3 <= i <= 5:
                     got_rot = True
@@ -651,10 +697,21 @@ def _pj_proj(obj) -> str:
     ell = _pj_ellps(base)
     m = re.search(r"UTM zone (\d+)([NS])", conv_name or "", re.I)
     if m and _norm(method_name) == _norm("Transverse Mercator"):
-        s = f"+proj=utm +zone={int(m.group(1))}"
-        if m.group(2).upper() == "S":
-            s += " +south"
-        return s + " " + ell
+        zone, hemi = int(m.group(1)), m.group(2).upper()
+        got = {}
+        for p in conv.get("parameters", []):
+            role = _PARAMS.get(_norm(p.get("name", "")))
+            if role is not None and role not in got:
+                got[role] = float(p.get("value", 0.0))
+        canonical = {"lat_0": 0.0, "lon_0": zone * 6.0 - 183.0,
+                     "k_0": 0.9996, "x_0": 500000.0,
+                     "y_0": 10000000.0 if hemi == "S" else 0.0}
+        if all(abs(got.get(k, v) - v) < 1e-9
+               for k, v in canonical.items()):
+            s = f"+proj=utm +zone={zone}"
+            if hemi == "S":
+                s += " +south"
+            return s + " " + ell
     key = _norm(method_name)
     if key not in _METHODS:
         raise ValueError(f"unsupported projection method {method_name!r}")
@@ -666,22 +723,25 @@ def _pj_proj(obj) -> str:
     for p in conv.get("parameters", []):
         pkey = _norm(p.get("name", ""))
         role = roles.get(pkey, _PARAMS.get(pkey))
-        if role is None or role in seen:
+        if role is None:
             continue
-        seen.add(role)
-        val = float(p.get("value", 0.0))
-        unit = p.get("unit", "degree")
-        uname = unit if isinstance(unit, str) else unit.get("name", "")
-        if role in _ANGULAR_ROLES:
-            if _norm(uname) in ("grad",):
-                val *= 0.9
-            elif _norm(uname) == "radian":
-                val *= 180.0 / math.pi
-            elif isinstance(unit, dict) and "conversion_factor" in unit:
-                val *= float(unit["conversion_factor"]) * 180.0 / math.pi
-        elif isinstance(unit, dict) and unit.get("type") == "LinearUnit":
-            val *= float(unit.get("conversion_factor", 1.0))
-        parts.append(f"+{role}={_fmt_num(val)}")
+        for r in (role if isinstance(role, tuple) else (role,)):
+            if r in seen:
+                continue
+            seen.add(r)
+            val = float(p.get("value", 0.0))
+            unit = p.get("unit", "degree")
+            uname = unit if isinstance(unit, str) else unit.get("name", "")
+            if r in _ANGULAR_ROLES:
+                if _norm(uname) in ("grad",):
+                    val *= 0.9
+                elif _norm(uname) == "radian":
+                    val *= 180.0 / math.pi
+                elif isinstance(unit, dict) and "conversion_factor" in unit:
+                    val *= float(unit["conversion_factor"]) * 180.0 / math.pi
+            elif isinstance(unit, dict) and unit.get("type") == "LinearUnit":
+                val *= float(unit.get("conversion_factor", 1.0))
+            parts.append(f"+{r}={_fmt_num(val)}")
     if proj == "stere" and "lat_ts" in seen and "lat_0" not in seen:
         ts = float(next(p.split("=")[1] for p in parts
                         if p.startswith("+lat_ts=")))
@@ -708,8 +768,6 @@ def _wkt_num(v: float) -> str:
 
 
 def _wkt2_ellipsoid(params: dict) -> str:
-    from .kernels.ellipsoid import ELLIPSOIDS
-
     name = str(params.get("ellps", "WGS84"))
     if name in ELLIPSOIDS:
         a, kind, v = ELLIPSOIDS[name]
@@ -834,6 +892,39 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                      'SCALEUNIT["unity",1]')
                 + _p("False easting", x0, _M_UNIT)
                 + _p("False northing", y0, _M_UNIT)
+                + f'],{_WKT2_CART_CS}]')
+    elif pid == "merc" and "lat_ts" in top:
+        # Mercator variant B (standard parallel instead of scale)
+        body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
+                f'CONVERSION["unnamed",METHOD["Mercator (variant B)"],'
+                + _p("Latitude of 1st standard parallel",
+                     float(top["lat_ts"]), _DEG_UNIT)
+                + _p("Longitude of natural origin",
+                     float(top.get("lon_0", 0.0)), _DEG_UNIT)
+                + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
+                + _p("False northing", float(top.get("y_0", 0.0)),
+                     _M_UNIT)
+                + f'],{_WKT2_CART_CS}]')
+    elif pid == "lcc" and "lat_2" not in top:
+        # 1SP form: the reference exports lat_1 (== lat_0) + scale
+        lat1 = float(top.get("lat_1", top.get("lat_0", 0.0)))
+        if "lat_0" in top and "lat_1" in top \
+                and float(top["lat_0"]) != float(top["lat_1"]):
+            raise ValueError(
+                "projstring_to_wkt2: lcc with lat_0 != lat_1 and no "
+                "lat_2 has no EPSG method equivalent")
+        k = float(top.get("k", top.get("k_0", 1.0)))
+        body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
+                f'CONVERSION["unnamed",'
+                f'METHOD["Lambert Conic Conformal (1SP)"],'
+                + _p("Latitude of natural origin", lat1, _DEG_UNIT)
+                + _p("Longitude of natural origin",
+                     float(top.get("lon_0", 0.0)), _DEG_UNIT)
+                + _p("Scale factor at natural origin", k,
+                     'SCALEUNIT["unity",1]')
+                + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
+                + _p("False northing", float(top.get("y_0", 0.0)),
+                     _M_UNIT)
                 + f'],{_WKT2_CART_CS}]')
     elif pid in _EXPORT_METHODS:
         method, plist = _EXPORT_METHODS[pid]

@@ -151,26 +151,44 @@ class GridSet:
     finest grid containing the point (NTv2 parent + children — the
     reference walks parent->child extents, grids.cpp:2332-2380;
     children are always finer refinements of their parent).
-    policy="first": FIRST listed grid containing the point wins — the
-    +nadgrids list semantics (the reference iterates the list in order
-    and stops at the first containing grid, grids.cpp gridshift
-    apply)."""
-    grids: tuple  # tuple[Grid, ...]
+    policy="first": FIRST listed member containing the point wins —
+    the +nadgrids list semantics (the reference iterates the list in
+    order and stops at the first containing FILE, then selects the
+    finest subgrid within it).  Members may themselves be GridSets
+    (a multi-subgrid NTv2 file inside an ordered list), which keep
+    their own inner policy."""
+    grids: tuple  # tuple[Grid | GridSet, ...]
     policy: str = "finest"
 
 
+def in_any(g, lam, phi):
+    """in_grid over a Grid or (recursively) a GridSet."""
+    if isinstance(g, GridSet):
+        m = np.zeros(np.shape(lam), dtype=bool)
+        for member in g.grids:
+            m |= in_any(member, lam, phi)
+        return m
+    return in_grid(g, lam, phi)
+
+
+def _finest_cell(g) -> float:
+    if isinstance(g, GridSet):
+        return min(_finest_cell(m) for m in g.grids)
+    return abs(g.dlon * g.dlat)
+
+
 def _select(gs: GridSet, lam, phi):
-    """Index of the selected grid per point (-1 if none)."""
+    """Index of the selected member per point (-1 if none)."""
     best = np.full(np.shape(lam), -1, dtype=np.int64)
     if gs.policy == "first":
         for k, g in enumerate(gs.grids):
-            m = in_grid(g, lam, phi) & (best == -1)
+            m = in_any(g, lam, phi) & (best == -1)
             best = np.where(m, k, best)
         return best
     best_area = np.full(np.shape(lam), np.inf)
     for k, g in enumerate(gs.grids):
-        m = in_grid(g, lam, phi)
-        cell = abs(g.dlon * g.dlat)
+        m = in_any(g, lam, phi)
+        cell = _finest_cell(g)
         take = m & (cell < best_area)
         best = np.where(take, k, best)
         best_area = np.where(take, cell, best_area)
@@ -179,14 +197,18 @@ def _select(gs: GridSet, lam, phi):
 
 def hgridset_fwd(gs: GridSet, lam, phi):
     """hgrid_fwd over a GridSet: out-of-all-grids points pass through
-    unshifted (matching the single-grid zero-shift semantics)."""
+    unshifted (matching the single-grid zero-shift semantics); nested
+    GridSet members recurse with their own selection policy."""
     sel = _select(gs, lam, phi)
     out_l = np.array(lam, dtype=np.float64, copy=True)
     out_p = np.array(phi, dtype=np.float64, copy=True)
     for k, g in enumerate(gs.grids):
         m = sel == k
         if m.any():
-            fl, fp = hgrid_fwd(g, lam[m], phi[m])
+            if isinstance(g, GridSet):
+                fl, fp = hgridset_fwd(g, lam[m], phi[m])
+            else:
+                fl, fp = hgrid_fwd(g, lam[m], phi[m])
             out_l[m] = fl
             out_p[m] = fp
     return out_l, out_p
@@ -306,12 +328,14 @@ class UnifiedGrid:
     meters) plus an optional separate vertical grid (values (h, w)
     meters) — the GeoTIFF layout where HORIZONTAL_OFFSET and
     ELLIPSOIDAL_HEIGHT_OFFSET live in different IFDs.  interp is the
-    file-declared default interpolation_method."""
-    hgrid: Grid | None
+    file-declared default interpolation_method.  hgrid may be a
+    GridSet (a multi-subgrid NTv2 file used as one gridshift
+    component), which keeps its finest-subgrid selection."""
+    hgrid: Grid | GridSet | None
     vgrid: Grid | None
     interp: str = "bilinear"
 
-    def extent_grid(self) -> Grid:
+    def extent_grid(self):
         g = self.hgrid if self.hgrid is not None else self.vgrid
         if g is None:
             raise ValueError("UnifiedGrid with no component grids")
@@ -331,19 +355,23 @@ def unified_fwd(entries, lam, phi, z, no_z: bool = False,
     remaining = np.ones(np.shape(lam), dtype=bool)
     for ug in entries:
         eg = ug.extent_grid()
-        m = remaining & in_grid(eg, lam, phi)
+        m = remaining & in_any(eg, lam, phi)
         if not m.any():
             continue
         remaining &= ~m
         method = interp or ug.interp
         la, ph = lam[m], phi[m]
-        if ug.hgrid is not None:
+        if isinstance(ug.hgrid, GridSet):
+            sl, sp = hgridset_fwd(ug.hgrid, la, ph)
+            out_l[m] = sl
+            out_p[m] = sp
+        elif ug.hgrid is not None:
             sl, sp = hgrid_fwd(ug.hgrid, la, ph, method)
             out_l[m] = sl
             out_p[m] = sp
         if no_z:
             continue
-        if ug.hgrid is not None and ug.hgrid.values.ndim == 3 \
+        if isinstance(ug.hgrid, Grid) and ug.hgrid.values.ndim == 3 \
                 and ug.hgrid.values.shape[2] >= 3:
             dz = sample(ug.hgrid, la, ph, method)[..., 2]
             out_z[m] = out_z[m] + np.where(in_grid(ug.hgrid, la, ph),
@@ -399,9 +427,10 @@ def _entry_is_bilinear(entries, lam, phi, interp):
     out = np.zeros(np.shape(lam), dtype=bool)
     remaining = np.ones(np.shape(lam), dtype=bool)
     for ug in entries:
-        m = remaining & in_grid(ug.extent_grid(), lam, phi)
+        m = remaining & in_any(ug.extent_grid(), lam, phi)
         if m.any():
-            out[m] = (interp or ug.interp) == "bilinear"
+            out[m] = (interp or ug.interp) == "bilinear" \
+                or isinstance(ug.hgrid, GridSet)
             remaining &= ~m
     return out
 

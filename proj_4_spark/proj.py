@@ -725,9 +725,9 @@ def compile_operation(params: dict) -> Operation:
             elif isinstance(g, tuple):
                 entries.extend(g)
             elif isinstance(g, k_grid.GridSet):
-                entries.extend(
-                    k_grid.UnifiedGrid(hgrid=sg, vgrid=None)
-                    for sg in g.grids)
+                # one multi-subgrid file = ONE ordered-list component;
+                # its finest-subgrid selection stays internal
+                entries.append(k_grid.UnifiedGrid(hgrid=g, vgrid=None))
             elif g.values.ndim == 3:
                 entries.append(k_grid.UnifiedGrid(hgrid=g, vgrid=None))
             else:
@@ -935,7 +935,20 @@ def compile_operation(params: dict) -> Operation:
                     continue
                 raise FileNotFoundError(
                     f"{proj_id}: grid '{key}' not in GRID_REGISTRY")
-            if isinstance(g, k_grid.UnifiedGrid):
+            if isinstance(g, tuple):
+                # multi-entry GeoTIFF: collect the matching components
+                # in file order
+                parts = [(e.hgrid if proj_id == "hgridshift" else e.vgrid)
+                         for e in g]
+                parts = [p for p in parts if p is not None]
+                if not parts:
+                    raise ValueError(
+                        f"{proj_id}: grid '{key}' has no matching "
+                        "component")
+                g = (parts[0] if len(parts) == 1
+                     else k_grid.GridSet(grids=tuple(parts),
+                                         policy="first"))
+            elif isinstance(g, k_grid.UnifiedGrid):
                 # GeoTIFF-sourced component: take the matching part
                 g = g.hgrid if proj_id == "hgridshift" else g.vgrid
                 if g is None:
@@ -956,12 +969,10 @@ def compile_operation(params: dict) -> Operation:
         if len(found) == 1:
             grid = found[0]
         else:
-            from .kernels.gridshift import GridSet as _GS
-
-            flat = []
-            for g in found:
-                flat.extend(g.grids if isinstance(g, _GS) else (g,))
-            grid = _GS(grids=tuple(flat), policy="first")
+            # ordered file list: first containing FILE wins; a
+            # multi-subgrid member keeps its own finest-wins selection
+            # (nested GridSet)
+            grid = k_grid.GridSet(grids=tuple(found), policy="first")
         op.left, op.right = RADIANS, RADIANS
         if proj_id == "hgridshift":
             if isinstance(grid, k_grid.GridSet):

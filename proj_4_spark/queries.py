@@ -1836,8 +1836,8 @@ _URL_SQL_T = """(CASE doc_id % 4
     || '.example.com/d?id=' || CAST(doc_id % 101 AS VARCHAR)
     || '&fbclid=z' END)"""
 
-_URL_SQL = _URL_SQL_T.replace("VARCHAR", "VARCHAR")
-_URL_SQL_SPARK = _URL_SQL_T.replace("VARCHAR", "STRING").replace("||", "||")
+_URL_SQL = _URL_SQL_T                                   # DuckDB dialect
+_URL_SQL_SPARK = _URL_SQL_T.replace("VARCHAR", "STRING")  # Spark dialect
 
 _TRK = "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref_src)"
 

@@ -376,3 +376,72 @@ class TestWkt2Writer:
 
         with pytest.raises(ValueError, match="export subset"):
             projstring_to_wkt2("+proj=airocean +ellps=GRS80")
+
+
+class TestReviewFixes:
+    def test_utm_name_with_noncanonical_params_not_shortcut(self):
+        """EPSG:4647-style 'UTM zone 32N (zE-N)' carries a 32.5 Mm
+        false easting — the name must NOT win over the parameters."""
+        wkt = WKT2_32632.replace(
+            'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]]',
+            'PARAMETER["False easting",32500000,LENGTHUNIT["metre",1]]')
+        s = wkt_to_projstring(wkt)
+        assert s.startswith("+proj=tmerc")
+        assert "+x_0=32500000" in s
+
+    def test_sears_foot_keeps_exact_to_meter(self):
+        wkt = WKT1_27700.replace(
+            'UNIT["metre",1]]',
+            'UNIT["British foot (Sears 1922)",0.3047994715386557]]')
+        s = wkt_to_projstring(wkt)
+        assert "+to_meter=0.3047994715386557" in s
+        assert "ind-ft" not in s
+
+    def test_lcc_1sp_reader_sets_lat_0(self):
+        """The reference exports LCC 1SP as +lat_1 AND +lat_0
+        (conversion.cpp:4334-4338)."""
+        s = wkt_to_projstring(WKT1_27572)
+        assert "+lat_1=46.8" in s and "+lat_0=46.8" in s
+
+    def test_writer_merc_variant_b_roundtrip(self):
+        from proj_4_spark.crs_io import projstring_to_wkt2
+
+        src = "+proj=merc +lat_ts=30 +lon_0=10 +x_0=1000 +ellps=WGS84"
+        w = projstring_to_wkt2(src)
+        assert "Mercator (variant B)" in w
+        _same_forward(src, wkt_to_projstring(w))
+
+    def test_writer_lcc_1sp_roundtrip(self):
+        from proj_4_spark.crs_io import projstring_to_wkt2
+
+        src = ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 "
+               "+k_0=0.99987742 +x_0=600000 +y_0=2200000 "
+               "+ellps=clrk80ign")
+        w = projstring_to_wkt2(src)
+        assert "Lambert Conic Conformal (1SP)" in w
+        _same_forward(src, wkt_to_projstring(w))
+        with pytest.raises(ValueError, match="no EPSG method"):
+            projstring_to_wkt2("+proj=lcc +lat_1=40 +lat_0=30 "
+                               "+ellps=WGS84")
+
+    def test_projjson_boundcrs_unit_object(self):
+        obj = {"type": "BoundCRS",
+               "source_crs": {"type": "GeographicCRS", "name": "ED50",
+                              "datum": {"ellipsoid": {
+                                  "semi_major_axis": 6378388,
+                                  "inverse_flattening": 297}}},
+               "target_crs": {"type": "GeographicCRS", "name": "WGS 84",
+                              "datum": {"ellipsoid": {
+                                  "semi_major_axis": 6378137,
+                                  "inverse_flattening": 298.257223563}}},
+               "transformation": {
+                   "name": "x", "method": {
+                       "name": "Position Vector transformation"},
+                   "parameters": [
+                       {"name": "X-axis translation", "value": -87,
+                        "unit": "metre"},
+                       {"name": "Scale difference", "value": 0.999979511,
+                        "unit": {"type": "ScaleUnit", "name": "unity",
+                                 "conversion_factor": 1.0}}]}}
+        s = projjson_to_projstring(obj)
+        assert "+towgs84=-87,0,0,0,0,0,-20.489" in s

@@ -206,3 +206,43 @@ def test_nadgrids_optional_marker():
     assert abs(xo[0] + (111.0 + 2.604 / 3600.0)) < 3e-7
     with pytest.raises(FileNotFoundError):
         compile_projstring("+proj=hgridshift +grids=definitely_missing")
+
+
+@needs_ref
+def test_nested_gridset_keeps_finest_within_file():
+    """An NTv2 file with parent+children used inside an ordered
+    +nadgrids list must still select the finest subgrid within the
+    file (review fix: no flattening into the first-wins list)."""
+    from proj_4_spark.kernels.gridshift import GridSet
+
+    data = _read("ntv2_0_downsampled.gsb")
+    obj = GF.load_grid_bytes("ntv2_0_downsampled.gsb", data)
+    if not isinstance(obj, GridSet):
+        pytest.skip("fixture has a single subgrid")
+    GF.register_grid_file("ntv2_0_downsampled.gsb", data)
+    GF.register_grid_file("conus", _read("conus"))
+    single = compile_projstring(
+        "+proj=hgridshift +grids=ntv2_0_downsampled.gsb +ellps=GRS80")
+    listed = compile_projstring(
+        "+proj=hgridshift +grids=ntv2_0_downsampled.gsb,conus "
+        "+ellps=GRS80")
+    # points inside the NTv2 extent: identical results whether the
+    # file stands alone (finest policy) or leads an ordered list
+    lon = np.array([-66.0, -70.0, -111.0])
+    lat = np.array([45.5, 46.0, 50.0])
+    xa, ya = single.transform_deg(lon.copy(), lat.copy())[:2]
+    xb, yb = listed.transform_deg(lon.copy(), lat.copy())[:2]
+    np.testing.assert_allclose(xa, xb, atol=1e-12)
+    np.testing.assert_allclose(ya, yb, atol=1e-12)
+
+
+@needs_ref
+def test_multi_entry_geotiff_tuple_in_hgridshift():
+    """A two-IFD GeoTIFF registered under one name must work through
+    plain hgridshift (review fix: tuple registry values)."""
+    name = "us_noaa_nadcon5_nad83_2007_nad83_2011_alaska_extract.tif"
+    GF.register_grid_file(name, _read(name))
+    tr = compile_projstring(f"+proj=hgridshift +grids={name} "
+                            "+ellps=GRS80")
+    x, y = tr.transform_deg(np.array([-158.0]), np.array([61.5]))[:2]
+    assert abs(x[0] + 157.9999996115) < 1e-8
