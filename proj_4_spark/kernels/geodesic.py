@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import math
+
 import numpy as np
 
 _EPS = np.finfo(np.float64).eps
@@ -399,11 +401,19 @@ def _lambda12(g: Geodesic, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                 eps=eps, domg12=domg12, dlam12=dlam12)
 
 
-def inverse(g: Geodesic, lat1, lon1, lat2, lon2):
+def inverse(g: Geodesic, lat1, lon1, lat2, lon2, want_area: bool = False):
     """Vectorized geod_inverse: returns (s12, azi1, azi2, a12) — degrees.
 
     Mirrors geod_geninverse_int (geodesic.c:694-1049) with masked
     branches: meridian / equatorial / short-line / Newton+bracket.
+
+    With ``want_area=True`` a fifth output S12 (the area in m^2 between
+    the geodesic segment and the equator, geodesic.c GEOD_AREA path
+    :956-1017) is appended.  S12 is computed in the solver's canonical
+    frame (before the swap/sign unwind) exactly as the C does — the
+    final ``S12 *= swapp * lonsign * latsign`` makes lon=±180 ties come
+    out on the correct branch, which a post-hoc user-frame evaluation
+    cannot reproduce.
     """
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon1 = np.asarray(lon1, dtype=np.float64)
@@ -453,6 +463,11 @@ def inverse(g: Geodesic, lat1, lon1, lat2, lon2):
     calp1 = np.zeros(n)
     salp2 = np.zeros(n)
     calp2 = np.zeros(n)
+    # lon difference on the auxiliary sphere, for the area's
+    # tan(Gamma/2) branch (geodesic.c:711 "somg12 == 2" sentinel —
+    # here resolved eagerly per-branch)
+    somg12 = np.zeros(n)
+    comg12 = np.full(n, -1.0)
 
     meridian = (la1 == -90.0) | (slam12 == 0)
 
@@ -495,19 +510,28 @@ def inverse(g: Geodesic, lat1, lon1, lat2, lon2):
         s12[i] = g.a * lam12[i]
         sig12[i] = lam12[i] / g.f1
         a12[i] = lon12[i] / g.f1
+        somg12[i] = np.sin(sig12[i])
+        comg12[i] = np.cos(sig12[i])
         done |= equatorial
 
     # --- general branch ---
     gen = ~done
     if gen.any():
         i = np.flatnonzero(gen)
-        (sg, sa1, ca1, sa2, ca2, s12g, a12g) = _inverse_general(
+        (sg, sa1, ca1, sa2, ca2, s12g, a12g, somg, comg) = _inverse_general(
             g, sbet1[i], cbet1[i], dn1[i], sbet2[i], cbet2[i], dn2[i],
             lam12[i], slam12[i], clam12[i])
         salp1[i], calp1[i] = sa1, ca1
         salp2[i], calp2[i] = sa2, ca2
         s12[i] = s12g
         a12[i] = a12g
+        somg12[i] = somg
+        comg12[i] = comg
+
+    if want_area:
+        S12 = _area_S12(g, meridian, sbet1, cbet1, sbet2, cbet2,
+                        salp1, calp1, salp2, calp2, somg12, comg12)
+        S12 = S12 * swapp * lonsign * latsign + 0.0
 
     # swap/sign unwind (geodesic.c:1019-1029)
     sw = swapp < 0
@@ -524,6 +548,8 @@ def inverse(g: Geodesic, lat1, lon1, lat2, lon2):
 
     azi1 = _atan2d(salp1, calp1)
     azi2 = _atan2d(salp2, calp2)
+    if want_area:
+        return s12 + 0.0, azi1, azi2, a12, S12
     return s12 + 0.0, azi1, azi2, a12
 
 
@@ -615,11 +641,17 @@ def _inverse_general(g: Geodesic, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
 
     s12 = np.full(n, np.nan)
     a12 = np.full(n, np.nan)
+    somg12 = np.zeros(n)
+    comg12 = np.full(n, -1.0)
 
     short = sig12 >= 0
     if short.any():
         s12 = np.where(short, sig12 * g.b * dnm, s12)
         a12 = np.where(short, sig12 / _DEGREE, a12)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            omg = lam12 / (g.f1 * dnm)  # geodesic.c:862
+        somg12 = np.where(short, np.sin(omg), somg12)
+        comg12 = np.where(short, np.cos(omg), comg12)
 
     newton = ~short
     if newton.any():
@@ -707,7 +739,12 @@ def _inverse_general(g: Geodesic, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
         calp1[i] = ca1
         salp2[i] = F["salp2"]
         calp2[i] = F["calp2"]
-    return sig12, salp1, calp1, salp2, calp2, s12, a12
+        # omg12 = lam12 - domg12 (geodesic.c:943-947)
+        sdomg12 = np.sin(F["domg12"])
+        cdomg12 = np.cos(F["domg12"])
+        somg12[i] = slam12[i] * cdomg12 - clam12[i] * sdomg12
+        comg12[i] = clam12[i] * cdomg12 + slam12[i] * sdomg12
+    return sig12, salp1, calp1, salp2, calp2, s12, a12, somg12, comg12
 
 
 def direct(g: Geodesic, lat1, lon1, azi1, s12):
@@ -907,3 +944,149 @@ def vincenty_inverse_fixed(lat1, lon1, lat2, lon2, a=6378137.0,
     s = b * aa * (sg - dsig)
     azi1 = np.degrees(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl))
     return s, azi1
+
+
+# --------------------------- polygon area (Planimeter) -----------------
+
+nC4 = 6
+
+# C4coeff constant table (geodesic.c:1688-1742) — the published
+# Karney 2013 area series coefficients, polynomials in n (descending
+# powers), each group followed by its denominator
+_C4_COEFF = (
+    (97,), 15015, (1088, 156), 45045, (-224, -4784, 1573), 45045,
+    (-10656, 14144, -4576, -858), 45045,
+    (64, 624, -4576, 6864, -3003), 15015,
+    (100, 208, 572, 3432, -12012, 30030), 45045,
+    (1,), 9009, (-2944, 468), 135135, (5792, 1040, -1287), 135135,
+    (5952, -11648, 9152, -2574), 135135,
+    (-64, -624, 4576, -6864, 3003), 135135,
+    (8,), 10725, (1856, -936), 225225, (-8448, 4992, -1144), 225225,
+    (-1440, 4160, -4576, 1716), 225225,
+    (-136,), 63063, (1024, -208), 105105, (3584, -3328, 1144), 315315,
+    (-128,), 135135, (-2560, 832), 405405,
+    (128,), 99099,
+)
+
+
+def _c4x(n: float) -> tuple:
+    """Evaluate the C4 coefficient polynomials at the third
+    flattening (geodesic.c C4coeff loop ordering)."""
+    out = []
+    it = iter(range(0, len(_C4_COEFF), 2))
+    for k in it:
+        poly = _C4_COEFF[k]
+        denom = _C4_COEFF[k + 1]
+        out.append(float(_polyval_arr(tuple(float(c) for c in poly), n))
+                   / denom)
+    return tuple(out)
+
+
+def _C4f(g: "Geodesic", c4x: tuple, eps):
+    """C4 Fourier coefficients at eps (geodesic.c C4f)."""
+    c = []
+    mult = np.ones_like(eps)
+    o = 0
+    for ell in range(nC4):
+        m = nC4 - ell - 1
+        c.append(mult * _polyval_arr(c4x[o:o + m + 1], eps))
+        o += m + 1
+        mult = mult * eps
+    return c
+
+
+def authalic_c2(g: Geodesic) -> float:
+    """Authalic radius squared (geod_init, geodesic.c:309-313)."""
+    if g.e2 == 0:
+        q = 1.0
+    elif g.e2 > 0:
+        q = math.atanh(math.sqrt(g.e2)) / math.sqrt(g.e2)
+    else:
+        q = math.atan(math.sqrt(-g.e2)) / math.sqrt(-g.e2)
+    return (g.a * g.a + g.b * g.b * q) / 2.0
+
+
+def _area_S12(g: Geodesic, meridian, sbet1, cbet1, sbet2, cbet2,
+              salp1, calp1, salp2, calp2, somg12, comg12):
+    """Area between a geodesic segment and the equator, evaluated in
+    the solver's canonical frame (geod_geninverse_int GEOD_AREA path,
+    geodesic.c:956-1017).  The caller applies the
+    ``swapp * lonsign * latsign`` unwind."""
+    c4x = _c4x(g.n)
+    salp0 = salp1 * cbet1
+    calp0 = np.hypot(calp1, salp1 * sbet1)
+    c2 = authalic_c2(g)
+
+    S12 = np.zeros_like(salp0)
+    nz = (calp0 != 0) & (salp0 != 0)
+    if nz.any():
+        i = np.flatnonzero(nz)
+        ssig1, csig1 = _norm2(sbet1[i], calp1[i] * cbet1[i])
+        ssig2, csig2 = _norm2(sbet2[i], calp2[i] * cbet2[i])
+        k2 = calp0[i] ** 2 * g.ep2
+        eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+        A4 = g.a * g.a * calp0[i] * salp0[i] * g.e2
+        c4 = _C4f(g, c4x, eps)
+        B41 = _sincos_series(False, ssig1, csig1, c4)
+        B42 = _sincos_series(False, ssig2, csig2, c4)
+        S12[i] = A4 * (B42 - B41)
+
+    # spherical excess alp12: tan(Gamma/2) refinement when the points
+    # are close (geodesic.c:985-996), else alp2 - alp1 with the
+    # signed-zero tie fix (geodesic.c:997-1012)
+    dbet1 = 1 + cbet1
+    dbet2 = 1 + cbet2
+    domg12 = 1 + comg12
+    alp12_tan = 2 * np.arctan2(somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+                               domg12 * (sbet1 * sbet2 + dbet1 * dbet2))
+    salp12 = salp2 * calp1 - calp2 * salp1
+    calp12 = calp2 * calp1 + salp2 * salp1
+    fix = (salp12 == 0) & (calp12 < 0)
+    salp12 = np.where(fix, _TINY * calp1, salp12)
+    calp12 = np.where(fix, -1.0, calp12)
+    alp12_fb = np.arctan2(salp12, calp12)
+    use_tan = (~meridian) & (comg12 > -0.7071) & (sbet2 - sbet1 < 1.75)
+    alp12 = np.where(use_tan, alp12_tan, alp12_fb)
+    return S12 + c2 * alp12
+
+
+def _transit(lon1, lon2):
+    """Prime-meridian crossing direction (geodesic.c transit)."""
+    lon12, _ = _ang_diff(lon1, lon2)
+    l1 = _ang_normalize(lon1)
+    l2 = _ang_normalize(lon2)
+    pos = (lon12 > 0) & (((l1 < 0) & (l2 >= 0)) | ((l1 > 0) & (l2 == 0)))
+    neg = (lon12 < 0) & (l1 >= 0) & (l2 < 0)
+    return np.where(pos, 1, np.where(neg, -1, 0))
+
+
+def polygon_area_perimeter(g: Geodesic, lats, lons,
+                           polyline: bool = False):
+    """geod_polygonarea (geodesic.c planimeter path): perimeter and
+    signed area (m^2, counter-clockwise positive) of the polygon with
+    the given vertices.  Vectorized over edges; the closing edge is
+    added automatically."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    la1, lo1 = lats, lons
+    la2 = np.roll(lats, -1)
+    lo2 = np.roll(lons, -1)
+    if polyline:
+        la1, lo1 = lats[:-1], lons[:-1]
+        la2, lo2 = lats[1:], lons[1:]
+    if polyline:
+        s12, _, _, _ = inverse(g, la1, lo1, la2, lo2)
+        return float(np.sum(s12)), None
+    s12, azi1, azi2, _, S12 = inverse(g, la1, lo1, la2, lo2, want_area=True)
+    perimeter = float(np.sum(s12))
+    crossings = int(np.sum(_transit(lo1, lo2)))
+    area0 = 4 * math.pi * authalic_c2(g)
+    area = math.remainder(-float(np.sum(S12)), area0)
+    if crossings % 2:
+        area += (area0 / 2) if area < 0 else (-area0 / 2)
+    # sign convention: put area in (-area0/2, area0/2]
+    if area > area0 / 2:
+        area -= area0
+    elif area <= -area0 / 2:
+        area += area0
+    return perimeter, area

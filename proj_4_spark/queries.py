@@ -1876,3 +1876,34 @@ def q_url_canonical(spark, sf_dir):
     return (urls.select("doc_id",
                         TS.canonical_url(F.col("url")).alias("canon"))
                 .orderBy("doc_id"))
+
+
+from .operators import geopolygon as GP  # noqa: E402
+
+
+@register("polygon_area_sphere", O.polygon_area_sphere_sql())
+def q_polygon_area_sphere(spark, sf_dir):
+    """Distributed geodesic polygon area (geod_polygonarea,
+    src/geodesic.c:1567-1727) over deterministic doc_id-derived
+    vertex rings on the authalic sphere: window-lead edge table ->
+    one vectorized Karney pass (f=0) -> per-polygon hash agg with the
+    Catalyst remainder/crossing correction.  Oracle: independent
+    signed spherical-excess fan + haversine perimeter in DuckDB.
+    The ellipsoidal path of the same operator is pinned by the
+    transcribed Planimeter goldens (tests/test_geodesic_area.py,
+    tests/test_geopolygon.py)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    v = d.select(
+        (F.col("doc_id") % 101).alias("poly_id"),
+        F.col("doc_id").alias("vertex_id"),
+        (F.lit(10.0) + (F.col("doc_id") * 7 % 37).cast("double")
+         * F.lit(0.1)).alias("lat"),
+        (F.lit(20.0) + (F.col("doc_id") * 11 % 41).cast("double")
+         * F.lit(0.1)).alias("lon"))
+    out = GP.polygon_area(v, a=6370997.0, f=0.0)
+    return (out.select(
+                "poly_id", "n_vertices",
+                (F.round("perimeter_m", 2) + 0.0).alias("perim_m"),
+                (F.round(F.col("area_m2") / 1e6, 3) + 0.0)
+                .alias("area_km2"))
+               .orderBy("poly_id"))
