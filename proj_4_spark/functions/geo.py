@@ -196,6 +196,26 @@ def geodesic_inverse_udf(a: float | None = None, f: float | None = None):
     return _inv
 
 
+def geodesic_direct_udf(a: float | None = None, f: float | None = None):
+    """pandas UDF (lat1,lon1,azi1 degrees, s12 m) ->
+    struct<lat2 double, lon2 double, azi2 double>  (Karney direct,
+    /root/reference/src/geodesic.c:686)."""
+    ga = 6378137.0 if a is None else a
+    gf = 1 / 298.257223563 if f is None else f
+    g = k_geod.Geodesic.init(ga, gf)
+
+    @pandas_udf("struct<lat2: double, lon2: double, azi2: double>")
+    def _dir(lat1: pd.Series, lon1: pd.Series,
+             azi1: pd.Series, s12: pd.Series) -> pd.DataFrame:
+        lat2, lon2, azi2 = run_chunked(
+            lambda a_, b, c, d: k_geod.direct(g, a_, b, c, d),
+            lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            azi1.to_numpy(np.float64), s12.to_numpy(np.float64))
+        return pd.DataFrame({"lat2": lat2, "lon2": lon2, "azi2": azi2})
+
+    return _dir
+
+
 # ----------------- pure-Catalyst (JVM codegen) expressions ---------------
 
 _R_MEAN = 6371008.8  # IUGG mean earth radius

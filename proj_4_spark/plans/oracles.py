@@ -2135,3 +2135,44 @@ SELECT poly_id, n_vertices,
   (round({r!r}*{r!r}*excess/1e6, 3) + 0.0) AS area_km2
 FROM s ORDER BY poly_id
 """
+
+
+def geodesic_direct_sphere_sql(r: float = 6370997.0) -> str:
+    """Oracle for ``geodesic_direct_sphere``: the closed-form
+    spherical direct solution (destination point + forward azimuth at
+    the destination from the spherical triangle identities) — fully
+    independent of the engine's Karney series solver, which it meets
+    at <1e-12 degrees when f=0 (measured; rounding is 1e-6)."""
+    return f"""
+WITH coords AS ({coords_cte()}),
+p AS (
+  SELECT doc_id,
+         radians(lat) AS p1, radians(lon) AS l1,
+         radians(CAST((doc_id*13) % 360 AS DOUBLE) - 180.0 + 0.5) AS a,
+         (100000.0 + CAST(doc_id % 97 AS DOUBLE)*10000.0) / {r!r} AS d
+  FROM coords
+), o AS (
+  SELECT doc_id, p1, l1, a, d,
+         sin(p1)*cos(d) + cos(p1)*sin(d)*cos(a) AS sp2,
+         atan2(sin(a)*sin(d)*cos(p1),
+               cos(d) - sin(p1)*(sin(p1)*cos(d)
+                                 + cos(p1)*sin(d)*cos(a))) AS dl
+  FROM p
+), q AS (
+  -- sin(phi2) = sp2, cos(phi2) = sqrt(1 - sp2^2) (phi2 in [-90,90])
+  SELECT doc_id,
+         degrees(asin(greatest(-1.0, least(1.0, sp2)))) AS lat2,
+         degrees(l1) + degrees(dl) AS lon2r,
+         degrees(atan2(sin(dl)*cos(p1),
+                       sp2*cos(p1)*cos(dl)
+                       - sqrt(greatest(0.0, 1.0 - sp2*sp2))*sin(p1)))
+           AS azi2
+  FROM o
+)
+SELECT doc_id,
+  (round(lat2, 6) + 0.0) AS lat2,
+  (round(((lon2r + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) + 0.0)
+    AS lon2,
+  (round(azi2, 6) + 0.0) AS azi2
+FROM q ORDER BY doc_id
+"""

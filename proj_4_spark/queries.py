@@ -1907,3 +1907,28 @@ def q_polygon_area_sphere(spark, sf_dir):
                 (F.round(F.col("area_m2") / 1e6, 3) + 0.0)
                 .alias("area_km2"))
                .orderBy("poly_id"))
+
+
+@register("geodesic_direct_sphere", O.geodesic_direct_sphere_sql())
+def q_geodesic_direct_sphere(spark, sf_dir):
+    """The direct geodesic problem (geod_direct, src/geodesic.c:686)
+    through the driver gate: per-document azimuth/distance derived
+    from doc_id, destination + forward azimuth computed by the Karney
+    series solver on the authalic sphere (f=0).  Oracle: the
+    closed-form spherical direct solution — an independent derivation
+    meeting the solver at <1e-12 deg (rounding 1e-6).  The ellipsoidal
+    direct path is pinned by geodtest.c goldens and the 1000-point
+    direct/inverse roundtrip in tests/test_geodesic.py."""
+    pts = _coords(spark, sf_dir)
+    az = ((F.col("doc_id") * 13 % 360).cast("double")
+          - F.lit(180.0) + F.lit(0.5))
+    s = F.lit(100000.0) + (F.col("doc_id") % 97).cast("double") * 10000.0
+    u = G.geodesic_direct_udf(6370997.0, 0.0)
+    d = pts.withColumn("_d", u(F.col("lat"), F.col("lon"), az, s))
+    lon2 = ((F.col("_d.lon2") + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    return (d.select(
+                "doc_id",
+                (F.round("_d.lat2", 6) + 0.0).alias("lat2"),
+                (F.round(lon2, 6) + 0.0).alias("lon2"),
+                (F.round("_d.azi2", 6) + 0.0).alias("azi2"))
+               .orderBy("doc_id"))
