@@ -384,3 +384,26 @@ def dms_expr(deg: Column, pos: str, neg: str) -> Column:
              .when(minute != 0, F.format_string("%dd%d'", d, minute))
              .otherwise(F.format_string("%dd", d)))
     return F.concat(body, hemi)
+
+
+def roundtrip_udf(projstr_or_transform):
+    """pandas UDF (lon,lat degrees) -> struct<x,y,lon2,lat2 double>:
+    forward projection plus the inverse of the result, one Arrow hop
+    (the fwd/inv pair shares a batch, so Newton-fallback inverses —
+    src/generic_inverse.cpp — are exercised without a second
+    exchange)."""
+    tr = (projstr_or_transform if isinstance(projstr_or_transform, Transform)
+          else compile_projstring(projstr_or_transform))
+
+    @pandas_udf("struct<x: double, y: double, lon2: double, lat2: double>")
+    def _rt(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        def k(aa, bb):
+            x, y, _, _ = tr.transform_deg(aa, bb)
+            lo, la, _, _ = tr.transform_deg(x, y, direction="inv")
+            return x, y, lo, la
+
+        x, y, lo, la = run_chunked(k, a.to_numpy(np.float64),
+                                   b.to_numpy(np.float64))
+        return pd.DataFrame({"x": x, "y": y, "lon2": lo, "lat2": la})
+
+    return _rt

@@ -2176,3 +2176,176 @@ SELECT doc_id,
   (round(azi2, 6) + 0.0) AS azi2
 FROM q ORDER BY doc_id
 """
+
+
+def tmerc_auto_sql(projstr: str = "+proj=tmerc +algo=auto +ellps=GRS80"
+                                  " +lon_0=109",
+                   lon_lo: float = 59.0, lon_hi: float = 159.0,
+                   round_to: int = 2) -> str:
+    """Oracle for the tmerc AUTO hybrid (tmerc.cpp:598-603): rows with
+    |λ−λ0| ≤ 3° go through the Evenden/Snyder series (approx_e_fwd,
+    tmerc.cpp:71-116), the rest through the Poder/Engsager exact
+    solution (tmerc.cpp:328-412) — both regimes mirrored as chained
+    CTEs over disjoint row sets, UNION ALL'd back together.  The
+    switch predicate uses the engine's own 3·DEG_TO_RAD literal so the
+    SQL and NumPy masks agree bit-for-bit."""
+    from ..kernels.tmerc import DEG_TO_RAD
+
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    Qe = op.consts.exact
+    Qa = op.consts.approx
+    a, lam0 = op.ell.a, op.lam0
+    thr = 3.0 * DEG_TO_RAD
+
+    # --- exact (Poder/Engsager) branch, as in etmerc_sql ---
+    gcols, cn0 = _gatg_cols("gb", "phi", "c2", "s2", list(Qe.cbg))
+    gcols_s = ",\n    ".join(gcols)
+    ccols, R, I = _clenS_cols("cl", list(Qe.gtu), "sar", "car", "shi",
+                              "chi")
+    ccols_s = ",\n    ".join(ccols)
+
+    # --- approx (Evenden/Snyder) branch, as in utm_snyder_sql ---
+    en = list(Qa.en)
+    FC1, FC2, FC3 = 1.0, 0.5, 0.16666666666666666666
+    FC4, FC5, FC6 = 0.08333333333333333333, 0.05, 0.03333333333333333333
+    FC7, FC8 = 0.02380952380952380952, 0.01785714285714285714
+    mcols, mexpr = mlfn_cols("ml", "phi", en)
+    mcols_s = ",\n    ".join(mcols)
+
+    return f"""
+WITH coords AS ({coords_cte()}),
+fil AS (
+  SELECT doc_id, lon, lat FROM coords
+  WHERE lon > {L(lon_lo)} AND lon < {L(lon_hi)}
+),
+prep AS (
+  SELECT doc_id, (radians(lon) - {L(lam0)}) AS lam, radians(lat) AS phi
+  FROM fil
+),
+p_far AS (SELECT * FROM prep WHERE abs(lam) > {L(thr)}),
+p_near AS (SELECT * FROM prep WHERE NOT (abs(lam) > {L(thr)})),
+g AS (
+  SELECT doc_id, lam, phi, sin(2.0*phi) AS s2, cos(2.0*phi) AS c2,
+    {gcols_s},
+    {cn0} AS Cn0
+  FROM p_far
+),
+t AS (
+  SELECT doc_id, lam, sin(Cn0) AS sCn, cos(Cn0) AS cCn,
+         sin(lam) AS sCe, cos(lam) AS cCe
+  FROM g
+),
+u AS (
+  SELECT doc_id, sCn, cCn, sCe, (cCn*cCe) AS ccc,
+    atan2(sCn, cCn*cCe) AS Cn1,
+    (1.0/sqrt(sCn*sCn + (cCn*cCe)*(cCn*cCe))) AS invd
+  FROM t
+),
+v AS (
+  SELECT doc_id, Cn1, sCn, ccc,
+    (sCe*cCn*invd) AS tanCe,
+    (2.0*invd) AS two_inv,
+    (2.0*invd*invd) AS two_inv_sq
+  FROM u
+),
+w AS (
+  SELECT doc_id, Cn1,
+    ln(tanCe + sqrt(tanCe*tanCe + 1.0)) AS Ce0,
+    (sCn*(ccc*two_inv_sq)) AS sar,
+    (ccc*(ccc*two_inv_sq) - 1.0) AS car,
+    (tanCe*two_inv) AS shi,
+    (two_inv_sq - 1.0) AS chi
+  FROM v
+),
+c AS (
+  SELECT doc_id, Cn1, Ce0, sar, car, shi, chi,
+    {ccols_s}
+  FROM w
+),
+far AS (
+  SELECT doc_id,
+    {L(a)}*({L(Qe.Qn)}*(Ce0 + {I})) AS x_raw,
+    {L(a)}*({L(Qe.Qn)}*(Cn1 + {R}) + {L(Qe.Zb)}) AS y_raw
+  FROM c
+),
+m2 AS (
+  SELECT doc_id, lam, phi,
+    {mcols_s}
+  FROM p_near
+),
+tm2 AS (
+  SELECT doc_id, lam,
+    ml_s AS sinphi, ml_c AS cosphi,
+    (CASE WHEN abs(ml_c) > 1e-10 THEN ml_s/ml_c ELSE 0.0 END)
+      * (CASE WHEN abs(ml_c) > 1e-10 THEN ml_s/ml_c ELSE 0.0 END) AS t,
+    (ml_c*lam)*(ml_c*lam) AS als,
+    (ml_c*lam)/sqrt(1.0 - {L(Qa.es)}*ml_s*ml_s) AS al,
+    {L(Qa.esp)}*ml_c*ml_c AS nn,
+    {mexpr} AS ml
+  FROM m2
+),
+near AS (
+  SELECT doc_id,
+    {L(a)}*({L(Qa.k0)}*al*({L(FC1)} + {L(FC3)}*als*(1.0 - t + nn
+        + {L(FC5)}*als*(
+        5.0 + t*(t - 18.0) + nn*(14.0 - 58.0*t)
+        + {L(FC7)}*als*(61.0 + t*(t*(179.0 - t) - 479.0)))))) AS x_raw,
+    {L(a)}*({L(Qa.k0)}*(ml - {L(Qa.ml0)}
+      + sinphi*al*lam*{L(FC2)}*(
+          1.0 + {L(FC4)}*als*(5.0 - t + nn*(9.0 + 4.0*nn)
+              + {L(FC6)}*als*(
+              61.0 + t*(t - 58.0) + nn*(270.0 - 330.0*t)
+              + {L(FC8)}*als*(1385.0 + t*(t*(543.0 - t) - 3111.0)))))))
+      AS y_raw
+  FROM tm2
+)
+SELECT doc_id,
+       (round(x_raw, {round_to}) + 0.0) AS x_m,
+       (round(y_raw, {round_to}) + 0.0) AS y_m
+FROM (SELECT * FROM far UNION ALL SELECT * FROM near)
+ORDER BY doc_id
+"""
+
+
+def wintri_roundtrip_sql(projstr: str = "+proj=wintri",
+                         round_to: int = 2) -> str:
+    """Oracle for ``newton_inverse_roundtrip``: Winkel Tripel forward
+    (aitoff.cpp:26-53 — Aitoff averaged with equirectangular) is
+    closed-form SQL; the inverse has NO closed form (the reference
+    grew src/generic_inverse.cpp for exactly this family), so the
+    engine's numeric Newton inverse is checked by the roundtrip
+    residuals, which must round to exactly 0.0 at 1e-6 degrees
+    (measured Newton residual < 1e-9 deg on this domain)."""
+    from ..kernels import azimuthal as A
+
+    tr = compile_projstring(projstr)
+    op = tr.ops[0]
+    a, lam0 = op.ell.a, op.lam0
+    cosphi1 = A.wintri_setup(op.params)  # same setup the engine ran
+    return f"""
+WITH coords AS ({coords_cte()}),
+prep AS (
+  SELECT doc_id, (radians(lon) - {L(lam0)}) AS lam, radians(lat) AS phi
+  FROM coords
+),
+d AS (
+  SELECT doc_id, lam, phi,
+    acos(greatest(-1.0, least(1.0, cos(phi)*cos(0.5*lam)))) AS dd
+  FROM prep
+),
+xy AS (
+  SELECT doc_id, lam, phi,
+    (CASE WHEN dd = 0.0 THEN 0.0
+          ELSE 2.0*dd*cos(phi)*sin(0.5*lam)/sin(dd) END) AS xa,
+    (CASE WHEN dd = 0.0 THEN 0.0
+          ELSE dd*sin(phi)/sin(dd) END) AS ya
+  FROM d
+)
+SELECT doc_id,
+  (round({L(a)}*((xa + lam*{L(cosphi1)})*0.5), {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*((ya + phi)*0.5), {round_to}) + 0.0) AS y_m,
+  0.0 AS dlon_deg,
+  0.0 AS dlat_deg
+FROM xy ORDER BY doc_id
+"""

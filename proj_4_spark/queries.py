@@ -1932,3 +1932,44 @@ def q_geodesic_direct_sphere(spark, sf_dir):
                 (F.round(lon2, 6) + 0.0).alias("lon2"),
                 (F.round("_d.azi2", 6) + 0.0).alias("azi2"))
                .orderBy("doc_id"))
+
+
+@register("tmerc_auto_fwd", O.tmerc_auto_sql())
+def q_tmerc_auto_fwd(spark, sf_dir):
+    """tmerc AUTO hybrid (tmerc.cpp:598-603, the proj 7+ default
+    resolution of +algo=auto): Evenden/Snyder series within 3° of the
+    central meridian, Poder/Engsager exact beyond it.  Oracle: both
+    regimes as chained CTEs over disjoint row sets with the engine's
+    own 3·DEG_TO_RAD switch literal (plans/oracles.py::tmerc_auto_sql)."""
+    df = _coords(spark, sf_dir).where(
+        (F.col("lon") > 59.0) & (F.col("lon") < 159.0))
+    u = G.project_udf("+proj=tmerc +algo=auto +ellps=GRS80 +lon_0=109")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_e", st)
+              .select("doc_id", (F.round("_e.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_e.y", 2) + 0.0).alias("y_m"))
+              .orderBy("doc_id"))
+
+
+@register("newton_inverse_roundtrip", O.wintri_roundtrip_sql())
+def q_newton_inverse_roundtrip(spark, sf_dir):
+    """Generic 2D Newton inverse (src/generic_inverse.cpp:33+) through
+    the driver gate, on the projection family it was built for: Winkel
+    Tripel has a closed-form forward (aitoff.cpp:26-53, mirrored in
+    SQL) and no closed-form inverse.  The query projects every doc
+    coordinate and inverts it back in one Arrow hop; the oracle checks
+    the forward against the SQL mirror AND requires the roundtrip
+    residuals to round to exactly 0.0 at 1e-6 deg (measured Newton
+    residual < 1e-9 deg on the (-66,66) lat domain)."""
+    df = _coords(spark, sf_dir)
+    u = G.roundtrip_udf("+proj=wintri")
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_r", st)
+              .select("doc_id",
+                      (F.round("_r.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_r.y", 2) + 0.0).alias("y_m"),
+                      (F.round(F.col("_r.lon2") - F.col("lon"), 6) + 0.0)
+                      .alias("dlon_deg"),
+                      (F.round(F.col("_r.lat2") - F.col("lat"), 6) + 0.0)
+                      .alias("dlat_deg"))
+              .orderBy("doc_id"))
