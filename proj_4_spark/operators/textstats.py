@@ -142,3 +142,43 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, "\\?$", "")
     return F.when(scheme == "", url).otherwise(
         F.concat(scheme, F.lit("://"), hostport, rest))
+
+
+def repetition_signals(docs) -> "DataFrame":
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1 'repetition removal', re-expressed over whitespace
+    tokens): type-token ratio, fraction of tokens covered by the most
+    frequent 2-gram / 3-gram, and fraction of tokens inside duplicated
+    2-grams.  n-gram counting is explode + groupBy(doc_id, gram) —
+    map-side combinable, shuffle key well-distributed at web scale
+    (doc_id × gram), no per-row Python."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = d.select("doc_id", F.size("toks").alias("n_tokens"),
+                    F.size(F.array_distinct("toks")).alias("n_distinct"))
+    bg = d.select("doc_id", F.explode(F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).alias("g"))
+    g2 = (bg.groupBy("doc_id", "g").count()
+            .groupBy("doc_id")
+            .agg(F.max("count").alias("top2"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("count") > 1, F.col("count"))),
+                     F.lit(0)).alias("dup2")))
+    tg = d.select("doc_id", F.explode(F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(toks, i + 2), ' ',"
+        " element_at(toks, i + 3)))")).alias("g"))
+    g3 = (tg.groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top3")))
+    n = F.col("n_tokens").cast("double")
+    return (base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                (F.round(F.col("n_distinct").cast("double") / n, 6) + 0.0)
+                .alias("distinct_ratio"),
+                (F.round(F.coalesce(F.col("top2"), F.lit(0)).cast("double")
+                         * 2.0 / n, 6) + 0.0).alias("top_2gram_frac"),
+                (F.round(F.coalesce(F.col("dup2"), F.lit(0)).cast("double")
+                         * 2.0 / n, 6) + 0.0).alias("dup_2gram_frac"),
+                (F.round(F.coalesce(F.col("top3"), F.lit(0)).cast("double")
+                         * 3.0 / n, 6) + 0.0).alias("top_3gram_frac")))

@@ -1973,3 +1973,51 @@ def q_newton_inverse_roundtrip(spark, sf_dir):
                       (F.round(F.col("_r.lat2") - F.col("lat"), 6) + 0.0)
                       .alias("dlat_deg"))
               .orderBy("doc_id"))
+
+
+@register("repetition_signals", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+),
+e2 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(greatest(len(toks)-1, 0)),
+                          i -> toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, max(cnt) AS top2,
+         coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup2
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM e2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+e3 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(greatest(len(toks)-2, 0)),
+           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+  FROM t
+),
+g3 AS (
+  SELECT doc_id, max(cnt) AS top3
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM e3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, n_tokens,
+  (round(CAST(n_distinct AS DOUBLE)/n_tokens, 6) + 0.0) AS distinct_ratio,
+  (round(coalesce(top2, 0)*2.0/n_tokens, 6) + 0.0) AS top_2gram_frac,
+  (round(coalesce(dup2, 0)*2.0/n_tokens, 6) + 0.0) AS dup_2gram_frac,
+  (round(coalesce(top3, 0)*3.0/n_tokens, 6) + 0.0) AS top_3gram_frac
+FROM b LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+ORDER BY doc_id
+""")
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate/top n-gram
+    fractions, type-token ratio) — the standard web-corpus repetition
+    filters, re-expressed as explode + groupBy n-gram counting
+    (operators/textstats.py::repetition_signals)."""
+    return TS.repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
