@@ -182,3 +182,33 @@ def repetition_signals(docs) -> "DataFrame":
                          * 2.0 / n, 6) + 0.0).alias("dup_2gram_frac"),
                 (F.round(F.coalesce(F.col("top3"), F.lit(0)).cast("double")
                          * 3.0 / n, 6) + 0.0).alias("top_3gram_frac")))
+
+
+def bm25_scores(docs, terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75) -> "DataFrame":
+    """Okapi BM25 score of every document against a fixed term set
+    (Robertson et al.; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))).  Corpus statistics (N, avgdl,
+    per-term df) are a one-row aggregate cross-joined back broadcast —
+    no driver-side collect, so the plan is a single scan + tiny
+    broadcast at any corpus size."""
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    d = d.withColumn("dl", F.size("toks").cast("double"))
+    stats_aggs = [F.count(F.lit(1)).cast("double").alias("n_docs"),
+                  F.avg("dl").alias("avgdl")]
+    for j, t in enumerate(terms):
+        stats_aggs.append(
+            F.sum(F.array_contains("toks", t).cast("double"))
+            .alias(f"df_{j}"))
+    stats = d.agg(*stats_aggs)
+    scored = d.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for j, t in enumerate(terms):
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{j}") + 0.5)
+                    / (F.col(f"df_{j}") + 0.5))
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    return scored.select("doc_id", score.alias("bm25"))

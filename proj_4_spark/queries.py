@@ -2021,3 +2021,51 @@ def q_repetition_signals(spark, sf_dir):
     filters, re-expressed as explode + groupBy n-gram counting
     (operators/textstats.py::repetition_signals)."""
     return TS.repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def _bm25_sql(terms=_BM25_TERMS) -> str:
+    dfs = ",\n    ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1.0 ELSE 0.0 END)"
+        f" AS df_{j}" for j, t in enumerate(terms))
+    # mirrors operators/textstats.py::bm25_scores term-by-term with the
+    # same association order (Python folds 1.0-b to 0.25 before the
+    # Column graph, so the SQL uses the folded literal too)
+    parts = []
+    for j, t in enumerate(terms):
+        tf = (f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)")
+        parts.append(
+            f"(ln(1.0 + (n_docs - df_{j} + 0.5)/(df_{j} + 0.5))"
+            f" * {tf} * (1.2 + 1.0)"
+            f" / ({tf} + 1.2*(0.25 + 0.75*dl/avgdl)))")
+    score = " + ".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+    {dfs}
+  FROM d
+)
+SELECT doc_id, (round({score}, 6) + 0.0) AS bm25
+FROM d, s
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_top10", _bm25_sql())
+def q_bm25_top10(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval over the corpus for a fixed term
+    set — corpus stats (N, avgdl, df) as a one-row broadcast
+    aggregate, scoring pure Catalyst
+    (operators/textstats.py::bm25_scores)."""
+    scored = TS.bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+    return (scored.select("doc_id",
+                          (F.round("bm25", 6) + 0.0).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id").limit(10))
