@@ -441,3 +441,34 @@ def null_grid(vertical: bool = False) -> Grid:
     shape = (2, 2) if vertical else (2, 2, 2)
     return Grid(lon0=-np.pi, lat0=-np.pi / 2.0, dlon=2.0 * np.pi,
                 dlat=np.pi, values=np.zeros(shape))
+
+
+def synthetic_velgrid(n: int = 41) -> Grid:
+    """Deterministic ENU velocity grid (mm/yr bands [ve, vn, vu]) over
+    an NZ-ish extent, analytic node values so the deformation oracle
+    (transformations/deformation.cpp semantics) can rebuild every node
+    in closed-form SQL."""
+    lon = np.linspace(np.radians(165.0), np.radians(180.0), n)
+    lat = np.linspace(np.radians(-48.0), np.radians(-34.0), n)
+    LO, LA = np.meshgrid(lon, lat)
+    ve = 20.0 * np.sin(2 * LO) * np.cos(3 * LA)
+    vn = 15.0 * np.cos(3 * LO) * np.sin(2 * LA)
+    vu = 5.0 * np.sin(LO + LA)
+    return Grid(lon0=float(lon[0]), lat0=float(lat[0]),
+                dlon=float(lon[1] - lon[0]), dlat=float(lat[1] - lat[0]),
+                values=np.stack([ve, vn, vu], axis=-1))
+
+
+def synthetic_tin() -> Tin:
+    """Four-triangle fan over the [0,10]^2 square (center vertex) with
+    distinct per-vertex target coords + dz — a minimal but non-affine
+    tinshift model (transformations/tinshift.cpp)."""
+    vertices = np.array([
+        [0.0, 0.0, 0.5, 0.3, 0.2],
+        [10.0, 0.0, 10.3, -0.2, 0.5],
+        [10.0, 10.0, 10.1, 10.4, -0.3],
+        [0.0, 10.0, -0.2, 10.2, 0.1],
+        [5.0, 5.0, 5.25, 5.1, 0.05],
+    ])
+    triangles = np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4]])
+    return Tin(vertices=vertices, triangles=triangles, has_z=True)

@@ -2349,3 +2349,141 @@ SELECT doc_id,
   0.0 AS dlat_deg
 FROM xy ORDER BY doc_id
 """
+
+
+DEFORMATION_LONLAT = (
+    "(166.0 + CAST(doc_id % 130 AS DOUBLE)*0.1)",
+    "(-47.0 + CAST(doc_id % 120 AS DOUBLE)*0.1)",
+)
+
+
+def deformation_sql(dt: float = 5.0, round_to: int = 4) -> str:
+    """Oracle for the kinematic velocity-grid shift
+    (transformations/deformation.cpp): geodetic→cartesian (cart fwd,
+    closed-form at h=0), 4-corner bilinear of the analytic ENU
+    velocity field (node values rebuilt in SQL exactly as
+    synthetic_velgrid authored them), ENU→XYZ rotation, X' = X + dt·v.
+    The engine samples at cart.inv-recovered (λ,φ); with h=0 that
+    matches the inputs to ~1e-12 rad, far below the 0.1 mm rounding."""
+    from ..kernels.gridshift import synthetic_velgrid
+
+    g = synthetic_velgrid()
+    h, w = g.values.shape[:2]
+    lon_e, lat_e = DEFORMATION_LONLAT
+    X, Y, Z = cart_xyz(lon="lon", lat="lat")
+
+    def nx(i):
+        return f"({L(g.lon0)} + ({i})*{L(g.dlon)})"
+
+    def ny(j):
+        return f"({L(g.lat0)} + ({j})*{L(g.dlat)})"
+
+    def band(f):
+        v00 = f(nx("ix"), ny("iy"))
+        v10 = f(nx("ix+1"), ny("iy"))
+        v01 = f(nx("ix"), ny("iy+1"))
+        v11 = f(nx("ix+1"), ny("iy+1"))
+        return (f"((1.0-tx)*(1.0-ty)*{v00} + tx*(1.0-ty)*{v10}"
+                f" + (1.0-tx)*ty*{v01} + tx*ty*{v11})")
+
+    ve = band(lambda x_, y_: f"(20.0*sin(2.0*{x_})*cos(3.0*{y_}))")
+    vn = band(lambda x_, y_: f"(15.0*cos(3.0*{x_})*sin(2.0*{y_}))")
+    vu = band(lambda x_, y_: f"(5.0*sin({x_} + {y_}))")
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat FROM documents
+),
+f AS (
+  SELECT doc_id, lon, lat, radians(lon) AS la, radians(lat) AS ph,
+    (radians(lon) - {L(g.lon0)})/{L(g.dlon)} AS fx,
+    (radians(lat) - {L(g.lat0)})/{L(g.dlat)} AS fy
+  FROM pts
+),
+c AS (
+  SELECT *, least(greatest(CAST(floor(fx) AS INTEGER), 0), {w - 2}) AS ix,
+            least(greatest(CAST(floor(fy) AS INTEGER), 0), {h - 2}) AS iy
+  FROM f
+),
+tt AS (SELECT *, fx - ix AS tx, fy - iy AS ty FROM c),
+v AS (
+  SELECT doc_id, lon, lat, la, ph,
+    {ve}/1000.0 AS ve, {vn}/1000.0 AS vn, {vu}/1000.0 AS vu
+  FROM tt
+),
+sh AS (
+  SELECT doc_id, lon, lat,
+    sin(ph) AS sp, cos(ph) AS cp, sin(la) AS sl, cos(la) AS cl,
+    ve, vn, vu
+  FROM v
+),
+d AS (
+  SELECT doc_id, lon, lat,
+    (-sp*cl*vn - sl*ve + cp*cl*vu) AS dx,
+    (-sp*sl*vn + cl*ve + cp*sl*vu) AS dy,
+    (cp*vn + sp*vu) AS dz
+  FROM sh
+)
+SELECT doc_id,
+  (round({X} + {L(dt)}*dx, {round_to}) + 0.0) AS x_m,
+  (round({Y} + {L(dt)}*dy, {round_to}) + 0.0) AS y_m,
+  (round({Z} + {L(dt)}*dz, {round_to}) + 0.0) AS z_m
+FROM d ORDER BY doc_id
+"""
+
+
+TINSHIFT_XY = (
+    "(0.05 + CAST((doc_id * 7) % 197 AS DOUBLE)*0.05)",
+    "(0.05 + CAST((doc_id * 11) % 193 AS DOUBLE)*0.05)",
+)
+
+
+def tinshift_sql(round_to: int = 6) -> str:
+    """Oracle for the triangulation shift
+    (transformations/tinshift.cpp): per-triangle barycentric weights
+    (same determinant formulation and -1e-12 containment epsilon as
+    kernels/gridshift.py::tin_locate), FIRST containing triangle wins
+    (min k), then barycentric interpolation of the target vertex
+    coordinates and dz."""
+    from ..kernels.gridshift import synthetic_tin
+
+    tin = synthetic_tin()
+    V, T = tin.vertices, tin.triangles
+    rows = []
+    for k, (i0, i1, i2) in enumerate(T):
+        vals = [str(k)]
+        for i in (i0, i1, i2):
+            vals += [L(V[i, 0]), L(V[i, 1])]
+        for i in (i0, i1, i2):
+            vals += [L(V[i, 2]), L(V[i, 3]), L(V[i, 4])]
+        rows.append("(" + ", ".join(vals) + ")")
+    values = ",\n    ".join(rows)
+    xe, ye = TINSHIFT_XY
+    return f"""
+WITH tri(k, x0, y0, x1, y1, x2, y2,
+         tx0, ty0, dz0, tx1, ty1, dz1, tx2, ty2, dz2) AS (VALUES
+    {values}
+),
+pts AS (
+  SELECT doc_id, {xe} AS x, {ye} AS y FROM documents
+),
+bary AS (
+  SELECT doc_id, x, y, k, tx0, ty0, dz0, tx1, ty1, dz1, tx2, ty2, dz2,
+    ((y1 - y2)*(x - x2) + (x2 - x1)*(y - y2))
+      / ((y1 - y2)*(x0 - x2) + (x2 - x1)*(y0 - y2)) AS a,
+    ((y2 - y0)*(x - x2) + (x0 - x2)*(y - y2))
+      / ((y1 - y2)*(x0 - x2) + (x2 - x1)*(y0 - y2)) AS b
+  FROM pts, tri
+),
+inside AS (
+  SELECT *, (1.0 - a - b) AS c,
+    row_number() OVER (PARTITION BY doc_id ORDER BY k) AS rn
+  FROM bary
+  WHERE a >= -1e-12 AND b >= -1e-12 AND (1.0 - a - b) >= -1e-12
+)
+SELECT doc_id,
+  (round(a*tx0 + b*tx1 + c*tx2, {round_to}) + 0.0) AS x_out,
+  (round(a*ty0 + b*ty1 + c*ty2, {round_to}) + 0.0) AS y_out,
+  (round(a*dz0 + b*dz1 + c*dz2, {round_to}) + 0.0) AS z_out
+FROM inside WHERE rn = 1 ORDER BY doc_id
+"""

@@ -2069,3 +2069,54 @@ def q_bm25_top10(spark, sf_dir):
     return (scored.select("doc_id",
                           (F.round("bm25", 6) + 0.0).alias("bm25"))
             .orderBy(F.col("bm25").desc(), "doc_id").limit(10))
+
+
+@register("deformation_cart", O.deformation_sql())
+def q_deformation_cart(spark, sf_dir):
+    """Kinematic velocity-grid shift
+    (transformations/deformation.cpp): cart fwd → bilinear ENU
+    velocity sample (mm/yr) → ENU→XYZ rotation → X + dt·v, on the
+    analytic synthetic_velgrid.  Oracle mirrors every stage in
+    closed-form SQL (plans/oracles.py::deformation_sql)."""
+    from .kernels.gridshift import synthetic_velgrid
+    from .proj import GRID_REGISTRY
+
+    GRID_REGISTRY.setdefault("bench_vel", synthetic_velgrid())
+    lon_e, lat_e = O.DEFORMATION_LONLAT
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select("doc_id", F.expr(lon_e).alias("lon"),
+                   F.expr(lat_e).alias("lat"))
+    u = G.project_udf("+proj=pipeline +step +proj=cart +ellps=GRS80"
+                      " +step +proj=deformation +dt=5 +grids=bench_vel"
+                      " +ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (pts.withColumn("_s", st)
+               .select("doc_id",
+                       (F.round("_s.x", 4) + 0.0).alias("x_m"),
+                       (F.round("_s.y", 4) + 0.0).alias("y_m"),
+                       (F.round("_s.z", 4) + 0.0).alias("z_m"))
+               .orderBy("doc_id"))
+
+
+@register("tinshift_fwd", O.tinshift_sql())
+def q_tinshift_fwd(spark, sf_dir):
+    """Triangulation-based shift (transformations/tinshift.cpp, the
+    Finnish/Swiss datum-modernisation pathway): first containing
+    triangle, barycentric interpolation of target coords + dz.
+    Oracle: the same determinant/epsilon arithmetic over a VALUES
+    triangle table (plans/oracles.py::tinshift_sql)."""
+    from .kernels.gridshift import synthetic_tin
+    from .proj import GRID_REGISTRY
+
+    GRID_REGISTRY.setdefault("bench_tin", synthetic_tin())
+    xe, ye = O.TINSHIFT_XY
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select("doc_id", F.expr(xe).alias("x"), F.expr(ye).alias("y"))
+    u = G.project_udf("+proj=tinshift +file=bench_tin")
+    st = u(F.col("x"), F.col("y"))
+    return (pts.withColumn("_s", st)
+               .select("doc_id",
+                       (F.round("_s.x", 6) + 0.0).alias("x_out"),
+                       (F.round("_s.y", 6) + 0.0).alias("y_out"),
+                       (F.round("_s.z", 6) + 0.0).alias("z_out"))
+               .orderBy("doc_id"))
