@@ -2487,3 +2487,62 @@ SELECT doc_id,
   (round(a*dz0 + b*dz1 + c*dz2, {round_to}) + 0.0) AS z_out
 FROM inside WHERE rn = 1 ORDER BY doc_id
 """
+
+
+def xyzgridshift_sql(mult: float = 0.01, round_to: int = 4) -> str:
+    """Oracle for the 3D cartesian grid shift
+    (transformations/xyzgridshift.cpp, grid_ref=input_crs forward):
+    cart fwd, bilinear (dx,dy,dz) sample at the input geodetic
+    coordinates scaled by +multiplier, direct add."""
+    from ..kernels.gridshift import synthetic_velgrid
+
+    g = synthetic_velgrid()
+    h, w = g.values.shape[:2]
+    lon_e, lat_e = DEFORMATION_LONLAT
+    X, Y, Z = cart_xyz(lon="lon", lat="lat")
+
+    def nx(i):
+        return f"({L(g.lon0)} + ({i})*{L(g.dlon)})"
+
+    def ny(j):
+        return f"({L(g.lat0)} + ({j})*{L(g.dlat)})"
+
+    def band(f):
+        v00 = f(nx("ix"), ny("iy"))
+        v10 = f(nx("ix+1"), ny("iy"))
+        v01 = f(nx("ix"), ny("iy+1"))
+        v11 = f(nx("ix+1"), ny("iy+1"))
+        return (f"((1.0-tx)*(1.0-ty)*{v00} + tx*(1.0-ty)*{v10}"
+                f" + (1.0-tx)*ty*{v01} + tx*ty*{v11})")
+
+    dx = band(lambda x_, y_: f"(20.0*sin(2.0*{x_})*cos(3.0*{y_}))")
+    dy = band(lambda x_, y_: f"(15.0*cos(3.0*{x_})*sin(2.0*{y_}))")
+    dz = band(lambda x_, y_: f"(5.0*sin({x_} + {y_}))")
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat FROM documents
+),
+f AS (
+  SELECT doc_id, lon, lat,
+    (radians(lon) - {L(g.lon0)})/{L(g.dlon)} AS fx,
+    (radians(lat) - {L(g.lat0)})/{L(g.dlat)} AS fy
+  FROM pts
+),
+c AS (
+  SELECT *, least(greatest(CAST(floor(fx) AS INTEGER), 0), {w - 2}) AS ix,
+            least(greatest(CAST(floor(fy) AS INTEGER), 0), {h - 2}) AS iy
+  FROM f
+),
+tt AS (SELECT *, fx - ix AS tx, fy - iy AS ty FROM c),
+d AS (
+  SELECT doc_id, lon, lat,
+    {dx}*{L(mult)} AS dx, {dy}*{L(mult)} AS dy, {dz}*{L(mult)} AS dz
+  FROM tt
+)
+SELECT doc_id,
+  (round({X} + dx, {round_to}) + 0.0) AS x_m,
+  (round({Y} + dy, {round_to}) + 0.0) AS y_m,
+  (round({Z} + dz, {round_to}) + 0.0) AS z_m
+FROM d ORDER BY doc_id
+"""

@@ -2120,3 +2120,29 @@ def q_tinshift_fwd(spark, sf_dir):
                        (F.round("_s.y", 6) + 0.0).alias("y_out"),
                        (F.round("_s.z", 6) + 0.0).alias("z_out"))
                .orderBy("doc_id"))
+
+
+@register("xyzgridshift_fwd", O.xyzgridshift_sql())
+def q_xyzgridshift_fwd(spark, sf_dir):
+    """3D cartesian grid shift (transformations/xyzgridshift.cpp,
+    grid_ref=input_crs): bilinear (dx,dy,dz) indexed by the input
+    point's geodetic coordinates, scaled by +multiplier, added in
+    geocentric space — the French RGF93↔NTF style pathway."""
+    from .kernels.gridshift import synthetic_velgrid
+    from .proj import GRID_REGISTRY
+
+    GRID_REGISTRY.setdefault("bench_vel", synthetic_velgrid())
+    lon_e, lat_e = O.DEFORMATION_LONLAT
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select("doc_id", F.expr(lon_e).alias("lon"),
+                   F.expr(lat_e).alias("lat"))
+    u = G.project_udf("+proj=pipeline +step +proj=cart +ellps=GRS80"
+                      " +step +proj=xyzgridshift +grids=bench_vel"
+                      " +multiplier=0.01 +ellps=GRS80")
+    st = u(F.col("lon"), F.col("lat"))
+    return (pts.withColumn("_s", st)
+               .select("doc_id",
+                       (F.round("_s.x", 4) + 0.0).alias("x_m"),
+                       (F.round("_s.y", 4) + 0.0).alias("y_m"),
+                       (F.round("_s.z", 4) + 0.0).alias("z_m"))
+               .orderBy("doc_id"))
