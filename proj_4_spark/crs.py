@@ -127,6 +127,44 @@ def compile_crs(defn) -> Transform:
     return compile_projstring(_resolve(defn))
 
 
+def projinfo(defn) -> dict:
+    """CRS introspection, the `projinfo -o PROJ,WKT2` direction
+    (src/apps/projinfo.cpp:947-1030): accept any form `proj_create`
+    accepts (proj-string, EPSG:n, WKT1/WKT2, PROJJSON) and report the
+    normalized proj-string, the WKT2 export where the writer covers
+    the method, the CRS kind, the ellipsoid, and the pipeline edge
+    units.  The definition is compiled, so an invalid CRS raises the
+    same error `compile_crs` would."""
+    from .crs_io import projstring_to_wkt2
+    from .proj import CLASSIC, PROJECTED, RADIANS
+
+    projstr = _resolve(defn)
+    tr = compile_projstring(projstr)
+    in_u, out_u = tr.input_units(), tr.output_units()
+    if out_u == RADIANS:
+        kind = "geographic"
+    elif in_u == RADIANS and out_u in (PROJECTED, CLASSIC):
+        kind = "projected"
+    else:
+        kind = "transformation"
+    ell = next((op.ell for op in tr.ops
+                if getattr(op, "ell", None) is not None), None)
+    try:
+        wkt2 = projstring_to_wkt2(projstr)
+    except Exception:
+        wkt2 = None  # method outside the WKT2 writer's subset
+    return {
+        "projstring": projstr,
+        "wkt2": wkt2,
+        "kind": kind,
+        "input_units": in_u,
+        "output_units": out_u,
+        "ellipsoid": None if ell is None else
+            {"a": ell.a, "b": ell.b, "f": ell.f, "es": ell.es},
+        "n_steps": len(tr.ops),
+    }
+
+
 def _crs_step_dicts(top: dict) -> list[dict]:
     """Step dicts whose combined forward maps WGS84 angular -> the
     CRS; empty for a WGS84-compatible geographic CRS."""

@@ -188,3 +188,33 @@ def test_geoidgrids_vertical_datum():
     tr2 = crs_to_crs("+proj=longlat +ellps=WGS84 +geoidgrids=null", 4326)
     _, _, z2, _ = tr2.transform_deg(lon.copy(), lat.copy(), z.copy())
     assert z2[0] == 100.0
+
+
+def test_projinfo_projected_epsg():
+    from proj_4_spark.crs import projinfo
+    info = projinfo("EPSG:32632")
+    assert info["kind"] == "projected"
+    assert "+proj=utm" in info["projstring"] and "zone=32" in info["projstring"]
+    assert info["wkt2"] is not None and "UTM zone 32N" in info["wkt2"]
+    assert info["ellipsoid"]["a"] == 6378137.0
+    assert abs(1.0 / info["ellipsoid"]["f"] - 298.257223563) < 1e-6
+    assert info["input_units"] == "radians"
+
+
+def test_projinfo_geographic_and_wkt_roundtrip():
+    from proj_4_spark.crs import projinfo
+    info = projinfo(4326)
+    assert info["kind"] == "geographic"
+    assert info["wkt2"] is not None
+    # the WKT2 export is itself an accepted input form
+    again = projinfo(info["wkt2"])
+    assert again["kind"] == "geographic"
+    assert again["ellipsoid"]["a"] == info["ellipsoid"]["a"]
+
+
+def test_projinfo_pipeline_is_transformation():
+    from proj_4_spark.crs import projinfo
+    info = projinfo("+proj=pipeline +step +proj=cart +ellps=WGS84 "
+                    "+step +proj=helmert +x=100 +y=0 +z=0")
+    assert info["kind"] == "transformation"
+    assert info["n_steps"] >= 2
