@@ -1092,12 +1092,45 @@ def q_mined_coords(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# The external driver gate verifies only the FIRST 50 entries of
+# queries() against their oracles each round.  Rounds 2-3 gated
+# registrations 1-50 (green in CORRECTNESS_r02/r03); the 36 queries
+# registered after position 50 were verified only by the local replica
+# (scripts/parity_all.py).  Emit those 36 first — plus any round-4
+# additions — so the driver itself certifies them this round, then
+# fill the remaining gate slots with already-gated entries.
+_GATE_PRIORITY = [
+    # round-2/3 registrations 51-86: judge-verified, never driver-gated
+    "krovak_fwd", "somerc_fwd", "molodensky_fwd", "geoc_lat",
+    "eqdc_fwd", "hammer_fwd", "cass_hyperbolic_fwd", "poly_fwd",
+    "bonne_fwd", "igh_fwd", "topocentric_enu", "horner_tc32_fwd",
+    "qsc_fwd", "airocean_fwd", "crs_osgb_fwd", "defmodel_velocity",
+    "healpix_fwd", "token_stats", "rolling_fingerprints",
+    "wkt_lambert93_fwd", "mined_coords_dms", "nadgrids_ctable2",
+    "gridshift_biquadratic", "dms_format", "knn_cell_pruned_top5",
+    "itrf_kinematic", "url_canonical", "polygon_area_sphere",
+    "geodesic_direct_sphere", "tmerc_auto_fwd",
+    "newton_inverse_roundtrip", "repetition_signals", "bm25_top10",
+    "deformation_cart", "tinshift_fwd", "xyzgridshift_fwd",
+    # round-4 additions (never gated before)
+    "crs_multiregion_select", "epsg_generated_lcc", "cs2cs_two_crs",
+    "a7hex_compact", "lang_onepass_guess", "projjson_roundtrip_fwd",
+    "iceberg_style_incremental", "stream_tile_rollup_batchpar",
+]
+
+
+def _gate_ordered(mapping: dict) -> dict:
+    front = {k: mapping[k] for k in _GATE_PRIORITY if k in mapping}
+    rest = {k: v for k, v in mapping.items() if k not in front}
+    return {**front, **rest}
+
+
 def queries() -> dict[str, Callable]:
-    return dict(QUERIES)
+    return _gate_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _gate_ordered(ORACLES)
 
 
 # =====================================================================
