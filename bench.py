@@ -36,6 +36,45 @@ HEADLINE = [
 FLAGSHIP = ["s2_cell_counts_l8", "pip_polygon_counts"]
 
 
+def _cpu_sample() -> list[int] | None:
+    """Aggregate jiffy counters from /proc/stat: user nice sys idle
+    iowait irq softirq steal [guest...]."""
+    try:
+        with open("/proc/stat") as f:
+            first = f.readline().split()
+        return [int(v) for v in first[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
+def host_metrics(start: list[int] | None,
+                 load_start: float | None) -> dict:
+    """Contention self-documentation (VERDICT r03 What's-wrong #1):
+    steal% shows hypervisor preemption, sys%/iowait% show kernel
+    thrash, loadavg shows co-tenant pressure — so a slow driver-side
+    run is distinguishable from a slow plan in-band."""
+    end = _cpu_sample()
+    out: dict = {"loadavg_start": load_start, "loadavg_end": _loadavg()}
+    if start and end and len(end) >= 8 and len(start) >= 8:
+        d = [e - s for e, s in zip(end, start)]
+        tot = sum(d[:8]) or 1
+        out.update({
+            "user_pct": round(100.0 * (d[0] + d[1]) / tot, 2),
+            "sys_pct": round(100.0 * d[2] / tot, 2),
+            "iowait_pct": round(100.0 * d[4] / tot, 2),
+            "steal_pct": round(100.0 * d[7] / tot, 2),
+        })
+    return out
+
+
 def make_spark(cpus: int, cap_jvm_procs: bool = False):
     from pyspark.sql import SparkSession
 
@@ -363,6 +402,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpu0, load0 = _cpu_sample(), _loadavg()
 
     if "--worker" in sys.argv or "--worker-e2e" in sys.argv:
         e2e = "--worker-e2e" in sys.argv
@@ -395,18 +435,23 @@ def main() -> None:
             f"docs_per_sec_{n_lo}": round(n_docs / t_lo, 1),
             f"docs_per_sec_{n_hi}": round(n_docs / t_hi, 1),
             "scaling_efficiency": round(t_lo / (4.0 * t_hi), 3),
+            "host": host_metrics(cpu0, load0),
         }))
         return
 
     if "--scaling-e2e" in sys.argv:
         n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
         cpe = int(os.environ.get("SPARK_GRAFT_CPUS_PER_EXEC", "8"))
-        print(json.dumps(scaling_multijvm(n_docs, cpe, e2e=True)))
+        out = scaling_multijvm(n_docs, cpe, e2e=True)
+        out["host"] = host_metrics(cpu0, load0)
+        print(json.dumps(out))
         return
 
     if "--scaling-multijvm" in sys.argv:
         n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000000"))
-        print(json.dumps(scaling_multijvm(n_docs)))
+        out = scaling_multijvm(n_docs)
+        out["host"] = host_metrics(cpu0, load0)
+        print(json.dumps(out))
         return
 
     if "--scaling" in sys.argv:
@@ -424,6 +469,7 @@ def main() -> None:
             f"docs_per_sec_{n_hi}": round(n_docs / t_hi, 1),
             "scaling_efficiency": round(t_lo / (4.0 * t_hi), 3),
             "sf": sf,
+            "host": host_metrics(cpu0, load0),
         }
         print(json.dumps(out))
         return
@@ -471,6 +517,7 @@ def main() -> None:
             "e2e_sec": round(t_e2e, 3),
             "e2e_runs": e2e_runs,
             "e2e_docs_per_sec": round(e2e_docs / t_e2e, 1),
+            "host": host_metrics(cpu0, load0),
         }
         print(json.dumps(out))
     finally:
