@@ -589,13 +589,18 @@ SELECT doc_id, lang, n_tokens,
 FROM m ORDER BY doc_id
 """)
 def q_text_quality(spark, sf_dir):
-    """Token count, stopword ratio, quality score — Catalyst only."""
+    """Token count, stopword ratio, quality score — Catalyst only.
+    One tokenize + one marker fold per row: the three outputs are
+    derived from a single quality_stats struct projected through an
+    explode(array(...)) Generate barrier, which CollapseProject cannot
+    cross, so the fold is not re-evaluated per output column."""
     d = _docs(spark, sf_dir)
-    t = F.col("text")
-    return (d.select("doc_id", "lang",
-                     TS.token_count(t).alias("n_tokens"),
-                     (F.round(TS.stopword_ratio(t), 6) + 0.0).alias("stop_ratio"),
-                     (F.round(TS.quality_score(t), 6) + 0.0).alias("quality"))
+    s = F.explode(F.array(TS.quality_stats(F.col("text")))).alias("s")
+    return (d.select("doc_id", "lang", s)
+             .select("doc_id", "lang", F.col("s.n_tokens").alias("n_tokens"),
+                     (F.round(F.col("s.stop_ratio"), 6) + 0.0)
+                     .alias("stop_ratio"),
+                     (F.round(F.col("s.quality"), 6) + 0.0).alias("quality"))
              .orderBy("doc_id"))
 
 
