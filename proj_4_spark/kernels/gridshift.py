@@ -459,6 +459,43 @@ def synthetic_velgrid(n: int = 41) -> Grid:
                 values=np.stack([ve, vn, vu], axis=-1))
 
 
+def tin_from_json(text: str) -> Tin:
+    """Parse a triangulation_file JSON into a Tin (the reference's
+    schema reader, transformations/tinshift_impl.hpp:96-340):
+    horizontal components carry target_x/target_y columns; vertical
+    components carry offset_z or (target_z - source_z); a
+    vertical-only model keeps the horizontal identity (source coords
+    reproduce exactly under barycentric interpolation)."""
+    import json as _json
+
+    j = _json.loads(text)
+    if j.get("file_type") != "triangulation_file":
+        raise ValueError("tinshift: not a triangulation_file")
+    comps = j.get("transformed_components", [])
+    horiz = "horizontal" in comps
+    vert = "vertical" in comps
+    idx = {c: i for i, c in enumerate(j["vertices_columns"])}
+    tidx = {c: i for i, c in enumerate(j["triangles_columns"])}
+    V = np.asarray(j["vertices"], dtype=np.float64)
+    sx, sy = V[:, idx["source_x"]], V[:, idx["source_y"]]
+    if horiz:
+        tx, ty = V[:, idx["target_x"]], V[:, idx["target_y"]]
+    else:
+        tx, ty = sx, sy
+    if vert:
+        if "offset_z" in idx:
+            dz = V[:, idx["offset_z"]]
+        else:
+            dz = V[:, idx["target_z"]] - V[:, idx["source_z"]]
+    else:
+        dz = np.zeros(len(V))
+    T = np.asarray(j["triangles"], dtype=np.int64)
+    T = T[:, [tidx["idx_vertex1"], tidx["idx_vertex2"],
+              tidx["idx_vertex3"]]]
+    return Tin(vertices=np.column_stack([sx, sy, tx, ty, dz]),
+               triangles=T, has_z=vert)
+
+
 def synthetic_tin() -> Tin:
     """Four-triangle fan over the [0,10]^2 square (center vertex) with
     distinct per-vertex target coords + dz — a minimal but non-affine

@@ -171,6 +171,41 @@ def _resolve_init(spec: str) -> dict:
     return entries[key]
 
 
+def _shrink_projstring(s: str) -> str:
+    """pj_shrink-equivalent cleanup (src/internal.cpp:192-276): ';'
+    counts as whitespace, repeated whitespace collapses, and '=' / ','
+    are greedy (consume surrounding whitespace), so cs2cs/gie-style
+    strings like 'proj = pipeline; step proj = cart' or
+    'towgs84 =  -81.07, -89.36' tokenize the way the reference's argv
+    builder does.  Double-quoted values after '=' keep their spaces."""
+    out: list[str] = []
+    ws = False
+    in_string = False
+    for ch in s:
+        if in_string:
+            if ch == '"':
+                in_string = False
+            else:
+                # \x01 marks an in-quote space; restored after argv split
+                out.append("\x01" if ch.isspace() else ch)
+            continue
+        if ch == '"' and out and out[-1] == "=":
+            in_string = True
+            ws = False
+            continue
+        if ch.isspace() or ch == ";":
+            if not ws and out:
+                out.append(" ")
+            ws = True
+            continue
+        ws = False
+        out.append(ch)
+    collapsed = "".join(out)
+    # greedy '=' and ','
+    collapsed = re.sub(r"\s*([=,])\s*", r"\1", collapsed)
+    return collapsed
+
+
 def parse_projstring(s: str) -> list[dict]:
     """proj-string -> list of param dicts (one per pipeline step).
 
@@ -181,12 +216,12 @@ def parse_projstring(s: str) -> list[dict]:
     first-occurrence pj_param scan) and the step splitting of
     src/pipeline.cpp:361+.  +datum=NAME expands per pj_datums[].
     """
-    tokens = s.replace("\t", " ").split()
+    tokens = _shrink_projstring(s.replace("\t", " ")).split()
     global_params: dict = {}
     steps: list[dict] = []
     cur = global_params
     for tok in tokens:
-        t = tok.lstrip("+")
+        t = tok.lstrip("+").replace("\x01", " ")
         if t == "step":
             steps.append({})
             cur = steps[-1]
@@ -474,7 +509,11 @@ def compile_operation(params: dict) -> Operation:
                 return UNITS[name], "linear"
             if angular_ok and name in ANGULAR_UNITS:
                 return ANGULAR_UNITS[name], "angular"
-            raise ValueError(f"unknown unit {name}")
+            try:
+                # numeric ratio units (unitconvert.cpp strtod fallback)
+                return float(name), "linear"
+            except ValueError:
+                raise ValueError(f"unknown unit {name}") from None
 
         xy_in = params.get("xy_in")
         xy_out = params.get("xy_out")
@@ -497,7 +536,17 @@ def compile_operation(params: dict) -> Operation:
         def _uc_inv(x, y, z, t, fxy=fxy, fz=fz):
             return x / fxy, y / fxy, z / fz
 
-        op.left, op.right = WHATEVER, WHATEVER
+        # unit tags per the reference (unitconvert.cpp:462-516):
+        # angular xy units tag the edge RADIANS/DEGREES, else WHATEVER
+        def _edge_tag(name):
+            if name == "rad":
+                return RADIANS
+            if name in ANGULAR_UNITS:
+                return DEGREES
+            return WHATEVER
+
+        op.left = _edge_tag(xy_in) if xy_in else WHATEVER
+        op.right = _edge_tag(xy_out) if xy_out else WHATEVER
         op.fwd_k = _uc_fwd
         op.inv_k = _uc_inv
         op.consts = (fxy, fz)
@@ -2105,6 +2154,39 @@ class Transform:
             if u != WHATEVER:
                 return u
         return WHATEVER
+
+    def _edge_units(self) -> tuple[str, str]:
+        """(left, right) unit tags of the whole pipeline, PROJ-style:
+        WHATEVER steps inherit from a decided neighbour (right-to-left
+        then left-to-right passes), then left = first step's left and
+        right = last step's right (src/pipeline.cpp:570-640) — unlike
+        input_units/output_units this does NOT skip undecided edges,
+        matching proj_angular_input/output (src/coordinates.cpp:53-72).
+        """
+        units = []
+        for op in self.ops:
+            l, r = (op.right, op.left) if op.inverse else (op.left, op.right)
+            units.append([l, r])
+        n = len(units)
+        for i in range(n - 2, -1, -1):
+            if units[i][0] == WHATEVER and units[i][1] == WHATEVER:
+                rl, rr = units[i + 1]
+                if rl != rr or rl != WHATEVER:
+                    units[i][0] = units[i][1] = rl
+        for i in range(1, n):
+            if units[i][0] == WHATEVER and units[i][1] == WHATEVER:
+                ll, lr = units[i - 1]
+                if ll != lr or lr != WHATEVER:
+                    units[i][0] = units[i][1] = lr
+        return units[0][0], units[-1][1]
+
+    def angular_input(self, direction: str = "fwd") -> bool:
+        left, right = self._edge_units()
+        return (left if direction == "fwd" else right) == RADIANS
+
+    def angular_output(self, direction: str = "fwd") -> bool:
+        left, right = self._edge_units()
+        return (right if direction == "fwd" else left) == RADIANS
 
     # gie-style convenience: degrees at the angular edges
     def transform_deg(self, x, y, z=None, t=None, direction: str = "fwd"):

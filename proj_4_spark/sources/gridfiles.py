@@ -460,17 +460,32 @@ def parse_geotiff(data: bytes):
             u = meta.get(("UNITTYPE", sample), default)
             if u in ("arc-second", "arc-seconds per year"):
                 return SEC_TO_RAD
-            if u == "degree":
+            if u in ("degree", "degrees per year"):
                 return DEG_TO_RAD
             if u == "radian":
                 return 1.0
-            if u in ("metre", "metres per year"):
+            if u in ("metre", "metres per year", "unity"):
                 return 1.0
             raise ValueError(f"geotiff: unsupported UNITTYPE {u!r}")
 
         if not gtype:
             gtype = ("HORIZONTAL_OFFSET" if spp >= 2
                      else "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL")
+        if gtype in ("DEFORMATION_MODEL", "VELOCITY"):
+            # deformation-model component raster (grids.cpp:2520-2650
+            # channel identification; bands named east_offset/
+            # north_offset/vertical_offset or *_velocity); units per
+            # band UNITTYPE so degree-unit models come out in radians,
+            # metre models in metres — the DefGrid convention
+            bands = {nm: vals[:, :, i] * unit_factor(i, "metre")
+                     for nm, i in desc.items()}
+            out.append({
+                "type": gtype, "interp": interp,
+                "name": name, "parent": parent,
+                "bands": bands,
+                "geo": (lon_ul, lat0, dlon, dlat),
+            })
+            continue
         if gtype in ("HORIZONTAL_OFFSET", "GEOGRAPHIC_3D_OFFSET"):
             i_lat = desc.get("latitude_offset", 0)
             i_lon = desc.get("longitude_offset", 1)
@@ -503,6 +518,36 @@ def parse_geotiff(data: bytes):
                          values=gvals),
         })
     return out
+
+
+def defmodel_gridset_from_geotiff(data: bytes):
+    """DEFORMATION_MODEL GeoTIFF -> kernels.defmodel.DefGridSet (the
+    registry value +proj=defmodel component lookups expect)."""
+    from ..kernels import defmodel as k_dm
+
+    grids = []
+    for e in parse_geotiff(data):
+        bands = e.get("bands")
+        if bands is None:
+            continue
+        lon_ul, lat0, dlon, dlat = e["geo"]
+
+        def band(*names):
+            for nm in names:
+                if nm in bands:
+                    return bands[nm]
+            return None
+
+        grids.append(k_dm.DefGrid(
+            minx=lon_ul * DEG_TO_RAD, miny=lat0 * DEG_TO_RAD,
+            resx=dlon * DEG_TO_RAD, resy=dlat * DEG_TO_RAD,
+            e_or_lon=band("east_offset", "east_velocity"),
+            n_or_lat=band("north_offset", "north_velocity"),
+            z=band("vertical_offset", "vertical_velocity",
+                   "up_offset", "up_velocity")))
+    if not grids:
+        raise ValueError("geotiff: no DEFORMATION_MODEL IFDs")
+    return k_dm.DefGridSet(grids=tuple(grids))
 
 
 def geotiff_unified(data: bytes):
