@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import geodesic as geod
-from .common import HALFPI
+from .common import HALFPI, adjlon
 from .misc_proj import qsfn
 
 EPS10 = 1e-10
@@ -27,104 +27,504 @@ EPS10 = 1e-10
 
 @dataclass(frozen=True)
 class AeqdConsts:
+    """aeqd.cpp pj_aeqd_data: modes 0=N_POLE 1=S_POLE 2=EQUIT
+    3=OBLIQ, UNIT-radius geodesic (geod_init(&Q->g, 1, P->f), setup
+    :283), mlfn pack + Mp/M1 for the polar-ellipsoidal and guam
+    variants."""
     phi0: float
-    lam0_deg: float
-    g: object  # Geodesic
-    spherical: bool
-    a: float
+    sinph0: float
+    cosph0: float
+    mode: int
+    g: object
+    es: float
+    e: float
+    en: object
+    Mp: float
+    M1: float
+    guam: bool
 
 
-def aeqd_setup(ell, phi0: float, lam0: float) -> AeqdConsts:
-    g = geod.Geodesic.init(ell.a, ell.f) if ell.es != 0 else None
-    return AeqdConsts(phi0=phi0, lam0_deg=np.degrees(lam0), g=g,
-                      spherical=ell.es == 0, a=ell.a)
+def aeqd_setup(ell, phi0: float, lam0: float,
+               guam: bool = False) -> AeqdConsts:
+    from .common import enfn, mlfn
+
+    g = geod.Geodesic.init(1.0, ell.f)
+    if abs(abs(phi0) - HALFPI) < EPS10:
+        mode = 1 if phi0 < 0 else 0
+        sinph0, cosph0 = (-1.0 if phi0 < 0 else 1.0), 0.0
+    elif abs(phi0) < EPS10:
+        mode = 2
+        sinph0, cosph0 = 0.0, 1.0
+    else:
+        mode = 3
+        sinph0, cosph0 = float(np.sin(phi0)), float(np.cos(phi0))
+    en = Mp = M1 = None
+    if ell.es != 0:
+        en = enfn(ell.n)
+        if mode in (0, 1):
+            s = np.float64(1.0 if mode == 0 else -1.0)
+            Mp = float(mlfn(s * HALFPI, s, np.float64(0.0), en))
+        if guam:
+            M1 = float(mlfn(np.float64(phi0), np.sin(phi0),
+                            np.cos(phi0), en))
+    return AeqdConsts(phi0=phi0, sinph0=sinph0, cosph0=cosph0, mode=mode,
+                      g=g, es=ell.es, e=ell.e, en=en,
+                      Mp=Mp if Mp is not None else 0.0,
+                      M1=M1 if M1 is not None else 0.0,
+                      guam=guam and ell.es != 0)
+
+
+def _aeqd_e_fwd(lam, phi, C: AeqdConsts):
+    """aeqd_e_forward (:85-122): geodesic azimuth/distance from the
+    center, units of a; polar modes via the meridional arc."""
+    from .common import mlfn
+
+    if C.mode in (0, 1) and C.en is not None:
+        sinp, cosp = np.sin(phi), np.cos(phi)
+        rho = np.abs(C.Mp - mlfn(phi, sinp, cosp, C.en))
+        coslam = np.cos(lam)
+        return (rho * np.sin(lam),
+                rho * (-coslam if C.mode == 0 else coslam))
+    la0 = np.full_like(phi, np.degrees(C.phi0))
+    lo0 = np.zeros_like(lam)
+    s12, azi1, _, _ = geod.inverse(C.g, la0, lo0, np.degrees(phi),
+                                   np.degrees(lam))
+    at_center = (np.abs(lam) < EPS10) & (np.abs(phi - C.phi0) < EPS10)
+    az = np.radians(azi1)
+    return (np.where(at_center, 0.0, s12 * np.sin(az)),
+            np.where(at_center, 0.0, s12 * np.cos(az)))
 
 
 def aeqd_fwd(lam, phi, C: AeqdConsts):
-    """x = s12·sin(azi1), y = s12·cos(azi1) from the center (meters /
-    a for the pipeline's CLASSIC scaling — we return units of a)."""
-    lat1 = np.full_like(phi, np.degrees(C.phi0))
-    lon1 = np.zeros_like(lam)  # lam is already center-relative
-    lat2 = np.degrees(phi)
-    lon2 = np.degrees(lam)
-    if C.spherical:
-        # great-circle distance + bearing on the sphere
-        p0 = C.phi0
-        cosc = (np.sin(p0) * np.sin(phi)
-                + np.cos(p0) * np.cos(phi) * np.cos(lam))
-        c = np.arccos(np.clip(cosc, -1.0, 1.0))
-        az = np.arctan2(np.cos(phi) * np.sin(lam),
-                        np.cos(p0) * np.sin(phi)
-                        - np.sin(p0) * np.cos(phi) * np.cos(lam))
-        return c * np.sin(az), c * np.cos(az)
-    s12, azi1, _, _ = geod.inverse(C.g, lat1, lon1, lat2, lon2)
-    az = np.radians(azi1)
-    return s12 * np.sin(az) / C.a, s12 * np.cos(az) / C.a
+    """aeqd forward (aeqd.cpp): guam / spherical (with the TOL-close
+    delegation to the geodesic path and the antipode domain error,
+    s_forward :124-187) / ellipsoidal."""
+    from .common import mlfn
+
+    if C.guam:
+        cosp, sinp = np.cos(phi), np.sin(phi)
+        t = 1.0 / np.sqrt(1.0 - C.es * sinp * sinp)
+        x = lam * cosp * t
+        y = (mlfn(phi, sinp, cosp, C.en) - C.M1
+             + 0.5 * lam * lam * cosp * sinp * t)
+        return x, y
+    if C.es != 0:
+        return _aeqd_e_fwd(lam, phi, C)
+    sinp, cosp = np.sin(phi), np.cos(phi)
+    coslam, sinlam = np.cos(lam), np.sin(lam)
+    if C.mode in (2, 3):
+        cosc = C.sinph0 * sinp + C.cosph0 * cosp * coslam
+        near = np.abs(np.abs(cosc) - 1.0) < 1e-14
+        bad = near & (cosc < 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.arccos(np.clip(cosc, -1.0, 1.0))
+            k = np.where(near, 1.0, c / np.sin(c))
+        x = k * cosp * sinlam
+        y = k * (C.cosph0 * sinp - C.sinph0 * cosp * coslam)
+        if np.any(near & ~bad):
+            # within TOL of the center: delegate to the geodesic path
+            # like the reference (s_forward :136-144)
+            xg, yg = _aeqd_e_fwd(lam, phi, C)
+            sel = near & ~bad
+            x = np.where(sel, xg, x)
+            y = np.where(sel, yg, y)
+        return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+    # polar spherical (:172-186)
+    phw = -phi if C.mode == 0 else phi
+    clw = -coslam if C.mode == 0 else coslam
+    bad = np.abs(phw - HALFPI) < EPS10
+    yy = HALFPI + phw
+    return (np.where(bad, np.nan, yy * sinlam),
+            np.where(bad, np.nan, yy * clw))
 
 
 def aeqd_inv(x, y, C: AeqdConsts):
-    if C.spherical:
-        c = np.hypot(x, y)
-        p0 = C.phi0
-        with np.errstate(invalid="ignore", divide="ignore"):
-            sinc = np.sin(c)
-            cosc = np.cos(c)
-            phi = np.arcsin(np.clip(
-                cosc * np.sin(p0) + y * sinc * np.cos(p0) / np.where(c == 0, 1.0, c),
-                -1, 1))
-            lam = np.arctan2(x * sinc,
-                             c * np.cos(p0) * cosc - y * np.sin(p0) * sinc)
-        phi = np.where(c < EPS10, p0, phi)
-        lam = np.where(c < EPS10, 0.0, lam)
-        return lam, phi
-    s12 = np.hypot(x, y) * C.a
-    azi1 = np.degrees(np.arctan2(x, y))
-    lat1 = np.full_like(s12, np.degrees(C.phi0))
-    lon1 = np.zeros_like(s12)
-    lat2, lon2, _ = geod.direct(C.g, lat1, lon1, azi1, s12)
-    return np.radians(lon2), np.radians(lat2)
+    """aeqd inverse (aeqd.cpp :189-271)."""
+    from .common import aasin, inv_mlfn
+
+    if C.guam:
+        x2 = 0.5 * x * x
+        phi = np.full_like(x, C.phi0)
+        t = np.zeros_like(x)
+        for _ in range(3):
+            t = C.e * np.sin(phi)
+            t = np.sqrt(1.0 - t * t)
+            phi = inv_mlfn(C.M1 + y - x2 * np.tan(phi) * t, C.en)
+        return x * t / np.cos(phi), phi
+    if C.es != 0:
+        s12 = np.hypot(x, y)
+        if C.mode in (2, 3):
+            azi1 = np.degrees(np.arctan2(x, y))
+            la0 = np.full_like(s12, np.degrees(C.phi0))
+            lo0 = np.zeros_like(s12)
+            lat2, lon2, _ = geod.direct(C.g, la0, lo0, azi1, s12)
+            lam = np.radians(lon2)
+            phi = np.radians(lat2)
+        else:
+            phi = inv_mlfn(C.Mp - s12 if C.mode == 0 else C.Mp + s12,
+                           C.en)
+            lam = np.arctan2(x, -y if C.mode == 0 else y)
+        near0 = s12 < EPS10
+        return (np.where(near0, 0.0, lam),
+                np.where(near0, C.phi0, phi))
+    c_rh = np.hypot(x, y)
+    bad = c_rh - EPS10 > np.pi
+    c_rh = np.minimum(c_rh, np.pi)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sinc = np.sin(c_rh)
+        cosc = np.cos(c_rh)
+        crs = np.where(c_rh == 0, 1.0, c_rh)
+        if C.mode == 2:
+            phi = aasin(y * sinc / crs)
+            xx = x * sinc
+            yy = cosc * c_rh
+        elif C.mode == 3:
+            phi = aasin(cosc * C.sinph0 + y * sinc * C.cosph0 / crs)
+            yy = (cosc - C.sinph0 * np.sin(phi)) * c_rh
+            xx = x * sinc * C.cosph0
+        elif C.mode == 0:
+            phi = HALFPI - c_rh
+            yy = -y
+            xx = x
+        else:
+            phi = c_rh - HALFPI
+            yy = y
+            xx = x
+        if C.mode in (2, 3):
+            lam = np.where(yy == 0.0, 0.0, np.arctan2(xx, yy))
+        else:
+            lam = np.arctan2(xx, yy)
+    near0 = c_rh < EPS10
+    phi = np.where(near0, C.phi0, phi)
+    lam = np.where(near0, 0.0, lam)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 # ------------------------------------------------------ gnom / ortho
 
-def gnom_fwd(lam, phi, phi0: float):
-    """Gnomonic, spherical (gnom.cpp)."""
-    sinp0, cosp0 = np.sin(phi0), np.cos(phi0)
+@dataclass(frozen=True)
+class GnomConsts:
+    """gnom.cpp pj_gnom_data; ellipsoidal case uses a UNIT-radius
+    geodesic (geod_init(&Q->g, 1, P->f), setup :206) so outputs stay
+    in units of a."""
+    phi0: float
+    sinph0: float
+    cosph0: float
+    mode: int           # 0=N_POLE 1=S_POLE 2=EQUIT 3=OBLIQ
+    g: object | None    # Geodesic (unit radius) when ellipsoidal
+
+
+def gnom_setup(ell, phi0: float) -> GnomConsts:
+    if abs(abs(phi0) - HALFPI) < EPS10:
+        mode = 1 if phi0 < 0 else 0
+    elif abs(phi0) < EPS10:
+        mode = 2
+    else:
+        mode = 3
+    g = geod.Geodesic.init(1.0, ell.f) if ell.es != 0 else None
+    return GnomConsts(phi0=phi0, sinph0=float(np.sin(phi0)),
+                      cosph0=float(np.cos(phi0)), mode=mode, g=g)
+
+
+def gnom_fwd(lam, phi, C: GnomConsts):
+    """Gnomonic forward (gnom.cpp): spherical closed form with the
+    beyond-horizon guard (y <= EPS10 -> domain error, :50-53), or the
+    ellipsoidal geodesic form rho = m12/M12, azimuth azi0
+    (gnom_e_forward :119-137, Karney, "Gnomonic projection of the
+    ellipsoid")."""
+    if C.g is not None:
+        lat0 = np.degrees(C.phi0)
+        la0 = np.full_like(phi, lat0)
+        lo0 = np.zeros_like(lam)
+        s12, azi1, _, _ = geod.inverse(C.g, la0, lo0, np.degrees(phi),
+                                       np.degrees(lam))
+        _, _, _, m, M, _ = geod.direct(C.g, la0, lo0, azi1, s12,
+                                       want_scale=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rho = np.where(M > 0, m / M, np.nan)
+        az = np.radians(azi1)
+        return rho * np.sin(az), rho * np.cos(az)
+    sinp0, cosp0 = C.sinph0, C.cosph0
     sinp, cosp = np.sin(phi), np.cos(phi)
     coslam = np.cos(lam)
-    cosc = sinp0 * sinp + cosp0 * cosp * coslam
+    if C.mode == 2:
+        den = cosp * coslam
+        num = sinp
+    elif C.mode == 3:
+        den = sinp0 * sinp + cosp0 * cosp * coslam
+        num = cosp0 * sinp - sinp0 * cosp * coslam
+    elif C.mode == 1:
+        den = -sinp
+        num = cosp * coslam
+    else:
+        den = sinp
+        num = cosp * (-coslam)
     with np.errstate(invalid="ignore", divide="ignore"):
-        k = np.where(cosc > EPS10, 1.0 / cosc, np.nan)
+        k = np.where(den > EPS10, 1.0 / den, np.nan)
         x = k * cosp * np.sin(lam)
-        y = k * (cosp0 * sinp - sinp0 * cosp * coslam)
+        y = k * num
     return x, y
 
 
-def ortho_fwd(lam, phi, phi0: float):
-    """Orthographic, spherical (ortho.cpp); far hemisphere -> NaN."""
-    sinp0, cosp0 = np.sin(phi0), np.cos(phi0)
+def gnom_inv(x, y, C: GnomConsts):
+    """Gnomonic inverse (gnom_s_inverse :74-117; gnom_e_inverse
+    :139-185 — Newton on the arc length s along the azi0 geodesic,
+    solving rho(s) = rho with drho/ds = 1/M^2, 10 iterations)."""
+    if C.g is not None:
+        lat0 = np.degrees(C.phi0)
+        la0 = np.full_like(x, lat0)
+        lo0 = np.zeros_like(x)
+        azi0 = np.degrees(np.arctan2(x, y))
+        rho = np.hypot(x, y)
+        s = np.arctan(rho)
+        little = rho <= 1.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rho = np.where(little, rho, 1.0 / np.where(rho == 0, 1.0, rho))
+        eps_ = 0.01 * np.sqrt(np.finfo(np.float64).eps)
+        lat1 = np.zeros_like(x)
+        lon1 = np.zeros_like(x)
+        trip = np.zeros(x.shape, dtype=bool)
+        for _ in range(10):
+            lat1n, lon1n, _, m, M, _ = geod.direct(
+                C.g, la0, lo0, azi0, s, want_scale=True)
+            lat1 = np.where(trip, lat1, lat1n)
+            lon1 = np.where(trip, lon1, lon1n)
+            if trip.all():
+                break
+            ds = np.where(little, (m - rho * M) * M, (rho * m - M) * m)
+            s = np.where(trip, s, s - ds)
+            trip = trip | ~(np.abs(ds) >= eps_)
+        lam = np.where(trip, np.radians(lon1), np.nan)
+        phi = np.where(trip, np.radians(lat1), np.nan)
+        return lam, phi
+    rh = np.hypot(x, y)
+    phi_c = np.arctan(rh)
+    sinz = np.sin(phi_c)
+    cosz = np.sqrt(1.0 - sinz * sinz)
+    rhs = np.where(rh == 0, 1.0, rh)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.mode == 3:
+            sphi = cosz * C.sinph0 + y * sinz * C.cosph0 / rhs
+            phi = np.where(np.abs(sphi) >= 1.0,
+                           np.where(sphi > 0, HALFPI, -HALFPI),
+                           np.arcsin(np.clip(sphi, -1.0, 1.0)))
+            yy = (cosz - C.sinph0 * np.sin(phi)) * rh
+            xx = x * sinz * C.cosph0
+        elif C.mode == 2:
+            sphi = y * sinz / rhs
+            phi = np.where(np.abs(sphi) >= 1.0,
+                           np.where(sphi > 0, HALFPI, -HALFPI),
+                           np.arcsin(np.clip(sphi, -1.0, 1.0)))
+            yy = cosz * rh
+            xx = x * sinz
+        elif C.mode == 1:
+            phi = phi_c - HALFPI
+            yy = y
+            xx = x
+        else:
+            phi = HALFPI - phi_c
+            yy = -y
+            xx = x
+        lam = np.arctan2(xx, yy)
+    phi = np.where(rh <= EPS10, C.phi0, phi)
+    lam = np.where(rh <= EPS10, 0.0, lam)
+    return lam, phi
+
+
+@dataclass(frozen=True)
+class OrthoConsts:
+    """ortho.cpp pj_ortho_data: modes 0=N_POLE 1=S_POLE 2=EQUIT
+    3=OBLIQ; ellipsoidal recentering nu0/y_shift/y_scale (setup
+    :306-341); +alpha plane rotation and k0."""
+    phi0: float
+    sinph0: float
+    cosph0: float
+    mode: int
+    es: float
+    one_es: float
+    nu0: float
+    y_shift: float
+    y_scale: float
+    sinalpha: float
+    cosalpha: float
+    k0: float
+
+
+def ortho_setup(ell, phi0: float, k0: float = 1.0,
+                alpha: float = 0.0) -> OrthoConsts:
+    sinph0, cosph0 = float(np.sin(phi0)), float(np.cos(phi0))
+    if abs(abs(phi0) - np.pi / 2) <= EPS10:
+        mode = 1 if phi0 < 0 else 0
+    elif abs(phi0) > EPS10:
+        mode = 3
+    else:
+        mode = 2
+    nu0 = y_shift = 0.0
+    y_scale = 1.0
+    if ell.es != 0:
+        nu0 = 1.0 / float(np.sqrt(1.0 - ell.es * sinph0 * sinph0))
+        y_shift = ell.es * nu0 * sinph0 * cosph0
+        y_scale = 1.0 / float(np.sqrt(1.0 - ell.es * cosph0 * cosph0))
+    return OrthoConsts(phi0=phi0, sinph0=sinph0, cosph0=cosph0, mode=mode,
+                       es=ell.es, one_es=ell.one_es, nu0=nu0,
+                       y_shift=y_shift, y_scale=y_scale,
+                       sinalpha=float(np.sin(alpha)),
+                       cosalpha=float(np.cos(alpha)), k0=k0)
+
+
+def _ortho_s_fwd_raw(lam, phi, C: OrthoConsts):
+    """Unrotated unit-sphere forward (ortho_s_forward :35-83)."""
     sinp, cosp = np.sin(phi), np.cos(phi)
     coslam = np.cos(lam)
-    cosc = sinp0 * sinp + cosp0 * cosp * coslam
-    x = np.where(cosc >= -EPS10, cosp * np.sin(lam), np.nan)
-    y = np.where(cosc >= -EPS10, cosp0 * sinp - sinp0 * cosp * coslam,
-                 np.nan)
+    if C.mode == 2:
+        bad = cosp * coslam < -EPS10
+        y = sinp
+    elif C.mode == 3:
+        bad = C.sinph0 * sinp + C.cosph0 * cosp * coslam < -EPS10
+        y = C.cosph0 * sinp - C.sinph0 * cosp * coslam
+    else:
+        bad = np.abs(phi - C.phi0) - EPS10 > np.pi / 2
+        y = cosp * (-coslam if C.mode == 0 else coslam)
+    x = cosp * np.sin(lam)
+    return (np.where(bad, np.nan, x), np.where(bad, np.nan, y))
+
+
+def ortho_fwd(lam, phi, C: OrthoConsts):
+    """Orthographic forward, Sph&Ell (ortho.cpp); outside-hemisphere
+    points -> NaN (PROJ_ERR_COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN)."""
+    if C.es == 0:
+        xp, yp = _ortho_s_fwd_raw(lam, phi, C)
+    else:
+        # EPSG guidance note 7-2 §3.3.5 (ortho_e_forward :148-173)
+        sinp, cosp = np.sin(phi), np.cos(phi)
+        coslam, sinlam = np.cos(lam), np.sin(lam)
+        bad = C.sinph0 * sinp + C.cosph0 * cosp * coslam < -EPS10
+        nu = 1.0 / np.sqrt(1.0 - C.es * sinp * sinp)
+        xp = nu * cosp * sinlam
+        yp = (nu * (sinp * C.cosph0 - cosp * C.sinph0 * coslam)
+              + C.es * (C.nu0 * C.sinph0 - nu * sinp) * C.cosph0)
+        xp = np.where(bad, np.nan, xp)
+        yp = np.where(bad, np.nan, yp)
+    x = (xp * C.cosalpha - yp * C.sinalpha) * C.k0
+    y = (xp * C.sinalpha + yp * C.cosalpha) * C.k0
     return x, y
 
 
-def ortho_inv(x, y, phi0: float):
+def _ortho_s_inv_raw(x, y, C: OrthoConsts):
+    """Unrotated unit-sphere inverse (ortho_s_inverse :85-146):
+    points outside the unit disc -> NaN."""
     rh = np.hypot(x, y)
-    sinc = np.clip(rh, 0.0, 1.0)
+    bad = rh - 1.0 > EPS10
+    sinc = np.minimum(rh, 1.0)
     cosc = np.sqrt(1.0 - sinc * sinc)
-    sinp0, cosp0 = np.sin(phi0), np.cos(phi0)
+    rhs = np.where(rh == 0, 1.0, rh)
     with np.errstate(invalid="ignore", divide="ignore"):
-        phi = np.arcsin(np.clip(
-            cosc * sinp0 + y * sinc * cosp0 / np.where(rh == 0, 1.0, rh),
-            -1, 1))
-        lam = np.arctan2(x * sinc, rh * cosc * cosp0 - y * sinc * sinp0)
-    phi = np.where(rh < EPS10, phi0, phi)
-    lam = np.where(rh < EPS10, 0.0, lam)
-    return lam, phi
+        if C.mode == 0:            # N_POLE
+            phi = np.arccos(sinc)
+            lam = np.arctan2(x, -y)
+        elif C.mode == 1:          # S_POLE
+            phi = -np.arccos(sinc)
+            lam = np.arctan2(x, y)
+        else:
+            if C.mode == 2:
+                sphi = y * sinc / rhs
+                xx = x * sinc
+                yy = cosc * rh
+            else:
+                sphi = cosc * C.sinph0 + y * sinc * C.cosph0 / rhs
+                yy = (cosc - C.sinph0 * sphi) * rh
+                xx = x * sinc * C.cosph0
+            phi = np.where(np.abs(sphi) >= 1.0,
+                           np.where(sphi < 0, -np.pi / 2, np.pi / 2),
+                           np.arcsin(np.clip(sphi, -1.0, 1.0)))
+            lam = np.where(
+                yy == 0.0,
+                np.where(xx == 0.0, 0.0,
+                         np.where(xx < 0, -np.pi / 2, np.pi / 2)),
+                np.arctan2(xx, yy))
+    phi = np.where(rh <= EPS10, C.phi0, phi)
+    lam = np.where(rh <= EPS10, 0.0, lam)
+    return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi))
+
+
+def ortho_inv(x, y, C: OrthoConsts):
+    """Orthographic inverse, Sph&Ell (ortho.cpp :85-146, :175-304)."""
+    xr = (C.cosalpha * x + C.sinalpha * y) / C.k0
+    yr = (-C.sinalpha * x + C.cosalpha * y) / C.k0
+    if C.es == 0:
+        return _ortho_s_inv_raw(xr, yr, C)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if C.mode in (0, 1):
+            # closed-form polar case (ortho_e_inverse :188-211)
+            rh2 = xr * xr + yr * yr
+            bad = rh2 - 1.0 > EPS10
+            at_edge = rh2 >= 1.0 - 1e-15
+            cos2 = np.clip(rh2 * C.one_es / (1.0 - C.es * rh2), 0.0, 1.0)
+            phi = np.where(
+                at_edge, 0.0,
+                np.arccos(np.sqrt(cos2)) * (1 if C.mode == 0 else -1))
+            lam = np.arctan2(xr, yr * (-1 if C.mode == 0 else 1))
+            return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi))
+        if C.mode == 2:
+            # closed-form equatorial case (:213-243)
+            a_over_b = 1.0 / np.sqrt(C.one_es)
+            bad = xr * xr + (yr * a_over_b) ** 2 > 1 + 1e-11
+            sinphi2 = np.where(
+                yr == 0, 0.0,
+                1.0 / (((1 - C.es) / np.where(yr == 0, 1.0, yr)) ** 2 + C.es))
+            at_pole = sinphi2 > 1 - 1e-11
+            phi = np.where(at_pole, np.pi / 2 * np.sign(yr),
+                           np.arcsin(np.sqrt(sinphi2)) * np.where(
+                               yr > 0, 1.0, -1.0))
+            sinlam = xr * np.sqrt((1 - C.es * sinphi2)
+                                  / np.maximum(1 - sinphi2, 1e-300))
+            lam = np.where(np.abs(sinlam) - 1 > -1e-15,
+                           np.pi / 2 * np.sign(xr),
+                           np.arcsin(np.clip(sinlam, -1.0, 1.0)))
+            lam = np.where(at_pole, 0.0, lam)
+            return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi))
+        # oblique: Newton on the forward map from the spherical guess
+        # over the recentered ellipse (:245-303)
+        yc = (yr - C.y_shift) / C.y_scale
+        bad = xr * xr + yc * yc > 1 + 1e-11
+        lam, phi = _ortho_s_inv_raw(np.where(bad, 0.0, xr),
+                                    np.where(bad, 0.0, yc), C)
+        lam = np.where(np.isnan(lam), 0.0, lam)
+        phi = np.where(np.isnan(phi), C.phi0, phi)
+        active = ~bad & np.isfinite(xr) & np.isfinite(yr)
+        for _ in range(20):
+            if not np.any(active):
+                break
+            cosp, sinp = np.cos(phi), np.sin(phi)
+            coslam, sinlam = np.cos(lam), np.sin(lam)
+            ome = 1.0 - C.es * sinp * sinp
+            nu = 1.0 / np.sqrt(ome)
+            xn = nu * cosp * sinlam
+            yn = (nu * (sinp * C.cosph0 - cosp * C.sinph0 * coslam)
+                  + C.es * (C.nu0 * C.sinph0 - nu * sinp) * C.cosph0)
+            rho = (1.0 - C.es) * nu / ome
+            J11 = -rho * sinp * sinlam
+            J12 = nu * cosp * coslam
+            J21 = rho * (cosp * C.cosph0 + sinp * C.sinph0 * coslam)
+            J22 = nu * C.sinph0 * cosp * sinlam
+            D = J11 * J22 - J12 * J21
+            dx = xr - xn
+            dy = yr - yn
+            dphi = np.where(active, (J22 * dx - J12 * dy) / D, 0.0)
+            dlam = np.where(active, (-J21 * dx + J11 * dy) / D, 0.0)
+            phi = phi + dphi
+            over = phi > np.pi / 2
+            under = phi < -np.pi / 2
+            phi = np.where(over, np.pi - phi, phi)
+            phi = np.where(under, -np.pi - phi, phi)
+            lam = np.where(over | under, adjlon(lam + np.pi), lam)
+            lam = lam + dlam
+            active = active & ((np.abs(dphi) >= 1e-12)
+                               | (np.abs(dlam) >= 1e-12))
+        # points still iterating after 20 steps error out like the
+        # reference (:300-303) — e.g. exactly on the horizon rim
+        bad = bad | active
+        return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi))
 
 
 # --------------------------------------------------------- eqearth

@@ -37,6 +37,28 @@ def adjlon(lon: np.ndarray) -> np.ndarray:
     return out
 
 
+_ONE_TOL = 1.00000000000001  # aasincos.cpp ONE_TOL
+
+
+def aasin(v) -> np.ndarray:
+    """arcsin that clamps |v| in [1, 1+1e-14] to ±pi/2 and errors
+    (NaN) beyond (src/aasincos.cpp:11-21 aasin)."""
+    v = np.asarray(v, dtype=np.float64)
+    av = np.abs(v)
+    out = np.arcsin(np.clip(v, -1.0, 1.0))
+    out = np.where(av >= 1.0, np.where(v < 0, -HALFPI, HALFPI), out)
+    return np.where(av > _ONE_TOL, np.nan, out)
+
+
+def aacos(v) -> np.ndarray:
+    """arccos twin of aasin (src/aasincos.cpp:23-33)."""
+    v = np.asarray(v, dtype=np.float64)
+    av = np.abs(v)
+    out = np.arccos(np.clip(v, -1.0, 1.0))
+    out = np.where(av >= 1.0, np.where(v < 0, np.pi, 0.0), out)
+    return np.where(av > _ONE_TOL, np.nan, out)
+
+
 def tsfn(phi: np.ndarray, sinphi: np.ndarray, e: float) -> np.ndarray:
     """Snyder (7-10): ts = exp(-psi), psi the isometric latitude."""
     cosphi = np.cos(phi)

@@ -118,9 +118,64 @@ class Ellipsoid:
                 es = 2 * f - f * f
             else:
                 es = 0.0  # a alone -> sphere of radius a
-            return Ellipsoid.from_a_es(a, es)
-        name = params.get("ellps", "GRS80")
-        ell = Ellipsoid.from_name(name)
-        if "es" in params:  # rare override
-            ell = Ellipsoid.from_a_es(ell.a, float(params["es"]))
+            ell = Ellipsoid.from_a_es(a, es)
+        else:
+            name = params.get("ellps", "GRS80")
+            ell = Ellipsoid.from_name(name)
+            if "es" in params:  # rare override
+                ell = Ellipsoid.from_a_es(ell.a, float(params["es"]))
+        return _spherify(ell, params)
+
+
+_SIXTH = 1.0 / 6.0
+_RA4 = 17.0 / 360.0
+_RA6 = 67.0 / 3024.0
+_RV4 = 5.0 / 72.0
+_RV6 = 55.0 / 1296.0
+
+
+def _spherify(ell: Ellipsoid, params: dict) -> Ellipsoid:
+    """Spherification flags R_A/R_V/R_a/R_g/R_h/R_lat_a=phi/
+    R_lat_g=phi/R_C (src/ell_set.cpp:356-453 ellps_spherification):
+    replace the ellipsoid with the equivalent sphere (same area /
+    volume / mean radius / conformal radius at phi0)."""
+    import numpy as _np
+
+    a, b, es = ell.a, ell.b, ell.es
+    if "R_A" in params:
+        a *= 1.0 - es * (_SIXTH + es * (_RA4 + es * _RA6))
+    elif "R_V" in params:
+        a *= 1.0 - es * (_SIXTH + es * (_RV4 + es * _RV6))
+    elif "R_a" in params:
+        a = (a + b) / 2.0
+    elif "R_g" in params:
+        a = float(_np.sqrt(a * b))
+    elif "R_h" in params:
+        if a + b == 0:
+            raise ValueError("R_h: a + b == 0")
+        a = 2.0 * a * b / (a + b)
+    elif "R_lat_a" in params or "R_lat_g" in params:
+        key = "R_lat_a" if "R_lat_a" in params else "R_lat_g"
+        phi = float(params[key]) * _np.pi / 180.0
+        if abs(phi) > _np.pi / 2:
+            raise ValueError(f"{key}: |lat| should be <= 90")
+        t = _np.sin(phi)
+        t = 1.0 - es * t * t
+        if t == 0.0:
+            raise ValueError(f"{key}: invalid eccentricity")
+        if key == "R_lat_a":
+            a *= (1.0 - es + t) / (2.0 * t * float(_np.sqrt(t)))
+        else:
+            a *= float(_np.sqrt(1.0 - es)) / t
+    elif "R_C" in params:
+        # conformal-sphere radius "at phi0" (IOGP 373-7-2 §1.1) — but
+        # the reference runs spherification BEFORE lat_0 is parsed
+        # (pj_ellipsoid at init.cpp:566-586, phi0 at :647-676), so
+        # P->phi0 is still 0 and R_C always yields a·sqrt(1-es) = b;
+        # builtins.gie's merc +R_C +lat_0=45 block pins this behavior
+        a *= float(_np.sqrt(1.0 - es))
+    else:
         return ell
+    if a <= 0:
+        raise ValueError("spherification: invalid major axis")
+    return Ellipsoid.from_a_es(a, 0.0)

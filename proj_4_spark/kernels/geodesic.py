@@ -288,8 +288,9 @@ def _C3f(g: Geodesic, eps):
 
 
 def _lengths(g: Geodesic, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
-             cbet1, cbet2, want_s12b: bool, want_m12b: bool, want_m0: bool):
-    """geodesic.c:1111-1172 (s12b / m12b / m0 subset)."""
+             cbet1, cbet2, want_s12b: bool, want_m12b: bool, want_m0: bool,
+             want_M: bool = False):
+    """geodesic.c:1111-1233 (s12b / m12b / m0 / M12,M21 subset)."""
     A1 = _A1m1f(eps)
     Ca = _C1f(eps)
     A2 = _A2m1f(eps)
@@ -310,6 +311,13 @@ def _lengths(g: Geodesic, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
         )
     if want_m12b:
         m12b = dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2) - csig1 * csig2 * J12
+    if want_M:
+        # geodesic scale M12/M21 (geodesic.c Lengths :1196-1204)
+        csig12 = csig1 * csig2 + ssig1 * ssig2
+        t = g.ep2 * (cbet1 - cbet2) * (cbet1 + cbet2) / (dn1 + dn2)
+        M12 = csig12 + (t * ssig2 - csig2 * J12) * ssig1 / dn1
+        M21 = csig12 - (t * ssig1 - csig1 * J12) * ssig2 / dn2
+        return s12b, m12b, (m0 if want_m0 else None), M12, M21
     return s12b, m12b, (m0 if want_m0 else None)
 
 
@@ -747,9 +755,11 @@ def _inverse_general(g: Geodesic, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
     return sig12, salp1, calp1, salp2, calp2, s12, a12, somg12, comg12
 
 
-def direct(g: Geodesic, lat1, lon1, azi1, s12):
+def direct(g: Geodesic, lat1, lon1, azi1, s12, want_scale: bool = False):
     """Vectorized geod_direct (geodesic.c:686 -> geod_genposition :441-560):
-    returns (lat2, lon2, azi2)."""
+    returns (lat2, lon2, azi2); with ``want_scale`` appends the reduced
+    length m12 and geodesic scales M12, M21 (geod_genposition
+    GEOD_REDUCEDLENGTH|GEOD_GEODESICSCALE outmask, :566-631)."""
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon1 = np.asarray(lon1, dtype=np.float64)
     azi1 = np.asarray(azi1, dtype=np.float64)
@@ -816,6 +826,12 @@ def direct(g: Geodesic, lat1, lon1, azi1, s12):
     lon2 = _ang_normalize(_ang_normalize(lon1) + _ang_normalize(lon12))
     lat2 = _atan2d(sbet2, g.f1 * cbet2)
     azi2 = _atan2d(salp2, calp2)
+    if want_scale:
+        dn2 = np.sqrt(1 + g.ep2 * sbet2 * sbet2)
+        _, m12b, _, M12, M21 = _lengths(
+            g, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
+            cbet1, cbet2, False, True, False, want_M=True)
+        return lat2, lon2, azi2, m12b * g.b, M12, M21
     return lat2, lon2, azi2
 
 

@@ -66,7 +66,27 @@ class IseaConsts:
 
 
 def setup(params: dict) -> IseaConsts:
-    """isea.cpp grid init + +orient/+azi overrides."""
+    """isea.cpp grid init + +orient/+azi overrides.  Hex output mode
+    mirrors the reference's integer-overflow guards (isea.cpp:775-777
+    even / ap3odd offset :880-884): aperture^(resolution/2) (or
+    3^(resolution-1) for odd aperture-3) must fit a 32-bit int."""
+    mode = params.get("mode", "plane")
+    if mode == "hex":
+        resolution = int(params.get("resolution", 4))
+        aperture = int(params.get("aperture", 3))
+        if aperture == 3 and resolution % 2 != 0:
+            if 3.0 ** (resolution - 1) > 2 ** 31 - 1:
+                raise ValueError("isea: integer overflow "
+                                 f"(resolution {resolution})")
+        elif aperture > 0 and \
+                aperture ** (resolution / 2.0) > 2 ** 31 - 1:
+            raise ValueError("isea: integer overflow "
+                             f"(resolution {resolution})")
+        raise NotImplementedError(
+            "isea: hex output lives in index/hexdggs (aperture-7 "
+            "DGGS); the projection kernel is plane-mode only")
+    if mode != "plane":
+        raise NotImplementedError(f"isea: mode {mode} not supported")
     o_lat, o_lon, o_az = ISEA_STD_LAT, ISEA_STD_LONG, 0.0
     orient = params.get("orient")
     if orient is not None:
@@ -164,3 +184,59 @@ def fwd(lam, phi, C: IseaConsts):
             y_out = np.where(cand, y + tcy, y_out)
             done |= cand
     return x_out, y_out
+
+
+# -------------------------------------------------------------- inverse
+#
+# The reference gained an inverse only for the default planar grid
+# (isea.cpp:1096-1370 ISEAPlanarProjection::cartesianToGeo — per-face
+# inverse Snyder with a Newton on Az).  Here the inverse is a
+# table-seeded 2D Newton on the vectorized forward: a coarse
+# fwd-sampled grid (built once per orientation and cached) supplies a
+# same-face seed, and the within-face forward is smooth so Newton
+# converges quadratically.  Points whose Newton diverges (triangle
+# edges / outside the net) return NaN like the reference's
+# out-of-domain path.
+
+_ISEA_SEEDS: dict = {}
+
+
+def _seed_table(C: IseaConsts):
+    key = (C.o_lat, C.o_lon, C.o_az)
+    tab = _ISEA_SEEDS.get(key)
+    if tab is None:
+        lon = np.radians(np.arange(-178.75, 180.0, 2.5))
+        lat = np.radians(np.arange(-88.75, 90.0, 2.5))
+        LO, LA = np.meshgrid(lon, lat)
+        lo = LO.ravel()
+        la = LA.ravel()
+        fx, fy = fwd(lo, la, C)
+        ok = np.isfinite(fx) & np.isfinite(fy)
+        tab = (lo[ok], la[ok], fx[ok], fy[ok])
+        _ISEA_SEEDS[key] = tab
+    return tab
+
+
+def inv(x, y, C: IseaConsts, chunk: int = 4096):
+    """Seeded-Newton inverse of the plane-mode forward (see above).
+    The nearest-seed search is O(n_points × n_table) per chunk — fine
+    for fixture/driver scale; at cluster scale the forward direction
+    is the hot path and this inverse is diagnostic."""
+    from .generic_inverse import generic_inverse
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    slo, sla, sfx, sfy = _seed_table(C)
+    lam0 = np.zeros_like(x)
+    phi0 = np.zeros_like(x)
+    for i in range(0, x.shape[0], chunk):
+        xs = x[i:i + chunk]
+        ys = y[i:i + chunk]
+        d2 = (xs[:, None] - sfx[None, :]) ** 2 \
+            + (ys[:, None] - sfy[None, :]) ** 2
+        j = np.nanargmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
+        lam0[i:i + chunk] = slo[j]
+        phi0[i:i + chunk] = sla[j]
+    return generic_inverse(lambda la, ph: fwd(la, ph, C), x, y,
+                           lam0=lam0, phi0=phi0, seed_from_xy=False,
+                           max_iter=20)

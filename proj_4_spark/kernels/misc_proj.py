@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .common import DEG_TO_RAD, FORTPI, HALFPI, enfn, inv_mlfn, mlfn, msfn, phi2, tsfn
+from .common import DEG_TO_RAD, FORTPI, HALFPI, aasin, enfn, inv_mlfn, mlfn, msfn, phi2, tsfn
 from .ellipsoid import Ellipsoid
 
 EPS10 = 1e-10
@@ -282,16 +282,16 @@ def laea_fwd(lam, phi, C: LaeaConsts):
             x = yv * cosphi * sinlam
             y = yv * (C.cosb1 * sinphi - C.sinb1 * cosphi * coslam)
         else:
-            s = 1.0 if C.mode == "s_pole" else -1.0
-            yv = np.abs(2.0 * np.cos(FORTPI - s * 0.5 * phi))  # placeholder
-            # classic polar form: rho = 2 sin(pi/4 -+ phi/2)
+            # antipodal pole -> domain error (laea_s_forward :121-124)
+            bad = np.abs(phi + C.phi0) < EPS10
             if C.mode == "n_pole":
                 rho = 2.0 * np.sin(FORTPI - 0.5 * phi)
                 y = -rho * coslam
             else:
                 rho = 2.0 * np.sin(FORTPI + 0.5 * phi)
                 y = rho * coslam
-            x = rho * sinlam
+            x = np.where(bad, np.nan, rho * sinlam)
+            y = np.where(bad, np.nan, y)
         return x, y
     # ellipsoidal
     sinb = qsfn(np.sin(phi), C.e, C.one_es) / C.qp
@@ -310,15 +310,19 @@ def laea_fwd(lam, phi, C: LaeaConsts):
         x = C.xmf * b * cosb * sinlam
         y = C.ymf * b * sinb
     elif C.mode == "n_pole":
+        # |phi + pi/2| < EPS10 (the antipodal pole) -> domain error
+        # (laea_e_forward :50-66)
+        bad = np.abs(phi + HALFPI) < EPS10
         b = np.sqrt(np.clip(C.qp - qsfn(np.sin(phi), C.e, C.one_es),
                             0.0, None))
-        x = b * sinlam
-        y = -b * coslam
+        x = np.where(bad, np.nan, b * sinlam)
+        y = np.where(bad, np.nan, -b * coslam)
     else:
+        bad = np.abs(phi - HALFPI) < EPS10
         b = np.sqrt(np.clip(C.qp + qsfn(np.sin(phi), C.e, C.one_es),
                             0.0, None))
-        x = b * sinlam
-        y = b * coslam
+        x = np.where(bad, np.nan, b * sinlam)
+        y = np.where(bad, np.nan, b * coslam)
     return x, y
 
 
@@ -465,31 +469,38 @@ def moll_setup(p: float = HALFPI) -> MollConsts:
     return MollConsts(C_x=float(C_x), C_y=float(C_y), C_p=float(C_p))
 
 
-def moll_fwd(lam, phi, C: MollConsts, max_iter: int = 10, tol: float = 1e-7):
-    """moll.cpp forward: Newton for theta."""
+def moll_fwd(lam, phi, C: MollConsts, max_iter: int = 30, tol: float = 1e-7):
+    """moll.cpp forward: Newton for theta; points whose Newton does not
+    meet LOOP_TOL within MAX_ITER (the poles — the derivative 1+cos
+    vanishes there) snap to ±pi/2 exactly like the reference's
+    loop-exhaustion fallback (moll.cpp:28-40)."""
     k = C.C_p * np.sin(phi)
-    theta = phi.copy()
-    for _ in range(max_iter):
-        V = (theta + np.sin(theta)) - k
-        dV = 1.0 + np.cos(theta)
-        delta = np.where(dV != 0, V / dV, 0.0)
-        theta = theta - delta
-        if np.all(np.abs(delta) < tol):
-            break
-    theta = np.where(np.abs(dV := 1.0 + np.cos(theta)) == 0,
-                     np.where(phi < 0.0, -HALFPI, HALFPI), theta)
-    theta *= 0.5
+    theta = np.array(phi, dtype=np.float64, copy=True)
+    conv = np.zeros(np.shape(phi), dtype=bool)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(max_iter):
+            V = (theta + np.sin(theta) - k) / (1.0 + np.cos(theta))
+            V = np.where(conv | ~np.isfinite(V), 0.0, V)
+            theta = theta - V
+            conv = conv | (np.abs(V) < tol)
+            if conv.all():
+                break
+    theta = np.where(conv, theta * 0.5,
+                     np.where(phi < 0.0, -HALFPI, HALFPI))
     x = C.C_x * lam * np.cos(theta)
     y = C.C_y * np.sin(theta)
     return x, y
 
 
 def moll_inv(x, y, C: MollConsts):
-    theta = np.arcsin(np.clip(y / C.C_y, -1.0, 1.0))
-    lam = x / (C.C_x * np.cos(theta))
+    """moll.cpp inverse; |lam| >= pi -> domain error (moll.cpp:43-56)."""
+    theta = aasin(y / C.C_y)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = x / (C.C_x * np.cos(theta))
+    bad = np.abs(lam) >= np.pi
     theta2 = theta + theta
-    phi = np.arcsin(np.clip((theta2 + np.sin(theta2)) / C.C_p, -1.0, 1.0))
-    return lam, phi
+    phi = aasin((theta2 + np.sin(theta2)) / C.C_p)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 # ---------------------------------------------------------------- sinu
@@ -550,24 +561,62 @@ def mill_inv(x, y, _=None):
     return x, 2.5 * (np.arctan(np.exp(0.8 * y)) - FORTPI)
 
 
-def eck4_fwd(lam, phi, max_iter: int = 6):
-    """Eckert IV (src/projections/eck4... via moll-style Newton):
-    2θ + sinθcosθ + 2sinθ = (2 + π/2) sinφ."""
-    C_x = 0.42223820031577120149
-    C_y = 1.32650042817700232218
-    C_p = 3.57079632679489661922
-    k = C_p * np.sin(phi)
-    theta = phi * 0.895168 * (1.0 + 0.0218849 * phi * phi
-                              + 0.00826809 * phi ** 4)  # good seed
-    for _ in range(max_iter):
-        c = np.cos(theta)
-        s = np.sin(theta)
-        V = theta + s * c + 2.0 * s - k
-        dV = 1.0 + c * c - s * s + 2.0 * c
-        theta = theta - np.where(dV != 0, V / dV, 0.0)
-    x = C_x * lam * (1.0 + np.cos(theta))
-    y = C_y * np.sin(theta)
+_ECK4_CX = 0.42223820031577120149   # 2/sqrt(4π+π²)
+_ECK4_CY = 1.32650042817700232218   # 2 sqrt(π/(4+π))
+_ECK4_RCY = 0.75386330736002178205
+_ECK4_CP = 3.57079632679489661922   # 2 + π/2
+_ECK4_RCP = 0.28004957675577868795
+
+
+def eck4_fwd(lam, phi, max_iter: int = 6, tol: float = 1e-7):
+    """Eckert IV forward (src/projections/eck4.cpp:23-51): Newton for
+    θ + sinθ(cosθ+2) = C_p sinφ from the reference's cubic seed;
+    points not meeting EPS within NITER (the poles, where the
+    derivative 2cosθ(1+cosθ) vanishes) take the exact pole fallback
+    x = C_x·λ, y = ±C_y."""
+    k = _ECK4_CP * np.sin(phi)
+    V0 = phi * phi
+    theta = phi * (0.895168 + V0 * (0.0218849 + V0 * 0.00826809))
+    conv = np.zeros(np.shape(phi), dtype=bool)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(max_iter):
+            c = np.cos(theta)
+            s = np.sin(theta)
+            V = (theta + s * (c + 2.0) - k) / (1.0 + c * (c + 2.0) - s * s)
+            V = np.where(conv | ~np.isfinite(V), 0.0, V)
+            theta = theta - V
+            conv = conv | (np.abs(V) < tol)
+            if conv.all():
+                break
+    x = np.where(conv, _ECK4_CX * lam * (1.0 + np.cos(theta)),
+                 _ECK4_CX * lam)
+    y = np.where(conv, _ECK4_CY * np.sin(theta),
+                 np.where(theta < 0.0, -_ECK4_CY, _ECK4_CY))
     return x, y
+
+
+def eck4_inv(x, y, over: bool = False):
+    """Eckert IV closed-form inverse (eck4.cpp:53-92) with the pole
+    row special case and the |lam| > π domain check."""
+    sin_theta = y * _ECK4_RCY
+    one_minus = 1.0 - np.abs(sin_theta)
+    at_pole = (one_minus >= 0.0) & (one_minus <= 1e-12)
+    theta = aasin(sin_theta)
+    cos_theta = np.cos(theta)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.where(at_pole, x / _ECK4_CX,
+                       x / (_ECK4_CX * (1.0 + cos_theta)))
+    phi = np.where(at_pole, np.where(sin_theta > 0, HALFPI, -HALFPI),
+                   aasin((theta + sin_theta * (cos_theta + 2.0))
+                         * _ECK4_RCP))
+    if not over:
+        over_pi = np.abs(lam) - np.pi
+        bad = over_pi > 1e-10
+        lam = np.where((over_pi > 0.0) & ~bad,
+                       np.where(lam > 0, np.pi, -np.pi), lam)
+        lam = np.where(bad, np.nan, lam)
+        phi = np.where(bad, np.nan, phi)
+    return lam, phi
 
 
 # Robinson cubic interpolation tables (published Robinson 1974 node
@@ -639,6 +688,50 @@ def robin_fwd(lam, phi, _=None):
     x = vx * _ROBIN_FXC * lam
     y = np.where(phi < 0.0, -vy, vy) * _ROBIN_FYC
     return x, y
+
+
+def robin_inv(x, y, _=None):
+    """Robinson inverse (robin.cpp s_inverse): pathologic |Y|>=FYC
+    rows snap to ±90° (error beyond ONEEPS), otherwise locate the
+    5-degree table interval in Y space and Newton on the cubic."""
+    ONEEPS = 1.000001
+    lam = x / _ROBIN_FXC
+    yf = np.abs(y / _ROBIN_FYC)
+    bad = yf > ONEEPS
+    at_pole = (yf >= 1.0) & ~bad
+    # general rows: table interval search
+    yg = np.minimum(yf, 1.0 - 1e-12)
+    i = np.clip(np.floor(yg * _ROBIN_NODES).astype(np.int64),
+                0, _ROBIN_NODES - 1)
+    # the Y nodes are monotone; one up/down adjustment suffices after
+    # the floor seed (the reference loops, but intervals are uniform
+    # to within one node)
+    for _ in range(2):
+        i = np.where((i > 0) & (_ROBIN_Y[i, 0] > yg), i - 1, i)
+        i = np.where((i < _ROBIN_NODES - 1) & (_ROBIN_Y[i + 1, 0] <= yg),
+                     i + 1, i)
+    T = _ROBIN_Y[i]
+    t = 5.0 * (yg - T[:, 0]) / (_ROBIN_Y[i + 1, 0] - T[:, 0])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(100):
+            t1 = ((T[:, 0] + t * (T[:, 1] + t * (T[:, 2] + t * T[:, 3])))
+                  - yg) / (T[:, 1] + 2 * t * T[:, 2] + t * t * 3.0 * T[:, 3])
+            t1 = np.where(np.isfinite(t1), t1, 0.0)
+            t = t - t1
+            if np.all(np.abs(t1) < 1e-10):
+                break
+    phi = (5.0 * i + t) * DEG_TO_RAD
+    phi = np.where(y < 0.0, -phi, phi)
+    cx = _ROBIN_X[i]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam_g = lam / (cx[:, 0] + t * (cx[:, 1]
+                                       + t * (cx[:, 2] + t * cx[:, 3])))
+    # pathologic rows: exactly (or nearly) the pole line
+    phi = np.where(at_pole, np.where(y < 0, -HALFPI, HALFPI), phi)
+    lam_p = lam / _ROBIN_X[_ROBIN_NODES, 0]
+    lam = np.where(at_pole, lam_p, lam_g)
+    bad = bad | (np.abs(lam) > np.pi)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 def laea_inv(x, y, C: LaeaConsts):
@@ -1010,12 +1103,15 @@ def cass_inv(x, y, C: CassConsts):
     phi = phi1 - (nu1 * tanphi1 / rho1) * D2 * (0.5 - (1.0 + 3.0 * T1) * D2 * _CASS_C3)
     with np.errstate(invalid="ignore", divide="ignore"):
         lam = D * (1.0 + T1 * D2 * (-_CASS_C4 + (1.0 + 3.0 * T1) * D2 * _CASS_C5)) / np.cos(phi1)
-    if not C.hyperbolic:
-        from .generic_inverse import generic_inverse
+    # the reference refines the analytic seed with the generic 2D
+    # Newton unconditionally (cass.cpp:76-83) — for the hyperbolic
+    # variant this is what inverts the extra -y^3/(6 rho nu) term
+    from .generic_inverse import generic_inverse
 
-        lam, phi = generic_inverse(
-            lambda la, ph: cass_fwd(la, ph, C), x, y,
-            lam0=lam, phi0=phi, seed_from_xy=False, max_iter=4)
+    lam, phi = generic_inverse(
+        lambda la, ph: cass_fwd(la, ph, C), x, y,
+        lam0=lam, phi0=phi, seed_from_xy=False,
+        max_iter=4 if not C.hyperbolic else 10)
     return lam, phi
 
 

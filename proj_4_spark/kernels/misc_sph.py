@@ -23,14 +23,22 @@ EPS10 = 1e-10
 
 
 def _newton_theta(phi, k, max_iter=10, tol=1e-7):
-    """theta + sin(theta) = k solve (shared by nell/wink2/boggs...)."""
-    theta = phi.copy()
-    for _ in range(max_iter):
-        V = (theta + np.sin(theta) - k) / (1.0 + np.cos(theta))
-        theta = theta - V
-        if np.all(np.abs(V) < tol):
-            break
-    return theta
+    """theta + sin(theta) = k solve (shared by nell/wink2/boggs...).
+    Points not meeting LOOP_TOL within MAX_ITER (poles, where the
+    derivative 1+cos vanishes) snap to ±pi so the caller's halving
+    yields ±pi/2 — the reference's loop-exhaustion fallback
+    (e.g. wink2.cpp:28-36, moll.cpp:28-40)."""
+    theta = np.array(phi, dtype=np.float64, copy=True)
+    conv = np.zeros(np.shape(phi), dtype=bool)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(max_iter):
+            V = (theta + np.sin(theta) - k) / (1.0 + np.cos(theta))
+            V = np.where(conv | ~np.isfinite(V), 0.0, V)
+            theta = theta - V
+            conv = conv | (np.abs(V) < tol)
+            if conv.all():
+                break
+    return np.where(conv, theta, np.where(phi < 0, -np.pi, np.pi))
 
 
 # --- cylindricals / pseudocylindricals ---------------------------------
@@ -802,7 +810,7 @@ def tobmerc_inv(x, y, k0: float):
 
 
 def lagrng_setup(params: dict) -> tuple:
-    """lagrng.cpp: (a1, rw, hrw)."""
+    """lagrng.cpp: (a1, rw, hrw, w)."""
     w = float(params.get("W", 2.0))
     if w <= 0:
         raise ValueError("lagrng: W should be > 0")
@@ -812,7 +820,7 @@ def lagrng_setup(params: dict) -> tuple:
         raise ValueError("lagrng: |lat_1| should be < 90")
     hrw = 0.5 / w
     a1 = ((1.0 - s1) / (1.0 + s1)) ** hrw
-    return float(a1), 1.0 / w, hrw
+    return float(a1), 1.0 / w, hrw, w
 
 
 def lagrng_fwd(lam, phi, a1, rw, hrw):
@@ -830,6 +838,26 @@ def lagrng_fwd(lam, phi, a1, rw, hrw):
     y = np.where(pole, np.where(phi < 0, -2.0, 2.0),
                  np.where(bad, np.nan, y))
     return x, y
+
+
+def lagrng_inv(x, y, a1, rw, hrw, w):
+    """lagrng.cpp s_inverse (:46-69): closed form with the pole rows
+    (|y| = 2) and the bounding-circle domain error (|c| < TOL)."""
+    a2 = a1 * a1
+    hw = 0.5 * w
+    at_pole = np.abs(np.abs(y) - 2.0) < EPS10
+    x2 = x * x
+    y2p = 2.0 + y
+    y2m = 2.0 - y
+    c = y2p * y2m - x2
+    bad = (np.abs(c) < EPS10) & ~at_pole
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = 2.0 * np.arctan(((y2p * y2p + x2)
+                               / (a2 * (y2m * y2m + x2))) ** hw) - HALFPI
+        lam = w * np.arctan2(4.0 * x, c)
+    phi = np.where(at_pole, np.where(y < 0, -HALFPI, HALFPI), phi)
+    lam = np.where(at_pole, 0.0, lam)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 def vandg2_fwd(lam, phi, vdg3: bool):

@@ -228,14 +228,17 @@ def wag5_fwd(lam, phi, max_iter: int = 10, tol: float = 1e-7):
 
 # --- vandg (van der Grinten I) ------------------------------------------
 
-def vandg_fwd(lam, phi):
+def vandg_fwd(lam, phi, over: bool = False):
     """van der Grinten I (vandg.cpp:16-80; Snyder 1987 29-1..29-6),
-    vectorized with the same branch structure."""
+    vectorized with the same branch structure.  With +over, |lam| > pi
+    flips the sign of A so x keeps growing past the antimeridian
+    (vandg.cpp:26-28)."""
     TOL = 1e-10
     p2 = np.abs(phi / (np.pi / 2.0))
     p2 = np.minimum(p2, 1.0)
+    sign = np.where(over & (np.abs(lam) > np.pi), -1.0, 1.0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        al = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        al = 0.5 * sign * np.abs(np.pi / lam - lam / np.pi)
         al2 = al * al
         g = np.sqrt(np.clip(1.0 - p2 * p2, 0.0, None))
         g = g / (p2 + g - 1.0)

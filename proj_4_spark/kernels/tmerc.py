@@ -293,13 +293,14 @@ def spherical_inv(x, y, Q: EvendenSnyder):
     """tmerc.cpp:192-215."""
     with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
         h = np.exp(x / Q.esp)
+        bad = h == 0.0  # x -> -inf underflows: domain error (:198-201)
         g = 0.5 * (h - 1.0 / h)
         D = Q.phi0 + y / Q.esp
         h = np.cos(D)
         phi = np.arcsin(np.sqrt(np.clip((1.0 - h * h) / (1.0 + g * g), 0, 1)))
     phi = np.copysign(phi, D)
     lam = np.where((g != 0.0) | (h != 0.0), np.arctan2(g, h), 0.0)
-    return lam, phi
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 # --- AUTO hybrid + registry glue ----------------------------------------

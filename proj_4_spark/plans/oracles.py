@@ -556,7 +556,7 @@ def aeqd_sph_xy(projstr: str, lon: str = "lon",
     tr = compile_projstring(projstr)
     op = tr.ops[0]
     C = op.consts
-    assert C.spherical
+    assert C.es == 0
     a = op.ell.a
     p0 = C.phi0
     raw = f"(radians({lon}) - {L(op.lam0)})"

@@ -1160,7 +1160,7 @@ def _mk_simple(fwd, inv):
 def _mk_aeqd(op, params, ell, k0, phi0):
     from .kernels import azimuthal as A
 
-    C = A.aeqd_setup(ell, phi0, op.lam0)
+    C = A.aeqd_setup(ell, phi0, op.lam0, guam="guam" in params)
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*A.aeqd_fwd(x, y, C), z)
     op.inv_k = lambda x, y, z, t: (*A.aeqd_inv(x, y, C), z)
@@ -1169,15 +1169,20 @@ def _mk_aeqd(op, params, ell, k0, phi0):
 def _mk_gnom(op, params, ell, k0, phi0):
     from .kernels import azimuthal as A
 
-    op.fwd_k = lambda x, y, z, t: (*A.gnom_fwd(x, y, phi0), z)
-    op.inv_k = None
+    C = A.gnom_setup(ell, phi0)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*A.gnom_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*A.gnom_inv(x, y, C), z)
 
 
 def _mk_ortho(op, params, ell, k0, phi0):
     from .kernels import azimuthal as A
 
-    op.fwd_k = lambda x, y, z, t: (*A.ortho_fwd(x, y, phi0), z)
-    op.inv_k = lambda x, y, z, t: (*A.ortho_inv(x, y, phi0), z)
+    alpha = math.radians(float(params.get("alpha", 0.0)))
+    C = A.ortho_setup(ell, phi0, k0=k0, alpha=alpha)
+    op.consts = C
+    op.fwd_k = lambda x, y, z, t: (*A.ortho_fwd(x, y, C), z)
+    op.inv_k = lambda x, y, z, t: (*A.ortho_inv(x, y, C), z)
 
 
 def _mk_eqearth(op, params, ell, k0, phi0):
@@ -1377,9 +1382,10 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.inv_k = lambda x, y, z, t: (*MS.tobmerc_inv(x, y, kk), z)
         return
     if pid == "lagrng":
-        a1, rw, hrw = MS.lagrng_setup(params)
+        a1, rw, hrw, w = MS.lagrng_setup(params)
         op.fwd_k = lambda x, y, z, t: (*MS.lagrng_fwd(x, y, a1, rw, hrw), z)
-        op.inv_k = None
+        op.inv_k = lambda x, y, z, t: (*MS.lagrng_inv(x, y, a1, rw, hrw, w),
+                                       z)
         return
     if pid in ("vandg2", "vandg3"):
         vdg3 = pid == "vandg3"
@@ -1655,7 +1661,7 @@ def _mk_isea(op, params, ell, k0, phi0):
     C = k_isea.setup(params)
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*k_isea.fwd(x, y, C), z)
-    op.inv_k = None  # no inverse in the reference; generic Newton
+    op.inv_k = lambda x, y, z, t: (*k_isea.inv(x, y, C), z)
 
 
 def _mk_airocean(op, params, ell, k0, phi0):
@@ -1922,7 +1928,9 @@ def _mk_pcyl(op, params, ell, k0, phi0):
 
     pid = op.proj_id
     if pid == "vandg":
-        fwd, inv = PC.vandg_fwd, PC.vandg_inv
+        over = "over" in params
+        fwd = lambda a, b: PC.vandg_fwd(a, b, over)  # noqa: E731
+        inv = PC.vandg_inv
     elif pid == "eck1":
         fwd, inv = PC.eck1_fwd, PC.eck1_inv
     elif pid == "eck2":
@@ -2043,8 +2051,8 @@ def _misc_registry():
         "wag4": _mk_moll,
         "gall": _mk_simple(M.gall_fwd, M.gall_inv),
         "mill": _mk_simple(M.mill_fwd, M.mill_inv),
-        "eck4": _mk_simple(M.eck4_fwd, None),
-        "robin": _mk_simple(M.robin_fwd, None),
+        "eck4": _mk_simple(M.eck4_fwd, M.eck4_inv),
+        "robin": _mk_simple(M.robin_fwd, M.robin_inv),
     })
     return reg
 

@@ -83,5 +83,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6200
-    assert tot_fail <= 560
+    assert tot_ok >= 6380
+    assert tot_fail <= 380
