@@ -159,6 +159,30 @@ def quality_stats(text: Column) -> Column:
                           marker_fold(w).alias("f")), derive)
 
 
+def lang_profile(text: Column) -> Column:
+    """Full one-pass language profile: per-language marker counts, the
+    stopword count, total token length AND the argmax guess, all
+    derived from a SINGLE marker_fold traversal of the token array
+    (bound once through _bind — the fold is never re-evaluated per
+    output field)."""
+    def derive(f: Column) -> Column:
+        fields = [F.element_at(f, i + 1).alias(f"c_{lang}")
+                  for i, lang in enumerate(_LANGS)]
+        fields.append(F.element_at(f, len(_LANGS) + 1).alias("n_stop"))
+        fields.append(F.element_at(f, len(_LANGS) + 2).alias("total_len"))
+        best = F.lit("und")
+        best_n = F.lit(0)
+        for i, lang in enumerate(_LANGS):  # later wins only on strict >
+            n = F.element_at(f, i + 1)
+            take = n > best_n
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_n = F.when(take, n).otherwise(best_n)
+        fields.append(best.alias("lang_guess"))
+        return F.struct(*fields)
+
+    return _bind(marker_fold(tokens(text)), derive)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: md5 of the normalized
     (whitespace-collapsed, lowercased) text."""

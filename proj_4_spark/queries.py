@@ -222,6 +222,34 @@ def q_s2_cell_counts(spark, sf_dir):
                .orderBy("face", "i", "j"))
 
 
+@register("stream_tile_rollup_batchpar", f"""
+WITH fij AS ({O.s2_face_ij_sql(8)})
+SELECT face, i, j, count(*) AS n_docs
+FROM fij GROUP BY face, i, j ORDER BY face, i, j
+""")
+def q_stream_tile_rollup_batchpar(spark, sf_dir):
+    """The STREAMING S2 tile rollup (streaming/tiles.py: readStream ->
+    Arrow-batched cell encode -> stateful groupBy -> memory sink,
+    availableNow trigger) gated against the same closed-form SQL oracle
+    the batch path uses — batch/stream parity certified by the driver,
+    not just by pytest.  The parquet file is staged into a temp dir
+    because the file-stream source lists directories."""
+    import shutil
+    import tempfile
+
+    from .streaming.tiles import run_to_memory
+
+    stage = tempfile.mkdtemp(prefix="stream_tiles_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/part-0.parquet")
+    agg = run_to_memory(spark, stage, level=8, name="gate_stream_tiles")
+    fij = G.s2_cell_to_face_ij_udf(8)(F.col("cell"))
+    return (agg.withColumn("_f", fij)
+               .select(F.col("_f.face").alias("face"),
+                       F.col("_f.i").alias("i"), F.col("_f.j").alias("j"),
+                       "n_docs")
+               .orderBy("face", "i", "j"))
+
+
 @register("haversine_to_tokyo", f"""
 WITH coords AS ({_COORDS_CTE})
 SELECT doc_id,
@@ -650,6 +678,49 @@ def q_lang_marker_guess(spark, sf_dir):
              .orderBy("doc_id"))
 
 
+@register("lang_onepass_guess", """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ('der','und','die','ist'))) AS c_de,
+    len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS c_en,
+    len(list_filter(toks, t -> t IN ('el','y','la','es'))) AS c_es,
+    len(list_filter(toks, t -> t IN ('le','et','la','est'))) AS c_fr,
+    len(list_filter(toks, t -> t IN ('o','e','a','em'))) AS c_pt,
+    len(list_filter(toks,
+        t -> t IN ('the','a','of','and','is','to','in'))) AS n_stop,
+    list_sum(list_transform(toks, t -> len(t))) AS total_len
+  FROM w
+)
+SELECT doc_id, c_de, c_en, c_es, c_fr, c_pt, n_stop, total_len,
+  CASE
+    WHEN greatest(c_de, c_en, c_es, c_fr, c_pt) = 0 THEN 'und'
+    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_pt
+      THEN 'de'
+    WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_pt THEN 'en'
+    WHEN c_es >= c_fr AND c_es >= c_pt THEN 'es'
+    WHEN c_fr >= c_pt THEN 'fr'
+    ELSE 'pt' END AS lang_guess
+FROM c ORDER BY doc_id
+""")
+def q_lang_onepass_guess(spark, sf_dir):
+    """The FULL one-pass language profile (VERDICT r03 ask #6 gated
+    end-to-end): per-language marker counts, stopword count, total
+    token length and the argmax guess all fall out of ONE aggregate
+    traversal over a constant token->increment-vector map
+    (operators/textstats.py::marker_fold) — the oracle recomputes each
+    slot with an independent list_filter, so the fold's slot packing
+    is what's being certified."""
+    d = _docs(spark, sf_dir)
+    s = F.explode(F.array(TS.lang_profile(F.col("text")))).alias("s")
+    return (d.select("doc_id", s)
+             .select("doc_id", "s.c_de", "s.c_en", "s.c_es", "s.c_fr",
+                     "s.c_pt", "s.n_stop", "s.total_len", "s.lang_guess")
+             .orderBy("doc_id"))
+
+
 # =====================================================================
 # Embedding similarity / relational / events / multimodal
 # =====================================================================
@@ -774,6 +845,43 @@ def q_events_hourly(spark, sf_dir):
              .agg(F.count("*").alias("n_events"),
                   (F.round(F.sum("value"), 4) + 0.0).alias("sum_value"))
              .orderBy("hour", "event_type"))
+
+
+@register("iceberg_style_incremental", """
+WITH r AS (
+  SELECT user_id, event_type, (round(value, 6) + 0.0) AS value,
+         epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, ts_us
+FROM r WHERE rn = 1 ORDER BY user_id
+""")
+def q_iceberg_style_incremental(spark, sf_dir):
+    """Iceberg-style incremental MERGE: the event log is split into a
+    historical half (compacted to a one-row-per-user snapshot via
+    latest_state) and an append-only delta half; merge_latest folds the
+    delta into the snapshot WITHOUT rescanning history
+    (operators/incremental.py).  The oracle recomputes latest-state
+    over the whole log in one SQL window — certifying the incremental
+    path is exactly equivalent to the full recompute."""
+    from .operators import incremental as INC
+
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("user_id", "event_type",
+                 (F.round("value", 6) + 0.0).alias("value"),
+                 F.expr("timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                 .alias("ts_us"), "event_id"))
+    split = e.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    snapshot = INC.latest_state(e.where(F.col("event_id") <= split),
+                                ["user_id"], ["ts_us", "event_id"])
+    delta = e.where(F.col("event_id") > split)
+    merged = INC.merge_latest(snapshot, delta,
+                              ["user_id"], ["ts_us", "event_id"])
+    return (merged.select("user_id", "event_type", "value", "ts_us")
+            .orderBy("user_id"))
 
 
 @register("tpch_q1_pricing", """
