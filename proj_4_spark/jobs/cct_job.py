@@ -35,18 +35,21 @@ ERRNO_OK = 0
 ERRNO_COORD_TRANSFM = 2049
 
 
-def transform_frame(df: DataFrame, projstr: str, direction: str = "fwd",
+def transform_frame(df: DataFrame, projstr, direction: str = "fwd",
                     x_col: str = "x", y_col: str = "y",
                     z_col: str | None = None,
                     t_col: str | None = None) -> DataFrame:
     """Append x_out/y_out/z_out/errno to ``df`` by running the
-    compiled pipeline over (x, y[, z[, t]]) columns."""
+    compiled pipeline over (x, y[, z[, t]]) columns.  ``projstr`` may
+    be a proj-string or an already-built Transform (the cs2cs path
+    passes crs.crs_to_crs output)."""
     from pyspark.sql.functions import pandas_udf
 
     from proj_4_spark.functions.geo import run_chunked
-    from proj_4_spark.proj import compile_projstring
+    from proj_4_spark.proj import Transform, compile_projstring
 
-    tr = compile_projstring(projstr)
+    tr = (projstr if isinstance(projstr, Transform)
+          else compile_projstring(projstr))
 
     @pandas_udf("struct<x: double, y: double, z: double>")
     def _t(a: pd.Series, b: pd.Series, c: pd.Series,
@@ -85,28 +88,55 @@ def transform_frame(df: DataFrame, projstr: str, direction: str = "fwd",
          .otherwise(F.lit(ERRNO_OK)))
 
 
-def run(spark: SparkSession, in_path: str, out_dir: str, projstr: str,
-        direction: str = "fwd", x_col: str = "x", y_col: str = "y",
-        z_col: str | None = None, t_col: str | None = None) -> dict:
+def run(spark: SparkSession, in_path: str, out_dir: str,
+        projstr: str | None = None, direction: str = "fwd",
+        x_col: str = "x", y_col: str = "y",
+        z_col: str | None = None, t_col: str | None = None,
+        s_srs: str | None = None, t_srs: str | None = None,
+        always_xy: bool = True) -> dict:
+    """Either ``projstr`` (cct UX) or ``s_srs``+``t_srs`` (cs2cs UX,
+    src/apps/cs2cs.cpp:369: source and target CRS in any form
+    proj_create accepts — proj-string, EPSG:n, WKT, PROJJSON — planned
+    through crs.crs_to_crs)."""
     from proj_4_spark.plans.checkpoint import CheckpointedPipeline
+
+    if (projstr is None) == (s_srs is None):
+        raise ValueError("pass exactly one of projstr or s_srs/t_srs")
+    if s_srs is not None:
+        if t_srs is None:
+            raise ValueError("--t_srs is required with --s_srs")
+        from proj_4_spark.crs import crs_to_crs
+
+        tr = crs_to_crs(s_srs, t_srs, always_xy=always_xy)
+        desc = tr.definition
+    else:
+        tr, desc = projstr, projstr
 
     cp = CheckpointedPipeline(spark, out_dir)
     result = cp.stage(
         "transformed",
-        lambda: transform_frame(spark.read.parquet(in_path), projstr,
+        lambda: transform_frame(spark.read.parquet(in_path), tr,
                                 direction, x_col, y_col, z_col, t_col))
     n_rows = result.count()
     n_err = result.where(F.col("errno") != ERRNO_OK).count()
     return {"stages": cp.metrics(),
             "rows": n_rows, "errors": n_err,
-            "projstr": projstr, "direction": direction}
+            "projstr": desc, "direction": direction}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--in", dest="in_path", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--projstr", required=True)
+    ap.add_argument("--projstr", default=None,
+                    help="pipeline proj-string (cct UX)")
+    ap.add_argument("--s_srs", default=None,
+                    help="source CRS: proj-string / EPSG:n / WKT / "
+                         "PROJJSON (cs2cs UX; requires --t_srs)")
+    ap.add_argument("--t_srs", default=None, help="target CRS")
+    ap.add_argument("--no-always-xy", action="store_true",
+                    help="authority axis order (EPSG geographic codes "
+                         "take lat,lon) instead of GIS lon,lat")
     ap.add_argument("--direction", default="fwd", choices=["fwd", "inv"])
     ap.add_argument("--x-col", default="x")
     ap.add_argument("--y-col", default="y")
@@ -118,7 +148,9 @@ def main():
     try:
         summary = run(spark, args.in_path, args.out, args.projstr,
                       args.direction, args.x_col, args.y_col,
-                      args.z_col, args.t_col)
+                      args.z_col, args.t_col, s_srs=args.s_srs,
+                      t_srs=args.t_srs,
+                      always_xy=not args.no_always_xy)
         print(json.dumps(summary))
     finally:
         spark.stop()

@@ -1655,6 +1655,31 @@ def q_crs_osgb_fwd(spark, sf_dir):
              .orderBy("doc_id"))
 
 
+@register("cs2cs_two_crs", f"""
+SELECT doc_id, x_m, y_m, 0 AS errno
+FROM ({O.crs_osgb_sql()})
+ORDER BY doc_id
+""")
+def q_cs2cs_two_crs(spark, sf_dir):
+    """The cs2cs-style batch job surface (jobs/cct_job.py run with
+    --s_srs/--t_srs, mirroring src/apps/cs2cs.cpp:369 UX): the SAME
+    transform_frame the spark-submit job executes, planned from two
+    CRS definitions through crs.crs_to_crs, with the job's per-row
+    errno column.  Oracle: the full cart/helmert/cart/etmerc SQL chain
+    plus errno 0 (no failures inside the longitude window)."""
+    from .crs import crs_to_crs
+    from .jobs.cct_job import transform_frame
+
+    tr = crs_to_crs("EPSG:4326", "EPSG:27700")
+    d = _coords(spark, sf_dir).where("lon > -58.0 AND lon < 54.0")
+    out = transform_frame(d, tr, x_col="lon", y_col="lat")
+    return (out.select("doc_id",
+                       (F.round("x_out", 2) + 0.0).alias("x_m"),
+                       (F.round("y_out", 2) + 0.0).alias("y_m"),
+                       "errno")
+               .orderBy("doc_id"))
+
+
 @register("defmodel_velocity", O.defmodel_sql())
 def q_defmodel_velocity(spark, sf_dir):
     """JSON deformation-model driver (defmodel_impl.hpp:822-1219):
