@@ -81,18 +81,78 @@ EPSG = {
 }
 
 
+# generated national-grid families: the kernels (utm/tmerc/lcc/stere)
+# already cover these methods, so the codes are pure parameter DATA —
+# each family below is the standard published proj4 expansion, indexed
+# by the EPSG zone arithmetic
+_UTM_NAD83 = range(26901, 26924)     # NAD83 / UTM 1N..23N
+_UTM_ED50 = range(23028, 23039)      # ED50 / UTM 28N..38N
+_MGA94 = range(28348, 28359)         # GDA94 / MGA 48..58
+_MGA2020 = range(7846, 7857)         # GDA2020 / MGA 46..56
+_UTM_WGS72_N = range(32201, 32261)   # WGS72 / UTM 1N..60N
+_UTM_WGS72_S = range(32301, 32361)   # WGS72 / UTM 1S..60S
+_GK_PULKOVO = range(28402, 28433)    # Pulkovo 1942 / GK zone 2..32
+_LCC_FRANCE = range(3942, 3951)      # RGF93 / CC42..CC50
+
+# published datum bridges for the generated families
+_TOWGS84_WGS72 = "+towgs84=0,0,4.5,0,0,0.554,0.2263"
+_TOWGS84_ED50 = "+towgs84=-87,-98,-121"
+_TOWGS84_PULKOVO = "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12"
+
+_UPS = {
+    32661: "+proj=stere +lat_0=90 +lon_0=0 +k=0.994 +x_0=2000000 "
+           "+y_0=2000000 +ellps=WGS84",   # WGS84 / UPS North
+    32761: "+proj=stere +lat_0=-90 +lon_0=0 +k=0.994 +x_0=2000000 "
+           "+y_0=2000000 +ellps=WGS84",   # WGS84 / UPS South
+    5041: "+proj=stere +lat_0=90 +lon_0=0 +k=0.994 +x_0=2000000 "
+          "+y_0=2000000 +ellps=WGS84",    # WGS84 / UPS North (E,N)
+    5042: "+proj=stere +lat_0=-90 +lon_0=0 +k=0.994 +x_0=2000000 "
+          "+y_0=2000000 +ellps=WGS84",    # WGS84 / UPS South (E,N)
+}
+
+
 def epsg_projstring(code: int) -> str:
-    """Resolve an EPSG code from the curated subset (UTM zones are
-    generated)."""
+    """Resolve an EPSG code: curated subset + generated national-grid
+    families (UTM/WGS84, UTM/NAD83, UTM/ED50, UTM/WGS72, MGA94,
+    MGA2020, Pulkovo Gauss-Krüger, RGF93 Lambert CC, UPS,
+    Hartebeesthoek Lo)."""
     code = int(code)
     if code in EPSG:
         return EPSG[code]
+    if code in _UPS:
+        return _UPS[code]
     if code in _UTM_NORTH:
         return f"+proj=utm +zone={code - 32600} +ellps=WGS84"
     if code in _UTM_SOUTH:
         return f"+proj=utm +zone={code - 32700} +south +ellps=WGS84"
     if code in _UTM_ETRS:
         return f"+proj=utm +zone={code - 25800} +ellps=GRS80"
+    if code in _UTM_NAD83:
+        return f"+proj=utm +zone={code - 26900} +ellps=GRS80"
+    if code in _UTM_ED50:
+        return (f"+proj=utm +zone={code - 23000} +ellps=intl "
+                f"{_TOWGS84_ED50}")
+    if code in _MGA94:
+        return f"+proj=utm +zone={code - 28300} +south +ellps=GRS80"
+    if code in _MGA2020:
+        return f"+proj=utm +zone={code - 7800} +south +ellps=GRS80"
+    if code in _UTM_WGS72_N:
+        return (f"+proj=utm +zone={code - 32200} +ellps=WGS72 "
+                f"{_TOWGS84_WGS72}")
+    if code in _UTM_WGS72_S:
+        return (f"+proj=utm +zone={code - 32300} +south +ellps=WGS72 "
+                f"{_TOWGS84_WGS72}")
+    if code in _GK_PULKOVO:
+        n = code - 28400
+        return (f"+proj=tmerc +lat_0=0 +lon_0={6 * n - 3} +k=1 "
+                f"+x_0={n * 1_000_000 + 500_000} +y_0=0 +ellps=krass "
+                f"{_TOWGS84_PULKOVO}")
+    if code in _LCC_FRANCE:
+        i = code - 3942
+        lat0 = 42 + i
+        return (f"+proj=lcc +lat_1={lat0 - 0.75} +lat_2={lat0 + 0.75} "
+                f"+lat_0={lat0} +lon_0=3 +x_0=1700000 "
+                f"+y_0={(i + 1) * 1_000_000 + 200_000} +ellps=GRS80")
     if code in _SA_LO:
         # Hartebeesthoek94 / Lo15..Lo33 — south-west oriented Gauss
         # conformal (the classic +axis=wsu family)
@@ -102,6 +162,16 @@ def epsg_projstring(code: int) -> str:
     raise KeyError(
         f"EPSG:{code} not in the curated registry (full EPSG database "
         "resolution is out of scope; pass a proj-string instead)")
+
+
+def registry_codes() -> list[int]:
+    """Every EPSG code the registry resolves (curated + generated)."""
+    out = set(EPSG) | set(_UPS)
+    for rng in (_UTM_NORTH, _UTM_SOUTH, _UTM_ETRS, _UTM_NAD83,
+                _UTM_ED50, _MGA94, _MGA2020, _UTM_WGS72_N,
+                _UTM_WGS72_S, _GK_PULKOVO, _LCC_FRANCE, _SA_LO):
+        out.update(rng)
+    return sorted(out)
 
 
 def _resolve(defn) -> str:
