@@ -205,7 +205,7 @@ def projinfo(defn) -> dict:
     the method, the CRS kind, the ellipsoid, and the pipeline edge
     units.  The definition is compiled, so an invalid CRS raises the
     same error `compile_crs` would."""
-    from .crs_io import projstring_to_wkt2
+    from .crs_io import projstring_to_projjson, projstring_to_wkt2
     from .proj import CLASSIC, PROJECTED, RADIANS
 
     projstr = _resolve(defn)
@@ -223,9 +223,14 @@ def projinfo(defn) -> dict:
         wkt2 = projstring_to_wkt2(projstr)
     except Exception:
         wkt2 = None  # method outside the WKT2 writer's subset
+    try:
+        projjson = projstring_to_projjson(projstr)
+    except Exception:
+        projjson = None  # method outside the PROJJSON writer's subset
     return {
         "projstring": projstr,
         "wkt2": wkt2,
+        "projjson": projjson,
         "kind": kind,
         "input_units": in_u,
         "output_units": out_u,

@@ -841,6 +841,20 @@ _EXPORT_METHODS = {
         ("Longitude of origin", "lon_0", 0.0, True),
         ("False easting", "x_0", 0.0, False),
         ("False northing", "y_0", 0.0, False)]),
+    "somerc": ("Swiss Oblique Mercator", [
+        ("Latitude of projection centre", "lat_0", 0.0, True),
+        ("Longitude of projection centre", "lon_0", 0.0, True),
+        ("Scale factor at natural origin", ("k", "k_0"), 1.0, False),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "robin": ("Robinson", [
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "moll": ("Mollweide", [
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
     "cass": ("Cassini-Soldner", [
         ("Latitude of natural origin", "lat_0", 0.0, True),
         ("Longitude of natural origin", "lon_0", 0.0, True),
@@ -926,6 +940,26 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                 + _p("False northing", float(top.get("y_0", 0.0)),
                      _M_UNIT)
                 + f'],{_WKT2_CART_CS}]')
+    elif pid == "stere" and "lat_ts" not in top:
+        # Polar Stereographic variant A: scale at the pole (the UPS
+        # parameterization) instead of a standard parallel
+        lat0 = float(top.get("lat_0", 0.0))
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "projstring_to_wkt2: only polar stere exportable")
+        k = float(top.get("k", top.get("k_0", 1.0)))
+        body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
+                f'CONVERSION["unnamed",'
+                f'METHOD["Polar Stereographic (variant A)"],'
+                + _p("Latitude of natural origin", lat0, _DEG_UNIT)
+                + _p("Longitude of natural origin",
+                     float(top.get("lon_0", 0.0)), _DEG_UNIT)
+                + _p("Scale factor at natural origin", k,
+                     'SCALEUNIT["unity",1]')
+                + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
+                + _p("False northing", float(top.get("y_0", 0.0)),
+                     _M_UNIT)
+                + f'],{_WKT2_CART_CS}]')
     elif pid in _EXPORT_METHODS:
         method, plist = _EXPORT_METHODS[pid]
         if pid == "stere":
@@ -975,3 +1009,197 @@ _ANGULAR_EXPORT = ("longlat", "latlong", "lonlat", "latlon")
 _WKT2_CART_CS = ('CS[Cartesian,2],'
                  'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
                  'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]')
+
+
+# ------------------------------------------------------- proj -> PROJJSON
+
+_PJJ_SCHEMA = "https://proj.org/schemas/v0.7/projjson.schema.json"
+
+_PJJ_CART_CS = {
+    "subtype": "Cartesian",
+    "axis": [
+        {"name": "Easting", "abbreviation": "E",
+         "direction": "east", "unit": "metre"},
+        {"name": "Northing", "abbreviation": "N",
+         "direction": "north", "unit": "metre"},
+    ],
+}
+
+_PJJ_SCALE_UNITY = {"type": "ScaleUnit", "name": "unity",
+                    "conversion_factor": 1.0}
+_PJJ_PPM = {"type": "ScaleUnit", "name": "parts per million",
+            "conversion_factor": 1e-6}
+
+
+def _pjj_ellipsoid(params: dict) -> dict:
+    name = str(params.get("ellps", "WGS84"))
+    if name in ELLIPSOIDS:
+        a, kind, v = ELLIPSOIDS[name]
+        rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
+        wname = _WKT_ELLPS_NAMES.get(name, name)
+    else:
+        a = float(params.get("a", 6378137.0))
+        rf = float(params.get("rf", 0.0))
+        wname = "unnamed"
+    out = {"name": wname, "semi_major_axis": a}
+    if rf:
+        out["inverse_flattening"] = rf
+    else:
+        out["radius"] = a
+    return out
+
+
+def _pjj_geog(params: dict, name: str) -> dict:
+    return {
+        "type": "GeographicCRS", "name": name,
+        "datum": {"type": "GeodeticReferenceFrame", "name": name,
+                  "ellipsoid": _pjj_ellipsoid(params)},
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [
+                {"name": "Longitude", "abbreviation": "lon",
+                 "direction": "east", "unit": "degree"},
+                {"name": "Latitude", "abbreviation": "lat",
+                 "direction": "north", "unit": "degree"},
+            ],
+        },
+    }
+
+
+def _pjj_p(name: str, value, unit) -> dict:
+    return {"name": name, "value": float(value), "unit": unit}
+
+
+def projstring_to_projjson(projstr: str, name: str = "unnamed") -> dict:
+    """Export a proj-string CRS definition as a PROJJSON dict (the
+    proj_as_projjson direction: src/proj_json_streaming_writer.cpp
+    provides the writer machinery, src/iso19111/io.cpp exportToJSON
+    the CRS shapes) for the same method subset as the WKT2 writer.
+    +towgs84 wraps the result in a BoundCRS with a Position Vector
+    transformation (translations metre, rotations arc-second, scale
+    ppm).  Roundtrip contract (tests/test_projjson_writer.py):
+    projjson_to_projstring(projstring_to_projjson(s)) compiles to the
+    same transform as s for every registry code without +axis."""
+    from .proj import parse_projstring
+
+    top = dict(parse_projstring(projstr)[0])
+    if "axis" in top and str(top["axis"]) != "enu":
+        raise ValueError(
+            "projstring_to_projjson: +axis reordering is not part of "
+            "the export subset")
+    tow = top.pop("towgs84", None)
+    pid = top.get("proj")
+
+    def projected(conv_name: str, method: str, params: list) -> dict:
+        return {
+            "type": "ProjectedCRS", "name": name,
+            "base_crs": _pjj_geog(top, name),
+            "conversion": {
+                "name": conv_name,
+                "method": {"name": method},
+                "parameters": [_pjj_p(*p) for p in params],
+            },
+            "coordinate_system": _PJJ_CART_CS,
+        }
+
+    if pid in _ANGULAR_EXPORT:
+        body = _pjj_geog(top, name)
+    elif pid == "utm":
+        zone = int(float(top.get("zone", 0)))
+        south = "south" in top
+        body = projected(
+            f"UTM zone {zone}{'S' if south else 'N'}",
+            "Transverse Mercator",
+            [("Latitude of natural origin", 0.0, "degree"),
+             ("Longitude of natural origin", zone * 6 - 183, "degree"),
+             ("Scale factor at natural origin", 0.9996, _PJJ_SCALE_UNITY),
+             ("False easting", 500000.0, "metre"),
+             ("False northing", 10000000.0 if south else 0.0, "metre")])
+    elif pid == "merc" and "lat_ts" in top:
+        body = projected(
+            "unnamed", "Mercator (variant B)",
+            [("Latitude of 1st standard parallel",
+              float(top["lat_ts"]), "degree"),
+             ("Longitude of natural origin",
+              float(top.get("lon_0", 0.0)), "degree"),
+             ("False easting", float(top.get("x_0", 0.0)), "metre"),
+             ("False northing", float(top.get("y_0", 0.0)), "metre")])
+    elif pid == "lcc" and "lat_2" not in top:
+        lat1 = float(top.get("lat_1", top.get("lat_0", 0.0)))
+        if "lat_0" in top and "lat_1" in top \
+                and float(top["lat_0"]) != float(top["lat_1"]):
+            raise ValueError(
+                "projstring_to_projjson: lcc with lat_0 != lat_1 and "
+                "no lat_2 has no EPSG method equivalent")
+        k = float(top.get("k", top.get("k_0", 1.0)))
+        body = projected(
+            "unnamed", "Lambert Conic Conformal (1SP)",
+            [("Latitude of natural origin", lat1, "degree"),
+             ("Longitude of natural origin",
+              float(top.get("lon_0", 0.0)), "degree"),
+             ("Scale factor at natural origin", k, _PJJ_SCALE_UNITY),
+             ("False easting", float(top.get("x_0", 0.0)), "metre"),
+             ("False northing", float(top.get("y_0", 0.0)), "metre")])
+    elif pid == "stere" and "lat_ts" not in top:
+        lat0 = float(top.get("lat_0", 0.0))
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "projstring_to_projjson: only polar stere exportable")
+        k = float(top.get("k", top.get("k_0", 1.0)))
+        body = projected(
+            "unnamed", "Polar Stereographic (variant A)",
+            [("Latitude of natural origin", lat0, "degree"),
+             ("Longitude of natural origin",
+              float(top.get("lon_0", 0.0)), "degree"),
+             ("Scale factor at natural origin", k, _PJJ_SCALE_UNITY),
+             ("False easting", float(top.get("x_0", 0.0)), "metre"),
+             ("False northing", float(top.get("y_0", 0.0)), "metre")])
+    elif pid in _EXPORT_METHODS:
+        method, plist = _EXPORT_METHODS[pid]
+        if pid == "stere":
+            lat0 = float(top.get("lat_0", 0.0))
+            if abs(lat0) != 90.0:
+                raise ValueError(
+                    "projstring_to_projjson: only polar stere "
+                    "exportable")
+        params = []
+        for ename, keys, dflt, angular in plist:
+            keys = (keys,) if isinstance(keys, str) else keys
+            v = dflt
+            for k in keys:
+                if k in top:
+                    v = float(top[k])
+                    break
+            unit = "degree" if angular else (
+                _PJJ_SCALE_UNITY if "Scale" in ename else "metre")
+            params.append((ename, v, unit))
+        body = projected("unnamed", method, params)
+    else:
+        raise ValueError(
+            f"projstring_to_projjson: +proj={pid} not in the export "
+            "subset")
+    body["$schema"] = _PJJ_SCHEMA
+    if tow is None:
+        return body
+    vals = [float(v) for v in str(tow).split(",")]
+    vals += [0.0] * (7 - len(vals))
+    return {
+        "$schema": _PJJ_SCHEMA,
+        "type": "BoundCRS",
+        "source_crs": body,
+        "target_crs": _pjj_geog({"ellps": "WGS84"}, "WGS 84"),
+        "transformation": {
+            "name": "Transformation to WGS84",
+            "method": {
+                "name": "Position Vector transformation (geog2D domain)"},
+            "parameters": [
+                _pjj_p("X-axis translation", vals[0], "metre"),
+                _pjj_p("Y-axis translation", vals[1], "metre"),
+                _pjj_p("Z-axis translation", vals[2], "metre"),
+                _pjj_p("X-axis rotation", vals[3], "arc-second"),
+                _pjj_p("Y-axis rotation", vals[4], "arc-second"),
+                _pjj_p("Z-axis rotation", vals[5], "arc-second"),
+                _pjj_p("Scale difference", vals[6], _PJJ_PPM),
+            ],
+        },
+    }

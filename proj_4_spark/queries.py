@@ -1688,6 +1688,45 @@ def q_crs_osgb_fwd(spark, sf_dir):
              .orderBy("doc_id"))
 
 
+def _lambert93_sql() -> str:
+    from .crs import epsg_projstring
+
+    ps = epsg_projstring(2154)
+    gx, gy = O.lcc_xy(ps)
+    return f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id, (round({gx} + 700000.0, 2) + 0.0) AS x_m,
+       (round({gy} + 6600000.0, 2) + 0.0) AS y_m
+FROM coords ORDER BY doc_id
+"""
+
+
+@register("projjson_roundtrip_fwd", _lambert93_sql())
+def q_projjson_roundtrip_fwd(spark, sf_dir):
+    """PROJJSON WRITER in the gate (VERDICT r03 ask #9): EPSG:2154 is
+    exported with crs_io.projstring_to_projjson, serialized to a JSON
+    string, read back through projjson_to_projstring, compiled, and
+    projected — matching the closed-form lcc SQL of the ORIGINAL
+    definition, so any writer/reader asymmetry is a value mismatch."""
+    import json as _json
+
+    from .crs import epsg_projstring
+    from .crs_io import projstring_to_projjson
+
+    doc = _json.dumps(projstring_to_projjson(epsg_projstring(2154),
+                                             name="RGF93 / Lambert-93"))
+    from .crs import compile_crs
+
+    tr = compile_crs(doc)
+    df = _coords(spark, sf_dir)
+    u = G.project_udf(tr)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_p", st)
+              .select("doc_id", (F.round("_p.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_p.y", 2) + 0.0).alias("y_m"))
+              .orderBy("doc_id"))
+
+
 @register("cs2cs_two_crs", f"""
 SELECT doc_id, x_m, y_m, 0 AS errno
 FROM ({O.crs_osgb_sql()})
