@@ -73,6 +73,23 @@ def project_udf(projstr_or_transform, direction: str = "fwd"):
     return _project
 
 
+def project_select_udf(selector):
+    """pandas UDF (lon, lat degrees) -> struct<x, y, z double, op int>:
+    per-point candidate-operation selection (plans/candidates.py,
+    trans.cpp:44-173 semantics).  ``op`` is the chosen candidate index
+    (-1 = no candidate / all failed -> NaN)."""
+
+    @pandas_udf("struct<x: double, y: double, z: double, op: int>")
+    def _project(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        x, y, z, op = run_chunked(
+            selector.transform_deg, a.to_numpy(np.float64),
+            b.to_numpy(np.float64))
+        return pd.DataFrame({"x": x, "y": y, "z": z,
+                             "op": op.astype(np.int32)})
+
+    return _project
+
+
 def with_projected(df: DataFrame, projstr: str, lon: str = "lon",
                    lat: str = "lat", prefix: str = "",
                    direction: str = "fwd") -> DataFrame:

@@ -230,12 +230,16 @@ def hgridset_inv(gs: GridSet, lam, phi):
     return cl, cp
 
 
-def synthetic_hgrid(n: int = 61, amp: float = 1e-5) -> Grid:
-    """Deterministic smooth test grid over Europe-ish extent (radians):
-    the correction field is C1-smooth so the fixed-point inverse
-    converges quadratically."""
-    lon = np.linspace(np.radians(-10.0), np.radians(30.0), n)
-    lat = np.linspace(np.radians(35.0), np.radians(70.0), n)
+def synthetic_hgrid(n: int = 61, amp: float = 1e-5,
+                    lon_lo: float = -10.0, lon_hi: float = 30.0,
+                    lat_lo: float = 35.0, lat_hi: float = 70.0) -> Grid:
+    """Deterministic smooth test grid (default Europe-ish extent,
+    radians): the correction field is C1-smooth so the fixed-point
+    inverse converges quadratically.  The extent is parameterizable so
+    multi-region candidate tests can carve disjoint regional grids from
+    the same analytic field."""
+    lon = np.linspace(np.radians(lon_lo), np.radians(lon_hi), n)
+    lat = np.linspace(np.radians(lat_lo), np.radians(lat_hi), n)
     LO, LA = np.meshgrid(lon, lat)
     dl = amp * np.sin(3 * LO) * np.cos(2 * LA)
     dp = amp * np.cos(2 * LO) * np.sin(3 * LA)

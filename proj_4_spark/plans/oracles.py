@@ -515,6 +515,121 @@ FROM s ORDER BY doc_id
 """
 
 
+def multiregion_select_sql(round_to: int = 2) -> str:
+    """Oracle for crs_multiregion_select: per-point candidate dispatch
+    as a CASE over area-of-use bboxes (trans.cpp:44-173 semantics).
+    Candidate 0 = west regional grid (closed-form bilinear shift),
+    candidate 1 = east regional grid, candidate 2 = global 3-param
+    Helmert fallback (cart fwd / translate / Bowring inverse, the same
+    chain crs_osgb_sql mirrors); all three end in spherical webmerc."""
+    from ..kernels.gridshift import synthetic_hgrid
+
+    gw = synthetic_hgrid(lon_lo=-130.0, lon_hi=-60.0,
+                         lat_lo=20.0, lat_hi=60.0)
+    ge = synthetic_hgrid()
+    tr = compile_projstring(
+        "+proj=webmerc +ellps=WGS84 +towgs84=100,-50,30")
+    ids = [op.proj_id for op in tr.ops]
+    assert ids == ["cart", "helmert", "cart", "webmerc"], ids
+    cw = tr.ops[0].consts
+    tx, ty, tz = tr.ops[1].consts.xyz0
+    ca = tr.ops[2].consts
+    a = tr.ops[3].ell.a
+    amp = 1e-5
+
+    def grid_chain(g, p: str) -> str:
+        """Per-grid columns (prefix p): shifted lam/phi via the
+        closed-form 4-corner bilinear of the analytic field."""
+        h, w = g.values.shape[:2]
+
+        def node(base, idx, step):
+            return f"({L(base)} + ({idx})*{L(step)})"
+
+        nx0 = node(g.lon0, f"{p}ix", g.dlon)
+        nx1 = node(g.lon0, f"{p}ix+1", g.dlon)
+        ny0 = node(g.lat0, f"{p}iy", g.dlat)
+        ny1 = node(g.lat0, f"{p}iy+1", g.dlat)
+
+        def dl(nx, ny):
+            return f"({L(amp)}*sin(3.0*{nx})*cos(2.0*{ny}))"
+
+        def dp(nx, ny):
+            return f"({L(amp)}*cos(2.0*{nx})*sin(3.0*{ny}))"
+
+        def bilin(f00, f10, f01, f11):
+            return (f"((1.0-{p}tx)*(1.0-{p}ty)*{f00}"
+                    f" + {p}tx*(1.0-{p}ty)*{f10}"
+                    f" + (1.0-{p}tx)*{p}ty*{f01} + {p}tx*{p}ty*{f11})")
+
+        fx = f"((lam - {L(g.lon0)})/{L(g.dlon)})"
+        fy = f"((phi - {L(g.lat0)})/{L(g.dlat)})"
+        ix = f"least(greatest(CAST(floor({fx}) AS BIGINT), 0), {w - 2})"
+        iy = f"least(greatest(CAST(floor({fy}) AS BIGINT), 0), {h - 2})"
+        return (f"{p}1 AS (SELECT *, {ix} AS {p}ix, {iy} AS {p}iy "
+                f"FROM {'r' if p == 'w' else 'w3'}),\n"
+                f"{p}2 AS (SELECT *, ({fx} - {p}ix) AS {p}tx, "
+                f"({fy} - {p}iy) AS {p}ty FROM {p}1),\n"
+                f"{p}3 AS (SELECT *, "
+                f"(lam + {bilin(dl(nx0, ny0), dl(nx1, ny0), dl(nx0, ny1), dl(nx1, ny1))}) AS {p}lam, "
+                f"(phi + {bilin(dp(nx0, ny0), dp(nx1, ny0), dp(nx0, ny1), dp(nx1, ny1))}) AS {p}phi "
+                f"FROM {p}2)")
+
+    in_w = "(lon >= -130.0 AND lon <= -60.0 AND lat >= 20.0 AND lat <= 60.0)"
+    in_e = "(lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 70.0)"
+    return f"""
+WITH coords AS ({coords_cte()}),
+r AS (
+  SELECT doc_id, lon, lat, radians(lon) AS lam, radians(lat) AS phi
+  FROM coords
+),
+{grid_chain(gw, 'w')},
+{grid_chain(ge, 'e')},
+cf AS (
+  SELECT *, ({L(cw.a)}/sqrt(1.0 - {L(cw.es)}*sin(phi)*sin(phi))) AS N
+  FROM e3
+),
+xyz AS (
+  SELECT *, (N*cos(phi)*cos(lam)) AS gX, (N*cos(phi)*sin(lam)) AS gY,
+    (N*{L(1.0 - cw.es)}*sin(phi)) AS gZ
+  FROM cf
+),
+hel AS (
+  SELECT *, ((gX - {L(tx)})*{L(ca.ra)}) AS xda,
+    ((gY - {L(ty)})*{L(ca.ra)}) AS yda,
+    ((gZ - {L(tz)})*{L(ca.ra)}) AS zda,
+    sqrt(((gX - {L(tx)})*{L(ca.ra)})*((gX - {L(tx)})*{L(ca.ra)})
+         + ((gY - {L(ty)})*{L(ca.ra)})*((gY - {L(ty)})*{L(ca.ra)})) AS pda
+  FROM xyz
+),
+bw AS (
+  SELECT *, (pda*{L(1.0 - ca.f)}*(1.0/sqrt(zda*zda
+             + (pda*{L(1.0 - ca.f)})*(pda*{L(1.0 - ca.f)})))) AS bc,
+    (zda*(1.0/sqrt(zda*zda
+         + (pda*{L(1.0 - ca.f)})*(pda*{L(1.0 - ca.f)})))) AS bs
+  FROM hel
+),
+llh AS (
+  SELECT *, atan((zda + {L(ca.e2s * (1.0 - ca.f))}*bs*bs*bs)
+                 / (pda - {L(ca.es)}*bc*bc*bc)) AS hphi,
+    atan2(yda, xda) AS hlam
+  FROM bw
+),
+sel AS (
+  SELECT doc_id,
+    CASE WHEN {in_w} THEN 0 WHEN {in_e} THEN 1 ELSE 2 END AS op,
+    CASE WHEN {in_w} THEN wlam WHEN {in_e} THEN elam ELSE hlam END AS flam,
+    CASE WHEN {in_w} THEN wphi WHEN {in_e} THEN ephi ELSE hphi END AS fphi
+  FROM llh
+)
+SELECT doc_id,
+  (round({L(a)}*flam, {round_to}) + 0.0) AS x_m,
+  (round({L(a)}*ln(tan(fphi) + sqrt(tan(fphi)*tan(fphi) + 1.0)),
+         {round_to}) + 0.0) AS y_m,
+  op
+FROM sel ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- tsfn + polar stere
 
 def _tsfn_sql(rl: str, s: str, e: float) -> str:

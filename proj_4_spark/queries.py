@@ -1688,6 +1688,45 @@ def q_crs_osgb_fwd(spark, sf_dir):
              .orderBy("doc_id"))
 
 
+@register("crs_multiregion_select", O.multiregion_select_sql())
+def q_crs_multiregion_select(spark, sf_dir):
+    """PER-POINT candidate-operation selection (VERDICT r03 ask #5,
+    trans.cpp:44-173 pj_get_suggested_operation): two regional datum
+    grids (disjoint areas of use, accuracies 0.05/0.1 m) plus a global
+    3-param Helmert fallback; every point is dispatched to the best
+    containing candidate inside the fused UDF and the chosen candidate
+    index is emitted as ``op`` — mirrored by a CASE-over-bbox oracle
+    (plans/oracles.py::multiregion_select_sql)."""
+    from . import proj as P
+    from .kernels.gridshift import synthetic_hgrid
+    from .plans.candidates import CandidateSelector, candidate
+
+    P.GRID_REGISTRY.setdefault(
+        "mr_west", synthetic_hgrid(lon_lo=-130.0, lon_hi=-60.0,
+                                   lat_lo=20.0, lat_hi=60.0))
+    P.GRID_REGISTRY.setdefault("mr_east", synthetic_hgrid())
+    sel = CandidateSelector([
+        candidate("+proj=pipeline +step +proj=hgridshift +grids=mr_west "
+                  "+step +proj=webmerc",
+                  bbox=(-130.0, 20.0, -60.0, 60.0), accuracy=0.05,
+                  name="west-grid"),
+        candidate("+proj=pipeline +step +proj=hgridshift +grids=mr_east "
+                  "+step +proj=webmerc",
+                  bbox=(-10.0, 35.0, 30.0, 70.0), accuracy=0.1,
+                  name="east-grid"),
+        candidate("+proj=webmerc +ellps=WGS84 +towgs84=100,-50,30",
+                  bbox=None, accuracy=float("inf"), name="helmert"),
+    ])
+    df = _coords(spark, sf_dir)
+    u = G.project_select_udf(sel)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_p", st)
+              .select("doc_id", (F.round("_p.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_p.y", 2) + 0.0).alias("y_m"),
+                      F.col("_p.op").alias("op"))
+              .orderBy("doc_id"))
+
+
 def _lambert93_sql() -> str:
     from .crs import epsg_projstring
 
