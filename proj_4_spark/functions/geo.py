@@ -158,9 +158,10 @@ def s2_parent_udf(level: int):
     return _parent
 
 
-def hex_cell_udf(res: int):
-    """pandas UDF (lon, lat) -> int64 H3-style aperture-7 hex cell
-    (index/hexdggs.py)."""
+def a7hex_cell_udf(res: int):
+    """pandas UDF (lon, lat) -> int64 aperture-7 icosahedral hex cell
+    (index/hexdggs.py).  NOT canonical-H3-bit-compatible — the surface
+    is named a7hex to make that explicit; see index/hexdggs.py."""
     from ..index import hexdggs as hx
 
     @pandas_udf("long")
@@ -170,6 +171,25 @@ def hex_cell_udf(res: int):
             lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
 
     return _cell
+
+
+# deprecated pre-rename alias (round <=3 name; the index was never H3
+# bit-compatible and the old name suggested it was)
+hex_cell_udf = a7hex_cell_udf
+
+
+def a7hex_parent_udf(parent_res: int):
+    """pandas UDF int64 a7hex cell -> ancestor cell at parent_res
+    (center re-encode, aperture-7 approximate containment)."""
+    from ..index import hexdggs as hx
+
+    @pandas_udf("long")
+    def _parent(cell: pd.Series) -> pd.Series:
+        return pd.Series(run_chunked(
+            lambda c: hx.parent(c, parent_res),
+            cell.to_numpy(np.int64)))
+
+    return _parent
 
 
 def vincenty_fixed_udf(lat2: float, lon2: float, n_iter: int = 16):

@@ -1971,6 +1971,40 @@ GROUP BY h.hex_cell ORDER BY h.hex_cell
 """
 
 
+def a7hex_compact_sql(res: int = 1, parent_res: int = 0,
+                      full_set: int = 7, n_docs: int = 5000) -> str:
+    """Oracle for a7hex_compact: child cell AND parent cell of every
+    possible doc_id computed DRIVER-SIDE with the same NumPy kernels
+    the executors run, embedded as a VALUES table; the compact rule
+    (>= full_set distinct observed children -> emit parent, else pass
+    children through) is then plain SQL, so what the oracle certifies
+    is the distributed groupBy/join plan AND the kernel consistency."""
+    from ..index import hexdggs
+    from ..sources.coords import lonlat_numpy
+
+    ids = np.arange(n_docs, dtype=np.int64)
+    lon, lat = lonlat_numpy(ids)
+    c = hexdggs.encode(lon, lat, res)
+    p = hexdggs.parent(c, parent_res)
+    vals = ",\n    ".join(f"({i}, {ci}, {pi})"
+                          for i, ci, pi in zip(ids, c, p))
+    return f"""
+WITH hv(doc_id, cell_c, cell_p) AS (VALUES
+    {vals}),
+cells AS (
+  SELECT DISTINCT cell_c, cell_p FROM documents d JOIN hv USING (doc_id)
+),
+g AS (SELECT cell_p, count(*) AS n FROM cells GROUP BY cell_p)
+SELECT cell, level FROM (
+  SELECT DISTINCT g.cell_p AS cell, {parent_res} AS level
+  FROM g WHERE n >= {full_set}
+  UNION ALL
+  SELECT c.cell_c AS cell, {res} AS level
+  FROM cells c JOIN g ON c.cell_p = g.cell_p WHERE g.n < {full_set}
+) ORDER BY cell, level
+"""
+
+
 def nadgrids_ctable2_sql(round_to: int = 6) -> str:
     """Oracle for the ``nadgrids_ctable2`` query: BOTH synthetic
     CTable2 byte payloads are parsed driver-side with the SAME

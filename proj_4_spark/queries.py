@@ -1203,6 +1203,21 @@ def q_vgridshift_gtx(spark, sf_dir):
               .orderBy("doc_id"))
 
 
+@register("a7hex_compact", O.a7hex_compact_sql())
+def q_a7hex_compact(spark, sf_dir):
+    """Aperture-7 DGGS compact (operators/dggs.py — the H3-compact
+    analogue on the a7hex index, which is NOT canonical-H3-bit-
+    compatible, hence the explicit a7hex naming; VERDICT r03 ask #4):
+    res-1 document cells whose res-0 parent has >= 7 distinct observed
+    children collapse to the parent, the rest pass through."""
+    from .operators.dggs import compact
+
+    df = _coords(spark, sf_dir)
+    cells = df.select(
+        G.a7hex_cell_udf(1)(F.col("lon"), F.col("lat")).alias("cell"))
+    return compact(cells, 0).orderBy("cell", "level")
+
+
 @register("hex_cell_counts_r5", O.hex_cells_sql(5))
 def q_hex_cell_counts(spark, sf_dir):
     """Aperture-7 hex DGGS cell counts at res 5 (index/hexdggs.py —
