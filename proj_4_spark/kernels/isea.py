@@ -237,6 +237,43 @@ def inv(x, y, C: IseaConsts, chunk: int = 4096):
         j = np.nanargmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
         lam0[i:i + chunk] = slo[j]
         phi0[i:i + chunk] = sla[j]
-    return generic_inverse(lambda la, ph: fwd(la, ph, C), x, y,
-                           lam0=lam0, phi0=phi0, seed_from_xy=False,
-                           max_iter=20)
+    lam, phi = generic_inverse(lambda la, ph: fwd(la, ph, C), x, y,
+                               lam0=lam0, phi0=phi0, seed_from_xy=False,
+                               max_iter=20)
+    bad = ~(np.isfinite(lam) & np.isfinite(phi))
+    if np.any(bad):
+        # icosahedron VERTICES (5 faces meet, forward gradient is
+        # discontinuous): the numeric-Jacobian Newton straddles faces
+        # and diverges — fall back to a derivative-free compass search
+        # from the seed, which only ever EVALUATES the forward
+        lam[bad], phi[bad] = _compass_refine(
+            x[bad], y[bad], C, lam0[bad], phi0[bad])
+    return lam, phi
+
+
+def _compass_refine(x, y, C, lam, phi, span: float = 0.2,
+                    levels: int = 40):
+    """Coordinate pattern search minimizing |fwd(l,p) - (x,y)|², span
+    halved per level (0.2 rad -> ~2e-13 rad ≈ µm ground scale)."""
+    lam = lam.copy()
+    phi = phi.copy()
+    offs = np.array([-1.0, -0.5, 0.0, 0.5, 1.0])
+    best = np.full(x.shape, np.inf)
+    xt, yt = fwd(lam, phi, C)
+    d0 = (xt - x) ** 2 + (yt - y) ** 2
+    np.copyto(best, d0, where=np.isfinite(d0))
+    for _ in range(levels):
+        for dlo in offs * span:
+            for dla in offs * span:
+                if dlo == 0.0 and dla == 0.0:
+                    continue
+                lt = lam + dlo
+                pt = np.clip(phi + dla, -np.pi / 2, np.pi / 2)
+                xt, yt = fwd(lt, pt, C)
+                d = (xt - x) ** 2 + (yt - y) ** 2
+                better = np.isfinite(d) & (d < best)
+                lam = np.where(better, lt, lam)
+                phi = np.where(better, pt, phi)
+                best = np.where(better, d, best)
+        span *= 0.5
+    return lam, phi

@@ -442,9 +442,11 @@ def stere_fwd(lam, phi, C: StereConsts):
             coslamv = -coslam
             sinphiv = sinphi
             yv_sign = 1.0
-        x = C.akm1 * tsfn(phiv, sinphiv, C.e)
-        y = x * coslamv
-        x = x * sinlam
+        # exact pole -> exactly 0 (stere.cpp:82-83), not akm1*cos(pi/2)
+        r = np.where(np.abs(phiv - HALFPI) < 1e-15, 0.0,
+                     C.akm1 * tsfn(phiv, sinphiv, C.e))
+        y = r * coslamv
+        x = r * sinlam
     return x, y
 
 

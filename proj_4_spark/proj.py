@@ -103,8 +103,9 @@ DATUMS: dict[str, dict] = {
     "NAD83": {"ellps": "GRS80", "towgs84": "0,0,0"},
     "NAD27": {"ellps": "clrk66",
               "nadgrids": "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"},
-    "potsdam": {"ellps": "bessel",
-                "towgs84": "598.1,73.7,418.2,0.202,0.045,-2.455,6.7"},
+    # the reference's current datums table points potsdam at the
+    # BETA2007 NTv2 grid (datums.cpp), not a Helmert
+    "potsdam": {"ellps": "bessel", "nadgrids": "@BETA2007.gsb"},
     "carthage": {"ellps": "clrk80ign", "towgs84": "-263.0,6.0,431.0"},
     "hermannskogel": {
         "ellps": "bessel",
@@ -287,6 +288,11 @@ class Operation:
     inverse: bool = False  # +inv on this step
     omit_fwd: bool = False
     omit_inv: bool = False
+    # CLASSIC input scaling 1/a override: the reference computes P->ra
+    # from the USER ellipsoid before a setup may force another a (e.g.
+    # krovak forces Bessel, krovak.cpp:287, but ell_set.cpp:618's ra is
+    # never recomputed — fwd scales by Bessel a, inv divides by user a)
+    ra_in: float | None = None
 
     # ---- generic prepare/finalize (fwd.cpp:40-174, inv.cpp:39-141) ----
 
@@ -322,8 +328,9 @@ class Operation:
             y = self.to_meter * y - self.y0
             z = self.vto_meter * z - self.z0
             if units == CLASSIC:
-                x = x * self.ell.ra
-                y = y * self.ell.ra
+                ra = self.ra_in if self.ra_in is not None else self.ell.ra
+                x = x * ra
+                y = y * ra
         elif units == CARTESIAN:
             x = x * self.to_meter
             y = y * self.to_meter
@@ -1214,7 +1221,11 @@ def _mk_krovak(op, params, ell, k0, phi0):
     from .kernels import natgrid as NG
     from .kernels.ellipsoid import Ellipsoid as _E
 
-    # Bessel is forced regardless of +ellps (krovak.cpp:287-289)
+    # Bessel is forced regardless of +ellps (krovak.cpp:287-289) — but
+    # the framework's inverse 1/a was computed from the USER ellipsoid
+    # before the override and is never refreshed (ell_set.cpp:618), so
+    # classic inverse input keeps dividing by the user a
+    op.ra_in = 1.0 / ell.a
     op.ell = _E.from_a_es(NG.KROVAK_A, NG.KROVAK_ES)
     if "lat_0" not in params:
         op.phi0 = 0.863937979737193  # 49d30'N (krovak.cpp:292-293)

@@ -107,7 +107,12 @@ def parse_coord(args: str) -> tuple[tuple[float, ...], int] | None:
 
 
 def parse_tolerance(args: str) -> float:
-    """'0.5 mm' / '10 um' / '1e-9 rad' -> metres (gie.cpp:494-537)."""
+    """'0.5 mm' / '10 um' / '1cm' / '1e-9 rad' -> metres
+    (gie.cpp:494-537; the unit may be glued to the number)."""
+    m = re.match(r"\s*([+-]?[0-9._]*\.?[0-9_]+(?:[eE][+-]?\d+)?)"
+                 r"\s*([a-z]*)", args)
+    if m and m.group(2):
+        args = f"{m.group(1)} {m.group(2)}"
     cols = args.split()
     try:
         v = float(cols[0].replace("_", ""))
@@ -159,36 +164,42 @@ def _command_lines(path: str):
     cur: list | None = None
     cont = False
     with open(path, errors="replace") as f:
-        for i, raw in enumerate(f, 1):
-            line = raw.strip()
-            if (not line or line.startswith("#")
-                    or line in ("<gie>", "</gie>", "<gie-strict>",
-                                "</gie-strict>")):
-                if cur is not None and not cont:
-                    yield cur
-                    cur = None
-                continue
-            if _is_decorative(line):
-                if cur is not None and not cont:
-                    yield cur
-                    cur = None
-                continue
-            word = line.split(None, 1)[0]
-            if word in _VERBS and not cont:
-                if cur is not None:
-                    yield cur
-                rest = line[len(word):].strip()
-                cont = rest.endswith("\\")
-                if cont:
-                    rest = rest[:-1].strip()
-                cur = [i, word, rest]
-            elif cur is not None:
-                seg = line
-                cont = seg.endswith("\\")
-                if cont:
-                    seg = seg[:-1].strip()
-                cur[2] = (cur[2] + " " + seg).strip()
-            # else: stray line before any verb — ignore
+        text = f.read()
+    # tagged files: only the material INSIDE <gie>/<gie-strict> blocks
+    # is executed (gie.cpp:1406-1420 skips to the opening tag; trailing
+    # commentary after </gie-strict> — e.g. DHDN_ETRS89.gie's
+    # "not implemented yet" accept/expect notes — must not run)
+    tagged = "<gie>" in text or "<gie-strict>" in text
+    inside = not tagged
+    for i, raw in enumerate(text.splitlines(), 1):
+        line = raw.strip()
+        if line in ("<gie>", "<gie-strict>"):
+            inside = True
+        elif line in ("</gie>", "</gie-strict>"):
+            inside = False
+        if (not inside or line in ("<gie>", "<gie-strict>")
+                or not line or line.startswith("#")
+                or _is_decorative(line)):
+            if cur is not None and not cont:
+                yield cur
+                cur = None
+            continue
+        word = line.split(None, 1)[0]
+        if word in _VERBS and not cont:
+            if cur is not None:
+                yield cur
+            rest = line[len(word):].strip()
+            cont = rest.endswith("\\")
+            if cont:
+                rest = rest[:-1].strip()
+            cur = [i, word, rest]
+        elif cur is not None:
+            seg = line
+            cont = seg.endswith("\\")
+            if cont:
+                seg = seg[:-1].strip()
+            cur[2] = (cur[2] + " " + seg).strip()
+        # else: stray line before any verb — ignore
     if cur is not None:
         yield cur
 
@@ -356,6 +367,16 @@ class GieRunner:
         for ref in _FIXTURE_REF.findall(operation):
             for nm in ref.split(","):
                 self._register_fixture(nm)
+        # +datum=NAME may expand to a nadgrids list (datums.cpp) —
+        # resolve those grids too so e.g. datum=potsdam finds
+        # BETA2007.gsb the way the reference's data-dir lookup does
+        for m in re.finditer(r"datum=(\w+)", operation):
+            from ..proj import DATUMS
+
+            d = DATUMS.get(m.group(1))
+            if d and "nadgrids" in d:
+                for nm in str(d["nadgrids"]).split(","):
+                    self._register_fixture(nm)
 
     def _compile(self, c: GieCheck):
         key = c.operation if c.crs_pair is None else "\x00".join(c.crs_pair)

@@ -46,7 +46,9 @@ class TestDatumParam:
     def test_datum_expands_ellps_and_shift(self):
         p = parse_projstring("+proj=latlong +datum=potsdam")[0]
         assert p["ellps"] == "bessel"
-        assert p["towgs84"].startswith("598.1,")
+        # the reference's current datums table routes potsdam through
+        # the BETA2007 NTv2 grid, not a Helmert (datums.cpp)
+        assert p["nadgrids"] == "@BETA2007.gsb"
         p = parse_projstring("+proj=latlong +datum=NAD27")[0]
         assert p["ellps"] == "clrk66"
         assert p["nadgrids"].startswith("@conus")

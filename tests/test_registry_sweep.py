@@ -32,6 +32,11 @@ PARAMS = {
     "lcc": f"+lat_1=33 +lat_2=45 {E}",
     "lcca": f"+lat_0=35 {E}",
     "leac": f"+lat_1=45 {E}",
+    # krovak forces Bessel internally but the framework's inverse 1/a
+    # keeps the user ellipsoid (reference init.cpp:584 vs :791) — only
+    # the canonical +ellps=bessel usage roundtrips
+    "krovak": "+ellps=bessel",
+    "mod_krovak": "+ellps=bessel",
     "lsat": f"+lsat=2 +path=2 {E}",
     "misrsom": f"+path=1 {E}",
     "murd1": f"+lat_1=30 +lat_2=50 {R}",
