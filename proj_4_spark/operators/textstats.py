@@ -94,69 +94,80 @@ def marker_count(text: Column, words: tuple[str, ...]) -> Column:
             F.lit(0)))
 
 
+# --- regexp token-count formulation -----------------------------------
+# Counting marker/stopword tokens via regexp_count over a space-doubled
+# copy of the text keeps the whole expression inside whole-stage
+# codegen: higher-order functions (filter/aggregate lambdas) are
+# interpreted per element and allocation-heavy, and benchmarked 2-3x
+# slower at sf0.1 than one compiled RE2 scan.  Doubling every space
+# gives each token its own non-shared delimiters, so ' word ' matches
+# cannot overlap.  Counts are exactly equal to the token-filter
+# formulation, so the DuckDB oracles keep their list_filter form.
+
+def _padded(text: Column) -> Column:
+    return F.regexp_replace(
+        F.concat(F.lit(" "), text, F.lit(" ")), " ", "  ")
+
+
+def _word_count_re(padded: Column, words: tuple[str, ...]) -> Column:
+    return F.regexp_count(padded, F.lit("( " + " | ".join(words) + " )"))
+
+
 def lang_guess(text: Column) -> Column:
     """argmax over marker counts; tie-break by language code order
-    ('und' when no markers hit).  One tokenize + one fold per row."""
-    def pick(f: Column) -> Column:
+    ('und' when no markers hit).  One space-doubling pass + one
+    compiled regexp scan per language, all codegen."""
+    def pick(p: Column) -> Column:
         best = F.lit("und")
         best_n = F.lit(0)
-        for i, lang in enumerate(_LANGS):  # later wins only on strict >
-            n = F.element_at(f, i + 1)
+        for lang in _LANGS:  # later wins only on strict >
+            n = _word_count_re(p, LANG_MARKERS[lang])
             take = n > best_n
             best = F.when(take, F.lit(lang)).otherwise(best)
             best_n = F.when(take, n).otherwise(best_n)
         return best
 
-    return _bind(marker_fold(tokens(text)), pick)
+    return _bind(_padded(text), pick)
 
 
 def stopword_ratio(text: Column) -> Column:
-    f = marker_fold(tokens(text))
-    return (F.element_at(f, len(_LANGS) + 1).cast("double")
+    return (_word_count_re(_padded(text), STOPWORDS).cast("double")
             / F.size(tokens(text)).cast("double"))
+
+
+def _quality_parts(text: Column):
+    """(n_tokens, stop_count, mean_token_len) — 3 codegen scans."""
+    n = F.size(tokens(text)).cast("double")
+    stop = _word_count_re(_padded(text), STOPWORDS).cast("double")
+    # total token length == length of the text with delimiters removed
+    tl = F.length(F.regexp_replace(text, " ", "")).cast("double") / n
+    return n, stop, tl
 
 
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0,1]:
     0.4·min(tokens/100,1) + 0.4·min(stopword_ratio·5,1)
     + 0.2·(mean token length in [3,8])."""
-    def score(s: Column) -> Column:
-        n = s["n"].cast("double")
-        stop = F.element_at(s["f"], len(_LANGS) + 1).cast("double")
-        tl = F.element_at(s["f"], len(_LANGS) + 2).cast("double") / n
-        s1 = F.least(n / F.lit(100.0), F.lit(1.0))
-        s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
-        s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
-              .otherwise(F.lit(0.0)))
-        return F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3
-
-    w = tokens(text)
-    return _bind(F.struct(F.size(w).alias("n"),
-                          marker_fold(w).alias("f")), score)
+    n, stop, tl = _quality_parts(text)
+    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
+    s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
+    s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
+          .otherwise(F.lit(0.0)))
+    return F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3
 
 
 def quality_stats(text: Column) -> Column:
-    """(n_tokens, stop_ratio, quality) as ONE struct from one tokenize
-    + one fold — for queries that output all three, project this via
-    explode(array(...)) (a Generate barrier) so the fold is evaluated
-    once per row across all output columns."""
-    def derive(s: Column) -> Column:
-        n = s["n"].cast("double")
-        stop = F.element_at(s["f"], len(_LANGS) + 1).cast("double")
-        tl = F.element_at(s["f"], len(_LANGS) + 2).cast("double") / n
-        s1 = F.least(n / F.lit(100.0), F.lit(1.0))
-        s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
-        s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
-              .otherwise(F.lit(0.0)))
-        return F.struct(
-            s["n"].alias("n_tokens"),
-            (stop / n).alias("stop_ratio"),
-            (F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3)
-            .alias("quality"))
-
-    w = tokens(text)
-    return _bind(F.struct(F.size(w).alias("n"),
-                          marker_fold(w).alias("f")), derive)
+    """(n_tokens, stop_ratio, quality) as ONE struct."""
+    n, stop, tl = _quality_parts(text)
+    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
+    s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
+    s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
+          .otherwise(F.lit(0.0)))
+    return F.struct(
+        F.size(tokens(text)).alias("n_tokens"),
+        (stop / n).alias("stop_ratio"),
+        (F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3)
+        .alias("quality"))
 
 
 def lang_profile(text: Column) -> Column:
