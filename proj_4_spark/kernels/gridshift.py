@@ -136,13 +136,30 @@ def hgrid_inv(grid: Grid, lam, phi, interp: str = "bilinear"):
     return cl, cp
 
 
-def vgrid_apply(grid: Grid, lam, phi, z, forward: bool = True):
-    """Vertical shift: geometric -> orthometric subtracts the geoid
-    undulation on fwd (vgridshift.cpp semantics)."""
-    u = _bilinear(grid, lam, phi)
-    m = in_grid(grid, lam, phi)
+def vgrid_sample(g, lam, phi):
+    """Sampled grid value + containment mask over a Grid or
+    (recursively, with the set's own selection policy) a GridSet."""
+    if isinstance(g, GridSet):
+        sel = _select(g, lam, phi)
+        u = np.zeros(np.shape(lam))
+        for k, gg in enumerate(g.grids):
+            mk = sel == k
+            if mk.any():
+                uk, _ = vgrid_sample(gg, lam[mk], phi[mk])
+                u[mk] = uk
+        return u, sel >= 0
+    return _bilinear(g, lam, phi), in_grid(g, lam, phi)
+
+
+def vgrid_apply(grid, lam, phi, z, forward: bool = True,
+                mult: float = -1.0):
+    """Vertical shift: z + multiplier·sample on fwd.  The historical
+    default multiplier is -1 (vgridshift.cpp:206-209: geometric ->
+    orthometric SUBTRACTS the undulation); GeoTIFF-era grids pass
+    +multiplier explicitly."""
+    u, m = vgrid_sample(grid, lam, phi)
     u = np.where(m, u, 0.0)
-    return z - u if forward else z + u
+    return z + mult * u if forward else z - mult * u
 
 
 @dataclass(frozen=True)

@@ -1042,13 +1042,37 @@ def compile_operation(params: dict) -> Operation:
                 op.inv_k = lambda x, y, z, t: (
                     *k_grid.hgrid_inv(grid, x, y), z)
         else:
-            if isinstance(grid, k_grid.GridSet):
-                raise NotImplementedError(
-                    "vgridshift: multi-subfile grid sets not supported")
+            mult = float(params.get("multiplier", -1.0))
             op.fwd_k = lambda x, y, z, t: (
-                x, y, k_grid.vgrid_apply(grid, x, y, z, True))
+                x, y, k_grid.vgrid_apply(grid, x, y, z, True, mult))
             op.inv_k = lambda x, y, z, t: (
-                x, y, k_grid.vgrid_apply(grid, x, y, z, False))
+                x, y, k_grid.vgrid_apply(grid, x, y, z, False, mult))
+        # +t_epoch/+t_final time bracket (vgridshift.cpp:107-130,
+        # hgridshift twin): when both are set, the shift applies ONLY
+        # to points with t < t_epoch (and t_final > t_epoch); others
+        # pass through untouched.  t_final=now -> current decimal year.
+        tf_raw = params.get("t_final")
+        if str(tf_raw) == "now":
+            import time as _time
+
+            d = _time.localtime()
+            t_final = 1900.0 + d.tm_year + d.tm_yday / 365.0
+        else:
+            t_final = float(tf_raw) if tf_raw is not None else 0.0
+        t_epoch = float(params.get("t_epoch", 0.0))
+        if t_final != 0.0 and t_epoch != 0.0:
+            base_f, base_i = op.fwd_k, op.inv_k
+
+            def _brk(fn):
+                def wrapped(x, y, z, t, _fn=fn):
+                    xo, yo, zo = _fn(x, y, z, t)
+                    m = (t < t_epoch) & (t_final > t_epoch)
+                    return (np.where(m, xo, x), np.where(m, yo, y),
+                            np.where(m, zo, z))
+                return wrapped
+
+            op.fwd_k = _brk(base_f)
+            op.inv_k = _brk(base_i)
     else:
         _init_misc()
         mk = _MISC_REGISTRY.get(proj_id)
@@ -1449,7 +1473,23 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
         op.fwd_k = lambda x, y, z, t: (
             *MS.adams_fwd(x, y, mode, pqshape, scrollx, scrolly), z)
         if pid == "adams_ws2":
-            op.inv_k = lambda x, y, z, t: (*MS.adams_ws2_inv(x, y), z)
+            def _ws2_inv(x, y, z, t):
+                la, ph = MS.adams_ws2_inv(x, y)
+                nan = ~(np.isfinite(la) & np.isfinite(ph)) \
+                    & np.isfinite(x) & np.isfinite(y)
+                if np.any(nan):
+                    # pole/antimeridian edge: the analytic spherical
+                    # inverse loses the branch — derivative-free rescue
+                    from .kernels.generic_inverse import rescue_compass
+
+                    def f2(l, p):
+                        return MS.adams_fwd(l, p, "adams_ws2", pqshape,
+                                            scrollx, scrolly)[:2]
+
+                    la[nan], ph[nan] = rescue_compass(f2, x[nan], y[nan])
+                return la, ph, z
+
+            op.inv_k = _ws2_inv
         else:
             op.inv_k = None  # peirce etc: seeded generic fallback
         return

@@ -313,6 +313,13 @@ class GieRunner:
         self.fixture_dirs = tuple(fixture_dirs)
         self._fixture_tried: set[str] = set()
 
+    # the reference's test build stages downsampled grids under the
+    # production names (data/CMakeLists.txt:89-90 configure_file)
+    _ALIASES = {
+        "egm96_15.gtx": "tests/egm96_15_downsampled.gtx",
+        "ntv2_0.gsb": "tests/ntv2_0_downsampled.gsb",
+    }
+
     def _register_fixture(self, name: str, as_defmodel_grid=False) -> bool:
         from ..proj import DEFMODEL_REGISTRY, GRID_REGISTRY
 
@@ -327,6 +334,8 @@ class GieRunner:
         self._fixture_tried.add(key)
         for d in self.fixture_dirs:
             p = os.path.join(d, base)
+            if not os.path.isfile(p) and base in self._ALIASES:
+                p = os.path.join(d, self._ALIASES[base])
             if not os.path.isfile(p):
                 continue
             try:
