@@ -32,6 +32,9 @@ class Grid:
     dlat: float
     # (height, width [, 2]) arrays
     values: np.ndarray
+    # file-declared default interpolation (GeoTIFF
+    # interpolation_method; grids.cpp:344-382)
+    interp: str = "bilinear"
 
 
 def _bilinear(grid: Grid, lam, phi):
@@ -52,8 +55,24 @@ def _bilinear(grid: Grid, lam, phi):
     if g.ndim == 3:
         tx = tx[..., None]
         ty = ty[..., None]
-    return ((1 - tx) * (1 - ty) * v00 + tx * (1 - ty) * v10
-            + (1 - tx) * ty * v01 + tx * ty * v11)
+    w00 = (1 - tx) * (1 - ty)
+    w10 = tx * (1 - ty)
+    w01 = (1 - tx) * ty
+    w11 = tx * ty
+    out = w00 * v00 + w10 * v10 + w01 * v01 + w11 * v11
+    if np.isnan(g).any():
+        # nodata corners are excluded and the remaining weights
+        # renormalized (the reference's GTiffGrid nodata handling)
+        tot = np.zeros_like(out)
+        acc = np.zeros_like(out)
+        for wk, vk in ((w00, v00), (w10, v10), (w01, v01), (w11, v11)):
+            ok = ~np.isnan(vk)
+            acc = np.where(ok, acc + wk * vk, acc)
+            tot = np.where(ok, tot + wk * np.ones_like(vk), tot)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            renorm = acc / tot
+        out = np.where(np.isnan(out) & (tot > 0), renorm, out)
+    return out
 
 
 def _biquadratic(grid: Grid, lam, phi):
@@ -94,8 +113,27 @@ def _biquadratic(grid: Grid, lam, phi):
     return qterp(ty, r0, r1, r2)
 
 
-def sample(grid: Grid, lam, phi, interp: str = "bilinear"):
-    """Interpolated grid sample with method dispatch."""
+def wrap_lam(grid: Grid, lam):
+    """Normalize query longitudes into the grid's own frame: grids may
+    be georeferenced across the antimeridian (0..360-style origins —
+    the reference normalizes lookups the same way,
+    grids.cpp ExtentAndRes + pj_find_grid longitude adjustment).  A
+    ±2π shift is adopted only when it lands the point inside the
+    grid's longitude span; ordinary outside points are unchanged."""
+    h, w = grid.values.shape[:2]
+    lon_max = grid.lon0 + (w - 1) * grid.dlon
+    lam = np.asarray(lam, dtype=np.float64)
+    two_pi = 2.0 * np.pi
+    up = (lam < grid.lon0) & (lam + two_pi <= lon_max + 1e-9)
+    dn = (lam > lon_max) & (lam - two_pi >= grid.lon0 - 1e-9)
+    return lam + two_pi * up - two_pi * dn
+
+
+def sample(grid: Grid, lam, phi, interp: str | None = None):
+    """Interpolated grid sample with method dispatch (None = the
+    grid's own file-declared default)."""
+    interp = interp or grid.interp
+    lam = wrap_lam(grid, lam)
     if interp == "biquadratic":
         return _biquadratic(grid, lam, phi)
     return _bilinear(grid, lam, phi)
@@ -103,6 +141,7 @@ def sample(grid: Grid, lam, phi, interp: str = "bilinear"):
 
 def in_grid(grid: Grid, lam, phi):
     h, w = grid.values.shape[:2]
+    lam = wrap_lam(grid, lam)
     return ((lam >= grid.lon0) & (lam <= grid.lon0 + (w - 1) * grid.dlon)
             & (phi >= grid.lat0) & (phi <= grid.lat0 + (h - 1) * grid.dlat))
 
@@ -148,7 +187,7 @@ def vgrid_sample(g, lam, phi):
                 uk, _ = vgrid_sample(gg, lam[mk], phi[mk])
                 u[mk] = uk
         return u, sel >= 0
-    return _bilinear(g, lam, phi), in_grid(g, lam, phi)
+    return sample(g, lam, phi), in_grid(g, lam, phi)
 
 
 def vgrid_apply(grid, lam, phi, z, forward: bool = True,
@@ -158,7 +197,9 @@ def vgrid_apply(grid, lam, phi, z, forward: bool = True,
     orthometric SUBTRACTS the undulation); GeoTIFF-era grids pass
     +multiplier explicitly."""
     u, m = vgrid_sample(grid, lam, phi)
-    u = np.where(m, u, 0.0)
+    u = np.where(m, u, np.nan)  # outside every grid -> domain error
+    # (vgridshift errors rather than passing through; grids.cpp
+    # read_vgrid_value returns nodata outside)
     return z + mult * u if forward else z - mult * u
 
 
@@ -355,6 +396,9 @@ class UnifiedGrid:
     hgrid: Grid | GridSet | None
     vgrid: Grid | None
     interp: str = "bilinear"
+    # 3-channel geocentric (dX,dY,dZ metres) component, the
+    # GEOCENTRIC_TRANSLATION GeoTIFF type consumed by xyzgridshift
+    geocentric: Grid | None = None
 
     def extent_grid(self):
         g = self.hgrid if self.hgrid is not None else self.vgrid
@@ -401,6 +445,11 @@ def unified_fwd(entries, lam, phi, z, no_z: bool = False,
             dz = sample(ug.vgrid, la, ph, method)
             out_z[m] = out_z[m] + np.where(in_grid(ug.vgrid, la, ph),
                                            dz, 0.0)
+    # points outside EVERY component: domain error, not passthrough
+    # (gridshift.cpp sets PROJ_ERR_COORD_TRANSFM_OUTSIDE_GRID)
+    out_l[remaining] = np.nan
+    out_p[remaining] = np.nan
+    out_z[remaining] = np.nan
     return out_l, out_p, out_z
 
 

@@ -1894,7 +1894,8 @@ def vgridshift_gtx_sql(round_to: int = 2) -> str:
     float32 node values are embedded as a VALUES list joined by (iy,
     ix) — the defmodel VALUES-join pattern.  The 4-corner bilinear and
     the fwd sign (z - u, vgridshift.cpp) are mirrored in closed form;
-    out-of-grid rows pass through with zero shift."""
+    out-of-grid rows are EXCLUDED on both sides (vgridshift errors
+    outside every grid, matching the reference)."""
     from ..sources.gridfiles import parse_gtx, synthetic_geoid_gtx_bytes
 
     g = parse_gtx(synthetic_geoid_gtx_bytes())
@@ -1933,12 +1934,13 @@ n AS (
 ),
 s AS (
   SELECT n.doc_id,
-    (CASE WHEN n.ing THEN {bilin} ELSE 0.0 END) AS u
+    {bilin} AS u
   FROM n
   JOIN gv g00 ON g00.iy = n.iy     AND g00.ix = n.ix
   JOIN gv g10 ON g10.iy = n.iy     AND g10.ix = n.ix + 1
   JOIN gv g01 ON g01.iy = n.iy + 1 AND g01.ix = n.ix
   JOIN gv g11 ON g11.iy = n.iy + 1 AND g11.ix = n.ix + 1
+  WHERE n.ing
 )
 SELECT doc_id, (round(0.0 - u, {round_to}) + 0.0) AS z_m
 FROM s ORDER BY doc_id
@@ -2187,11 +2189,12 @@ t AS (
 ),
 s AS (
   SELECT t.doc_id,
-    (t.lam + CASE WHEN t.ing THEN {chan("dl")} ELSE 0.0 END) AS lam_s,
-    (t.phi + CASE WHEN t.ing THEN {chan("dp")} ELSE 0.0 END) AS phi_s,
-    (CASE WHEN t.ing THEN {chan("dz")} ELSE 0.0 END) AS z_s
+    (t.lam + {chan("dl")}) AS lam_s,
+    (t.phi + {chan("dp")}) AS phi_s,
+    {chan("dz")} AS z_s
   FROM t
   {joins}
+  WHERE t.ing
 )
 SELECT doc_id, (round(degrees(lam_s), {round_to}) + 0.0) AS lon_s,
        (round(degrees(phi_s), {round_to}) + 0.0) AS lat_s,

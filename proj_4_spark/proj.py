@@ -924,6 +924,16 @@ def compile_operation(params: dict) -> Operation:
         if grid is None:
             raise FileNotFoundError(
                 f"xyzgridshift: grid '{name}' not in GRID_REGISTRY")
+        if isinstance(grid, tuple):
+            grid = next((g for g in grid
+                         if getattr(g, "geocentric", None) is not None),
+                        grid[0])
+        if isinstance(grid, k_grid.UnifiedGrid):
+            if grid.geocentric is None:
+                raise ValueError(
+                    f"xyzgridshift: grid '{name}' has no geocentric "
+                    "translation component")
+            grid = grid.geocentric
         mult = float(params.get("multiplier", 1.0))
         grid_ref_is_input = str(params.get("grid_ref",
                                            "input_crs")) == "input_crs"
@@ -1003,7 +1013,7 @@ def compile_operation(params: dict) -> Operation:
                         "component")
                 g = (parts[0] if len(parts) == 1
                      else k_grid.GridSet(grids=tuple(parts),
-                                         policy="first"))
+                                         policy="finest"))
             elif isinstance(g, k_grid.UnifiedGrid):
                 # GeoTIFF-sourced component: take the matching part
                 g = g.hgrid if proj_id == "hgridshift" else g.vgrid

@@ -1194,7 +1194,10 @@ def q_vgridshift_gtx(spark, sf_dir):
 
     GF.register_grid_file("synthetic_geoid.gtx",
                           GF.synthetic_geoid_gtx_bytes())
-    df = _coords(spark, sf_dir)
+    # out-of-grid points are a domain error (reference vgridshift
+    # semantics) — the gate tests the in-grid sampling
+    df = _coords(spark, sf_dir).where(
+        "lon >= -30.0 AND lon <= 50.0 AND lat >= 20.0 AND lat <= 70.0")
     u = G.project_udf("+proj=vgridshift +grids=synthetic_geoid.gtx "
                       "+ellps=GRS80")
     st = u(F.col("lon"), F.col("lat"))
@@ -2012,7 +2015,10 @@ def q_gridshift_biquadratic(spark, sf_dir):
     from .sources import gridfiles as GF
 
     GF.register_grid_file("synth3d.tif", O.synthetic_geotiff_3d_bytes())
-    df = _coords(spark, sf_dir)
+    # out-of-grid points are a domain error for the unified gridshift
+    # (gridshift.cpp OUTSIDE_GRID) — the gate tests in-grid sampling
+    df = _coords(spark, sf_dir).where(
+        "lon >= -12.0 AND lon <= 36.0 AND lat >= 34.0 AND lat <= 64.0")
     u = G.project_udf("+proj=gridshift +grids=synth3d.tif +ellps=GRS80")
     st = u(F.col("lon"), F.col("lat"))
     return (df.withColumn("_g", st)

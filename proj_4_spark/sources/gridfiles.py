@@ -311,15 +311,19 @@ def synthetic_ctable2_pair() -> tuple[bytes, bytes]:
 # ------------------------------------------------------------- GeoTIFF
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
-                   9: 4, 10: 8, 11: 4, 12: 8}
-_TIFF_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+                   9: 4, 10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8,
+                   18: 8}
+_TIFF_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+                  13: "I", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _tiff_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+def _tiff_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes,
+                 inline: int = 4):
     size = _TIFF_TYPE_SIZE[typ] * cnt
-    buf = raw[:4] if size <= 4 else None
+    buf = raw[:inline] if size <= inline else None
     if buf is None:
-        off = struct.unpack(bo + "I", raw[:4])[0]
+        off = struct.unpack(bo + ("Q" if inline == 8 else "I"),
+                            raw[:inline])[0]
         buf = data[off:off + size]
     if typ == 2:
         return buf.split(b"\0", 1)[0].decode("ascii", "replace")
@@ -362,27 +366,51 @@ def parse_geotiff(data: bytes):
     if data[:2] not in (b"II", b"MM"):
         raise ValueError("geotiff: not a TIFF byte stream")
     bo = "<" if data[:2] == b"II" else ">"
-    if struct.unpack(bo + "H", data[2:4])[0] != 42:
-        raise ValueError("geotiff: BigTIFF or bad magic not supported")
+    magic = struct.unpack(bo + "H", data[2:4])[0]
+    if magic == 42:                                   # classic TIFF
+        big = False
+        first_off = struct.unpack(bo + "I", data[4:8])[0]
+    elif magic == 43:                                 # BigTIFF
+        big = True
+        if struct.unpack(bo + "H", data[4:6])[0] != 8:
+            raise ValueError("geotiff: bad BigTIFF offset size")
+        first_off = struct.unpack(bo + "Q", data[8:16])[0]
+    else:
+        raise ValueError("geotiff: bad magic")
     out = []
-    off = struct.unpack(bo + "I", data[4:8])[0]
+    off = first_off
     while off:
-        n = struct.unpack(bo + "H", data[off:off + 2])[0]
+        if big:
+            n = struct.unpack(bo + "Q", data[off:off + 8])[0]
+            ent0, esz = off + 8, 20
+        else:
+            n = struct.unpack(bo + "H", data[off:off + 2])[0]
+            ent0, esz = off + 2, 12
         tags = {}
-        for i in range(n):
-            tag, typ, cnt = struct.unpack(
-                bo + "HHI", data[off + 2 + i * 12:off + 10 + i * 12])
-            raw = data[off + 10 + i * 12:off + 14 + i * 12]
-            tags[tag] = (typ, cnt, raw)
-        off = struct.unpack(
-            bo + "I", data[off + 2 + n * 12:off + 6 + n * 12])[0]
+        for i in range(int(n)):
+            e = ent0 + i * esz
+            if big:
+                tag, typ = struct.unpack(bo + "HH", data[e:e + 4])
+                cnt = struct.unpack(bo + "Q", data[e + 4:e + 12])[0]
+                raw = data[e + 12:e + 20]
+            else:
+                tag, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
+                raw = data[e + 8:e + 12]
+            tags[tag] = (typ, int(cnt), raw)
+        nxt = ent0 + int(n) * esz
+        off = struct.unpack(bo + ("Q" if big else "I"),
+                            data[nxt:nxt + (8 if big else 4)])[0]
 
         def tv(tag, default=None):
             if tag not in tags:
                 return default
             typ, cnt, raw = tags[tag]
-            return _tiff_values(data, bo, typ, cnt, raw)
+            return _tiff_values(data, bo, typ, cnt, raw,
+                                inline=8 if big else 4)
 
+        subfile = int(tv(254, [0])[0])
+        if subfile & 1:
+            continue  # reduced-resolution overview IFD: full-res only
         w = int(tv(256)[0])
         h = int(tv(257)[0])
         spp = int(tv(277, [1])[0])
@@ -390,12 +418,20 @@ def parse_geotiff(data: bytes):
         planar = int(tv(284, [1])[0])
         predictor = int(tv(317, [1])[0])
         bits = tv(258, [32])
-        sfmt = tv(339, [3])
-        if any(b != 32 for b in bits) or any(f != 3 for f in sfmt):
-            raise ValueError("geotiff: only float32 samples supported")
-        if planar != 1:
-            raise ValueError("geotiff: only pixel-interleaved supported")
-        if predictor != 1:
+        sfmt = tv(339, [3] * spp)
+        if len(set(bits)) != 1 or len(set(sfmt)) != 1:
+            raise ValueError("geotiff: mixed sample types")
+        kind = {1: "u", 2: "i", 3: "f"}.get(int(sfmt[0]))
+        if kind is None or int(bits[0]) not in (16, 32, 64) \
+                or (kind == "f" and int(bits[0]) == 16):
+            raise ValueError(
+                f"geotiff: samples fmt={sfmt[0]} bits={bits[0]} "
+                "not supported")
+        bysz = int(bits[0]) // 8
+        dt = np.dtype(bo + kind + str(bysz))
+        if planar not in (1, 2):
+            raise ValueError(f"geotiff: planar config {planar}")
+        if predictor not in (1, 2, 3):
             raise ValueError("geotiff: predictors not supported")
         if comp not in (1, 8, 32946):
             raise ValueError(f"geotiff: compression {comp} not supported")
@@ -406,47 +442,113 @@ def parse_geotiff(data: bytes):
             import zlib
             return zlib.decompress(b)
 
-        arr = np.empty((h, w, spp), dtype=np.float32)
+        def decode(raw: bytes, nrow: int, ncol: int,
+                   spp: int = spp) -> np.ndarray:
+            """One strip/tile -> (nrow, ncol, spp) float64, predictor
+            applied (TIFF 6.0 §14 horizontal; TechNote 3 floating
+            point: per-row byte-plane split + byte differencing)."""
+            if predictor == 3:
+                b = np.frombuffer(raw, np.uint8).reshape(
+                    nrow, ncol * spp * bysz).copy()
+                np.cumsum(b, axis=1, dtype=np.uint8, out=b)
+                # byte planes are stored MSB-first per row
+                planes = b.reshape(nrow, bysz, ncol * spp)
+                be = np.ascontiguousarray(
+                    planes.transpose(0, 2, 1)).tobytes()
+                a = np.frombuffer(be, ">" + kind + str(bysz))
+            else:
+                a = np.frombuffer(raw, dt, count=nrow * ncol * spp)
+                if predictor == 2:
+                    a = np.cumsum(
+                        a.reshape(nrow, ncol, spp), axis=1,
+                        dtype=dt).ravel()
+            return a.reshape(nrow, ncol, spp).astype(np.float64)
+
+        # with planar=2 (separate planes) each strip/tile holds ONE
+        # sample plane; blocks for plane 0 come first, then plane 1...
+        bspp = 1 if planar == 2 else spp
+        arr = np.empty((h, w, spp), dtype=np.float64)
         if 322 in tags:                                   # tiled
             tw, th = int(tv(322)[0]), int(tv(323)[0])
             toffs, tcnts = tv(324), tv(325)
-            k = 0
-            for ty0 in range(0, h, th):
-                for tx0 in range(0, w, tw):
-                    raw = decomp(data[toffs[k]:toffs[k] + tcnts[k]])
-                    tile = np.frombuffer(raw, dtype=bo + "f4",
-                                         count=tw * th * spp)
-                    tile = tile.reshape(th, tw, spp)
-                    arr[ty0:min(ty0 + th, h), tx0:min(tx0 + tw, w)] = \
-                        tile[:min(th, h - ty0), :min(tw, w - tx0)]
-                    k += 1
+            tiles_x = (w + tw - 1) // tw
+            tiles_y = (h + th - 1) // th
+            per_plane = tiles_x * tiles_y
+            for k in range(len(toffs)):
+                raw = decomp(data[toffs[k]:toffs[k] + tcnts[k]])
+                tile = decode(raw, th, tw, bspp)
+                plane, kk = divmod(k, per_plane) if planar == 2 \
+                    else (None, k)
+                ty0 = (kk // tiles_x) * th
+                tx0 = (kk % tiles_x) * tw
+                blk = tile[:min(th, h - ty0), :min(tw, w - tx0)]
+                if planar == 2:
+                    arr[ty0:ty0 + blk.shape[0], tx0:tx0 + blk.shape[1],
+                        plane] = blk[:, :, 0]
+                else:
+                    arr[ty0:ty0 + blk.shape[0],
+                        tx0:tx0 + blk.shape[1]] = blk
         else:                                             # strips
             rps = int(tv(278, [h])[0])
             soffs, scnts = tv(273), tv(279)
-            rows = []
+            strips_per_plane = (h + rps - 1) // rps
+            planes = [[] for _ in range(spp if planar == 2 else 1)]
             for k in range(len(soffs)):
                 raw = decomp(data[soffs[k]:soffs[k] + scnts[k]])
-                nrow = min(rps, h - k * rps)
-                rows.append(np.frombuffer(raw, dtype=bo + "f4",
-                                          count=nrow * w * spp))
-            arr = np.concatenate(rows).reshape(h, w, spp)
+                plane, kk = divmod(k, strips_per_plane) if planar == 2 \
+                    else (0, k)
+                nrow = min(rps, h - kk * rps)
+                planes[plane].append(decode(raw, nrow, w, bspp).reshape(-1))
+            if planar == 2:
+                for p_i, chunks in enumerate(planes):
+                    arr[:, :, p_i] = np.concatenate(chunks).reshape(h, w)
+            else:
+                arr = np.concatenate(planes[0]).reshape(h, w, spp)
 
         scale = tv(33550)
         tie = tv(33922)
-        if scale is None or tie is None:
+        xform = tv(34264)
+        if xform is not None and scale is None:
+            # ModelTransformation matrix: axis-aligned cases only
+            # (grids.cpp uses the same restriction for grids)
+            a, b_, _, d = (float(xform[0]), float(xform[1]),
+                           xform[2], float(xform[3]))
+            e_, f_, _, hh = (float(xform[4]), float(xform[5]),
+                             xform[6], float(xform[7]))
+            if b_ != 0.0 or e_ != 0.0:
+                raise ValueError("geotiff: rotated grids not supported")
+            dlon, dlat_signed = a, f_
+            lon_ul, lat_ul = d, hh
+        elif scale is not None and tie is not None:
+            dlon = float(scale[0])
+            dlat_signed = -float(scale[1])  # north-up rows by default
+            lon_ul, lat_ul = float(tie[3]), float(tie[4])
+        else:
             raise ValueError("geotiff: missing georeferencing tags")
-        dlon, dlat = float(scale[0]), float(scale[1])
-        lon_ul, lat_ul = float(tie[3]), float(tie[4])
-        # 0-360 grids (NOAA Alaska) shift into -180..180, the same
-        # normalization the GTX reader applies (grids.cpp:288-296)
-        if lon_ul >= 180.0:
-            lon_ul -= 360.0
-        lat0 = lat_ul - (h - 1) * dlat
-        vals = arr[::-1].astype(np.float64)               # south-first
+        # GTRasterTypeGeoKey (GeoKeyDirectory 34735, key 1025):
+        # PixelIsArea(1) anchors the tiepoint at the CELL CORNER —
+        # node centers sit half a pixel inside (grids.cpp:713-724)
+        gk = tv(34735)
+        raster_type = 2  # PixelIsPoint unless stated
+        if gk:
+            for ki in range(4, len(gk) - 3, 4):
+                if int(gk[ki]) == 1025:
+                    raster_type = int(gk[ki + 3])
+        if raster_type == 1:
+            lon_ul += dlon / 2.0
+            lat_ul += dlat_signed / 2.0
+        if dlat_signed < 0.0:                             # north-up file
+            dlat = -dlat_signed
+            lat0 = lat_ul - (h - 1) * dlat
+            vals = arr[::-1]                              # south-first
+        else:                                             # bottom-up file
+            dlat = dlat_signed
+            lat0 = lat_ul
+            vals = arr
 
         nodata = tv(42113)
         if isinstance(nodata, str) and nodata.strip():
-            vals[vals == float(nodata)] = np.nan
+            vals = np.where(vals == float(nodata), np.nan, vals)
 
         meta = _parse_gdal_meta(tv(42112, "") or "")
         gtype = meta.get(("TYPE", None), "")
@@ -455,6 +557,21 @@ def parse_geotiff(data: bytes):
         parent = meta.get(("parent_grid_name", None), "")
         desc = {v: s for (k, s), v in meta.items()
                 if k == "DESCRIPTION"}
+        # integer-encoded grids carry per-sample SCALE/OFFSET
+        # (grids.cpp GTiffGrid::readAs... applies value*scale+offset)
+        for s_i in range(spp):
+            sc = float(meta.get(("SCALE", s_i), 1.0))
+            of = float(meta.get(("OFFSET", s_i), 0.0))
+            if sc != 1.0 or of != 0.0:
+                vals[:, :, s_i] = vals[:, :, s_i] * sc + of
+        if not gtype and desc:
+            # no TYPE item: infer from channel descriptions, the
+            # reference's channel-identification path
+            dn = set(desc)
+            if dn & {"geoid_undulation", "vertical_offset",
+                     "ellipsoidal_height_offset"} \
+                    and not (dn & {"latitude_offset"}):
+                gtype = "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL"
 
         def unit_factor(sample, default):
             u = meta.get(("UNITTYPE", sample), default)
@@ -498,13 +615,20 @@ def parse_geotiff(data: bytes):
                 i_z = desc.get("ellipsoidal_height_offset", 2)
                 chans.append(vals[:, :, i_z] * unit_factor(i_z, "metre"))
             gvals = np.stack(chans, axis=-1)
+        elif gtype == "GEOCENTRIC_TRANSLATION":
+            ch = [desc.get("x_translation", 0),
+                  desc.get("y_translation", 1),
+                  desc.get("z_translation", 2)]
+            gvals = np.stack(
+                [vals[:, :, i] * unit_factor(i, "metre") for i in ch],
+                axis=-1)
         elif gtype in ("ELLIPSOIDAL_HEIGHT_OFFSET",
                        "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL",
-                       "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL",
-                       "GEOCENTRIC_TRANSLATION"):
-            i_z = (desc.get("ellipsoidal_height_offset")
-                   or desc.get("geoid_undulation")
-                   or desc.get("vertical_offset") or 0)
+                       "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL"):
+            i_z = next((desc[k] for k in ("ellipsoidal_height_offset",
+                                          "geoid_undulation",
+                                          "vertical_offset")
+                        if k in desc), 0)
             gvals = vals[:, :, i_z] * unit_factor(i_z, "metre")
         else:
             raise ValueError(f"geotiff: unsupported grid TYPE {gtype!r}")
@@ -515,7 +639,7 @@ def parse_geotiff(data: bytes):
             "name": name, "parent": parent,
             "grid": Grid(lon0=lon_ul * DEG_TO_RAD, lat0=lat0 * DEG_TO_RAD,
                          dlon=dlon * DEG_TO_RAD, dlat=dlat * DEG_TO_RAD,
-                         values=gvals),
+                         values=gvals, interp=interp),
         })
     return out
 
@@ -571,6 +695,10 @@ def geotiff_unified(data: bytes):
                                    interp=e["interp"]))
         elif e["type"] == "ELLIPSOIDAL_HEIGHT_OFFSET":
             continue
+        elif e["type"] == "GEOCENTRIC_TRANSLATION":
+            out.append(UnifiedGrid(hgrid=None, vgrid=None,
+                                   interp=e["interp"],
+                                   geocentric=e["grid"]))
         else:
             out.append(UnifiedGrid(hgrid=None, vgrid=e["grid"],
                                    interp=e["interp"]))

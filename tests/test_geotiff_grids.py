@@ -44,8 +44,13 @@ class TestGeotiffGridshift:
             ["HORIZONTAL_OFFSET", "ELLIPSOIDAL_HEIGHT_OFFSET"]
         assert entries[0]["interp"] == "biquadratic"
         assert entries[0]["grid"].values.shape == (11, 11, 2)
-        # 0-360 Alaska extent normalized into -180..180
-        assert np.degrees(entries[0]["grid"].lon0) < -150
+        # 0-360 Alaska georeferencing is kept verbatim; queries are
+        # normalized into the grid frame at sample time (wrap_lam)
+        assert 195 < np.degrees(entries[0]["grid"].lon0) < 210
+        from proj_4_spark.kernels.gridshift import in_grid
+        assert in_grid(entries[0]["grid"],
+                       np.radians(np.array([-158.4])),
+                       np.radians(np.array([61.3])))[0]
 
     def test_conus_3d_offset_goldens(self):
         _reg(CONUS)

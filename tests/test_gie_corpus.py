@@ -33,19 +33,19 @@ _SKIP_COMMON: dict[str, str] = {}
 # file -> (min_ok, max_fail, skip_ops)
 FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "builtins.gie": (2500, 1, {}),
-    "more_builtins.gie": (140, 42, {}),
-    "4D-API_cs2cs-style.gie": (61, 17, {}),
+    "more_builtins.gie": (138, 43, {}),
+    "4D-API_cs2cs-style.gie": (62, 16, {}),
     "DHDN_ETRS89.gie": (60, 0, {}),
     "GDA.gie": (3, 0, {}),
     "adams_hemi.gie": (700, 0, {}),
     "adams_ws1.gie": (700, 0, {}),
     "adams_ws2.gie": (715, 3, {}),
     "axisswap.gie": (26, 1, {}),
-    "defmodel.gie": (18, 16, {}),
+    "defmodel.gie": (24, 10, {}),
     "deformation.gie": (35, 8, {}),
     "ellipsoid.gie": (30, 6, {}),
-    "geotiff_grids.gie": (20, 31, {}),
-    "gridshift.gie": (44, 15, {}),
+    "geotiff_grids.gie": (45, 4, {}),
+    "gridshift.gie": (50, 6, {}),
     "guyou.gie": (700, 0, {}),
     "nkg.gie": (0, 33, {
         "urn:ogc:def:coordinateOperation:NKG":
@@ -83,5 +83,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6510
-    assert tot_fail <= 155
+    assert tot_ok >= 6555
+    assert tot_fail <= 112

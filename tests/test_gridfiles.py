@@ -122,9 +122,10 @@ def test_register_grid_file_vgridshift_end_to_end():
         "+proj=vgridshift +grids=synthetic_geoid.gtx +ellps=GRS80")
     _, _, z, _ = tr.transform_deg(
         np.array([10.0, 100.0]), np.array([45.0, 0.0]), np.array([0.0, 0.0]))
-    # in-grid point gets -undulation; out-of-grid passes through
+    # in-grid point gets -undulation; out-of-grid is a domain error
+    # (reference vgridshift errors outside every grid)
     assert abs(z[0]) > 1.0
-    assert z[1] == 0.0
+    assert np.isnan(z[1])
     # roundtrip
     _, _, z2, _ = tr.transform_deg(
         np.array([10.0]), np.array([45.0]), z[:1], direction="inv")
