@@ -37,21 +37,35 @@ class Grid:
     interp: str = "bilinear"
 
 
+def _is_global_lon(grid: Grid) -> bool:
+    """True when the grid's columns tile the full 360° circle (node 0
+    repeats one step past the last column) — sampling then wraps in
+    longitude like the reference's fullWorldExtent handling."""
+    w = grid.values.shape[1]
+    return abs(w * grid.dlon - 2.0 * np.pi) < 1e-9
+
+
 def _bilinear(grid: Grid, lam, phi):
     """4-corner weighted sample; grids.cpp:3322-3393 semantics
-    (clamped to the grid edge)."""
+    (clamped to the grid edge; full-world grids wrap in longitude)."""
     g = grid.values
     h, w = g.shape[:2]
     fx = (lam - grid.lon0) / grid.dlon
     fy = (phi - grid.lat0) / grid.dlat
-    ix = np.clip(np.floor(fx).astype(np.int64), 0, w - 2)
+    if _is_global_lon(grid):
+        fx = np.mod(fx, w)
+        ix = np.floor(fx).astype(np.int64) % w
+        ix1 = (ix + 1) % w
+    else:
+        ix = np.clip(np.floor(fx).astype(np.int64), 0, w - 2)
+        ix1 = ix + 1
     iy = np.clip(np.floor(fy).astype(np.int64), 0, h - 2)
-    tx = fx - ix
+    tx = fx - np.floor(fx) if _is_global_lon(grid) else fx - ix
     ty = fy - iy
     v00 = g[iy, ix]
-    v10 = g[iy, ix + 1]
+    v10 = g[iy, ix1]
     v01 = g[iy + 1, ix]
-    v11 = g[iy + 1, ix + 1]
+    v11 = g[iy + 1, ix1]
     if g.ndim == 3:
         tx = tx[..., None]
         ty = ty[..., None]
@@ -141,9 +155,13 @@ def sample(grid: Grid, lam, phi, interp: str | None = None):
 
 def in_grid(grid: Grid, lam, phi):
     h, w = grid.values.shape[:2]
+    in_phi = ((phi >= grid.lat0)
+              & (phi <= grid.lat0 + (h - 1) * grid.dlat))
+    if _is_global_lon(grid):
+        return in_phi & np.isfinite(np.asarray(lam, dtype=np.float64))
     lam = wrap_lam(grid, lam)
-    return ((lam >= grid.lon0) & (lam <= grid.lon0 + (w - 1) * grid.dlon)
-            & (phi >= grid.lat0) & (phi <= grid.lat0 + (h - 1) * grid.dlat))
+    return (in_phi & (lam >= grid.lon0)
+            & (lam <= grid.lon0 + (w - 1) * grid.dlon))
 
 
 def hgrid_fwd(grid: Grid, lam, phi, interp: str = "bilinear"):

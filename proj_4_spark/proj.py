@@ -131,7 +131,7 @@ INIT_REGISTRY: dict[str, dict] = {}
 
 _DMS_VALUE = re.compile(
     r"^([+-]?)(\d+(?:\.\d+)?)[dD°]"
-    r"(?:(\d+(?:\.\d+)?)(?:'(\d+(?:\.\d+)?)\"?)?)?"
+    r"(?:(\d+(?:\.\d+)?)'?(?:(\d+(?:\.\d+)?)\"?)?)?"
     r"([NSEWnsew])?$")
 
 
@@ -288,6 +288,10 @@ class Operation:
     inverse: bool = False  # +inv on this step
     omit_fwd: bool = False
     omit_inv: bool = False
+    # +geoc: angular edges carry GEOCENTRIC latitude; converted to
+    # geographic in fwd_prepare / back in inv_finalize
+    # (fwd.cpp:80-82 pj_geocentric_latitude)
+    geoc: bool = False
     # CLASSIC input scaling 1/a override: the reference computes P->ra
     # from the USER ellipsoid before a setup may force another a (e.g.
     # krovak forces Bessel, krovak.cpp:287, but ell_set.cpp:618's ra is
@@ -300,6 +304,8 @@ class Operation:
         bad = (np.abs(y) - HALFPI > PJ_EPS_LAT) | (x > 10) | (x < -10) | ~np.isfinite(x) | ~np.isfinite(y)
         err |= bad
         y = np.clip(y, -HALFPI, HALFPI)
+        if self.geoc:
+            y = np.arctan2(np.sin(y), (1.0 - self.ell.es) * np.cos(y))
         if not self.over:
             x = adjlon(x)
         x = (x - self.from_greenwich) - self.lam0
@@ -367,6 +373,9 @@ class Operation:
                 x = x + self.from_greenwich + self.lam0
                 if not self.over:
                     x = adjlon(x)
+                if self.geoc:
+                    y = np.arctan2((1.0 - self.ell.es) * np.sin(y),
+                                   np.cos(y))
             elif self.left == CARTESIAN:
                 x = x * self.fr_meter
                 y = y * self.fr_meter
@@ -400,8 +409,25 @@ def compile_operation(params: dict) -> Operation:
     k0 = float(params.get("k_0", params.get("k", 1.0)))
     if k0 <= 0:
         raise ValueError("k <= 0")
+    def _fnum(v) -> float:
+        """float with the pj_param ratio syntax ('2.0/0.2')."""
+        s_ = str(v)
+        if "/" in s_:
+            num, den = s_.split("/", 1)
+            den_f = float(den)
+            if den_f == 0.0:
+                raise ValueError(f"zero denominator in ratio {s_!r}")
+            return float(num) / den_f
+        return float(v)
+
     units = params.get("units")
-    to_meter = float(params["to_meter"]) if "to_meter" in params else (UNITS[units] if units else 1.0)
+    to_meter = (_fnum(params["to_meter"]) if "to_meter" in params
+                else (UNITS[units] if units else 1.0))
+    vunits = params.get("vunits")
+    # vertical units default to the horizontal ones (init.cpp vto_meter
+    # fallback); fwd scales z by 1/vto on the RADIANS-output edge only
+    vto_meter = (_fnum(params["vto_meter"]) if "vto_meter" in params
+                 else (UNITS[vunits] if vunits else to_meter))
     over = "over" in params
     pm = params.get("pm")
     if pm is None:
@@ -414,6 +440,8 @@ def compile_operation(params: dict) -> Operation:
     op = Operation(
         proj_id=proj_id, params=params, ell=ell, lam0=lam0, phi0=phi0,
         x0=x0, y0=y0, k0=k0, to_meter=to_meter, fr_meter=1.0 / to_meter,
+        vto_meter=vto_meter, vfr_meter=1.0 / vto_meter,
+        geoc="geoc" in params and ell.es != 0.0,
         over=over, from_greenwich=from_greenwich, inverse="inv" in params,
         omit_fwd="omit_fwd" in params, omit_inv="omit_inv" in params,
     )
@@ -2320,6 +2348,21 @@ def _expand_step(st: dict) -> list[dict]:
         for d in steps:
             out.extend(_expand_step(d))
         return out
+    if "geoidgrids" in st and st.get("proj") != "vgridshift":
+        # classic vertical datum emulation (fwd.cpp:104-106: the
+        # attached vgridshift runs FORWARD in fwd_prepare, before the
+        # core operation)
+        spec = str(st["geoidgrids"])
+        core = {k: v for k, v in st.items() if k != "geoidgrids"}
+        vg = {"proj": "vgridshift", "grids": spec}
+        if "inv" in st:
+            steps = [core, invert_step_dict(vg)]
+        else:
+            steps = [vg, core]
+        out = []
+        for d in steps:
+            out.extend(_expand_step(d))
+        return out
     if "nadgrids" in st and st.get("proj") not in ("hgridshift",
                                                    "gridshift"):
         return nadgrids_step_dicts(st)
@@ -2378,6 +2421,10 @@ def compile_projstring(s: str) -> Transform:
                     del ops[i : i + 2]
                     changed = True
                     break
+        if not ops:
+            # a fully-cancelled pipeline is the identity, not an
+            # empty op list (input_units()/output_units() index ops[0])
+            ops = [compile_operation({"proj": "noop"})]
         return Transform(ops=ops, definition=s)
     steps = _expand_step(top)
     if len(steps) > 1:

@@ -33,8 +33,8 @@ _SKIP_COMMON: dict[str, str] = {}
 # file -> (min_ok, max_fail, skip_ops)
 FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "builtins.gie": (2500, 1, {}),
-    "more_builtins.gie": (138, 43, {}),
-    "4D-API_cs2cs-style.gie": (62, 16, {}),
+    "more_builtins.gie": (158, 22, {}),
+    "4D-API_cs2cs-style.gie": (75, 2, {}),
     "DHDN_ETRS89.gie": (60, 0, {}),
     "GDA.gie": (3, 0, {}),
     "adams_hemi.gie": (700, 0, {}),
@@ -83,5 +83,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6555
-    assert tot_fail <= 112
+    assert tot_ok >= 6590
+    assert tot_fail <= 78
