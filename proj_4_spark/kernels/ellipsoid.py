@@ -122,8 +122,25 @@ class Ellipsoid:
         else:
             name = params.get("ellps", "GRS80")
             ell = Ellipsoid.from_name(name)
-            if "es" in params:  # rare override
-                ell = Ellipsoid.from_a_es(ell.a, float(params["es"]))
+            # an explicit shape parameter reshapes the named ellipsoid
+            # around its semimajor axis (ell_set.cpp: +ellps sets the
+            # size, then es/e/rf/f/b override the shape)
+            a = ell.a
+            if "es" in params:
+                ell = Ellipsoid.from_a_es(a, float(params["es"]))
+            elif "e" in params:
+                e = float(params["e"])
+                ell = Ellipsoid.from_a_es(a, e * e)
+            elif "rf" in params:
+                f = 1.0 / float(params["rf"])
+                ell = Ellipsoid.from_a_es(a, 2 * f - f * f)
+            elif "f" in params:
+                f = float(params["f"])
+                ell = Ellipsoid.from_a_es(a, 2 * f - f * f)
+            elif "b" in params:
+                b = float(params["b"])
+                f = (a - b) / a
+                ell = Ellipsoid.from_a_es(a, 2 * f - f * f)
         return _spherify(ell, params)
 
 

@@ -244,15 +244,37 @@ def parse_projstring(s: str) -> list[dict]:
             for k, v in DATUMS[datum].items():
                 d.setdefault(k, v)
     if global_params.get("proj") == "pipeline":
-        # globals (except proj=pipeline) are inherited by each step
-        inherited = {k: v for k, v in global_params.items() if k not in ("proj",)}
+        # globals (except proj=pipeline) are inherited by each step;
+        # "inv" is special: every occurrence TOGGLES the step direction
+        # (pipeline.cpp:516-523 — global +inv plus step +inv = forward)
+        inherited = {k: v for k, v in global_params.items()
+                     if k not in ("proj", "inv")}
+        g_inv = "inv" in global_params
         merged = []
         for st in steps:
             d = dict(inherited)
             d.update(st)
+            if g_inv != ("inv" in st):
+                d["inv"] = True
+            else:
+                d.pop("inv", None)
             merged.append(d)
-        return [{"proj": "pipeline", "_steps": merged, **global_params}]
+        return [{"proj": "pipeline", "_steps": merged,
+                 **{k: v for k, v in global_params.items()
+                    if k != "inv"}}]
     if steps:
+        # a bare leading +step (no +proj=pipeline) is tolerated like
+        # the reference (gie's '+step +proj=latlong' fixtures): treat
+        # as an implicit single-step pipeline
+        if "proj" not in global_params:
+            inherited = dict(global_params)
+            merged = []
+            for st in steps:
+                d = dict(inherited)
+                d.update(st)
+                merged.append(d)
+            return [{"proj": "pipeline", "_steps": merged,
+                     **global_params}]
         raise ValueError("+step outside +proj=pipeline")
     return [global_params]
 
@@ -556,13 +578,22 @@ def compile_operation(params: dict) -> Operation:
         z_out = params.get("z_out")
         fxy = 1.0
         if xy_in or xy_out:
-            fi = factor(xy_in)[0] if xy_in else 1.0
-            fo = factor(xy_out)[0] if xy_out else 1.0
+            fi, ci = factor(xy_in) if xy_in else (1.0, None)
+            fo, co = factor(xy_out) if xy_out else (1.0, None)
+            if ci and co and ci != co:
+                raise ValueError(
+                    f"unitconvert: xy_in={xy_in} and xy_out={xy_out} "
+                    "mix linear and angular units (unitconvert.cpp "
+                    "rejects cross-class conversion)")
             fxy = fi / fo
         fz = 1.0
         if z_in or z_out:
-            fi = factor(z_in)[0] if z_in else 1.0
-            fo = factor(z_out)[0] if z_out else 1.0
+            fi, ci = factor(z_in) if z_in else (1.0, None)
+            fo, co = factor(z_out) if z_out else (1.0, None)
+            if ci and co and ci != co:
+                raise ValueError(
+                    f"unitconvert: z_in={z_in} and z_out={z_out} "
+                    "mix linear and angular units")
             fz = fi / fo
 
         def _uc_fwd(x, y, z, t, fxy=fxy, fz=fz):
@@ -611,7 +642,15 @@ def compile_operation(params: dict) -> Operation:
                 [gp("s31", 0.0), gp("s32", 0.0), gp("s33", 1.0)],
             ]
         )
-        Sinv = np.linalg.inv(S)
+        # the inverse matrix is computed LAZILY: a singular forward
+        # matrix is legal as long as only the forward direction runs
+        # (affine.cpp defers the error to the inverse call; gie's
+        # omit_fwd/omit_inv fixtures rely on this)
+        try:
+            Sinv = np.linalg.inv(S)
+        except np.linalg.LinAlgError:
+            Sinv = None
+        tscale = gp("tscale", 1.0)
 
         def _aff_fwd(x, y, z, t, S=S, off=off):
             return (
@@ -620,7 +659,11 @@ def compile_operation(params: dict) -> Operation:
                 off[2] + S[2, 0] * x + S[2, 1] * y + S[2, 2] * z,
             )
 
-        def _aff_inv(x, y, z, t, S=Sinv, off=off):
+        def _aff_inv(x, y, z, t, S=Sinv, off=off, ts=tscale):
+            if S is None or ts == 0.0:
+                nan = np.full_like(np.asarray(x, dtype=np.float64),
+                                   np.nan)
+                return nan, nan.copy(), nan.copy()
             dx, dy, dz = x - off[0], y - off[1], z - off[2]
             return (
                 S[0, 0] * dx + S[0, 1] * dy + S[0, 2] * dz,

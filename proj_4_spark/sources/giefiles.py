@@ -376,6 +376,27 @@ class GieRunner:
         for ref in _FIXTURE_REF.findall(operation):
             for nm in ref.split(","):
                 self._register_fixture(nm)
+        # +init=FILE:KEY resolves against the reference data dir the
+        # same way grids do (init.cpp:112-230 data-dir lookup)
+        for m in re.finditer(r"init=([A-Za-z0-9_.]+):", operation):
+            fname = m.group(1)
+            if fname.lower() == "epsg":
+                continue
+            from ..proj import INIT_REGISTRY
+
+            if fname in INIT_REGISTRY:
+                continue
+            for d in self.fixture_dirs:
+                p = os.path.join(d, fname)
+                if os.path.isfile(p):
+                    from .initfiles import register_init_file
+
+                    try:
+                        with open(p, errors="replace") as f:
+                            register_init_file(fname, f.read())
+                    except Exception:  # noqa: BLE001
+                        pass
+                    break
         # +datum=NAME may expand to a nadgrids list (datums.cpp) —
         # resolve those grids too so e.g. datum=potsdam finds
         # BETA2007.gsb the way the reference's data-dir lookup does
