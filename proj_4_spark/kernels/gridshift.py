@@ -35,12 +35,17 @@ class Grid:
     # file-declared default interpolation (GeoTIFF
     # interpolation_method; grids.cpp:344-382)
     interp: str = "bilinear"
+    # grid georeferenced in a PROJECTED CRS (gridshift.cpp projected
+    # grids: extents/offsets in metres, no angular wrap)
+    projected: bool = False
 
 
 def _is_global_lon(grid: Grid) -> bool:
     """True when the grid's columns tile the full 360° circle (node 0
     repeats one step past the last column) — sampling then wraps in
     longitude like the reference's fullWorldExtent handling."""
+    if grid.projected:
+        return False
     w = grid.values.shape[1]
     return abs(w * grid.dlon - 2.0 * np.pi) < 1e-9
 
@@ -133,7 +138,10 @@ def wrap_lam(grid: Grid, lam):
     the reference normalizes lookups the same way,
     grids.cpp ExtentAndRes + pj_find_grid longitude adjustment).  A
     ±2π shift is adopted only when it lands the point inside the
-    grid's longitude span; ordinary outside points are unchanged."""
+    grid's longitude span; ordinary outside points are unchanged.
+    Projected-CRS grids never wrap."""
+    if grid.projected:
+        return np.asarray(lam, dtype=np.float64)
     h, w = grid.values.shape[:2]
     lon_max = grid.lon0 + (w - 1) * grid.dlon
     lam = np.asarray(lam, dtype=np.float64)
@@ -191,6 +199,24 @@ def hgrid_inv(grid: Grid, lam, phi, interp: str = "bilinear"):
         idx = np.flatnonzero(active)
         active[idx[done]] = False
     return cl, cp
+
+
+def hgrid_sample(g, lam, phi):
+    """Raw (dlam, dphi) radian shift values + containment over a Grid
+    or GridSet (used by the legacy deformation +xy_grids path)."""
+    if isinstance(g, GridSet):
+        sel = _select(g, lam, phi)
+        dl = np.zeros(np.shape(lam))
+        dp = np.zeros(np.shape(lam))
+        for k, gg in enumerate(g.grids):
+            mk = sel == k
+            if mk.any():
+                dlk, dpk, _ = hgrid_sample(gg, lam[mk], phi[mk])
+                dl[mk] = dlk
+                dp[mk] = dpk
+        return dl, dp, sel >= 0
+    d = sample(g, lam, phi)
+    return d[..., 0], d[..., 1], in_grid(g, lam, phi)
 
 
 def vgrid_sample(g, lam, phi):
@@ -335,6 +361,63 @@ class Tin:
     vertices: np.ndarray
     triangles: np.ndarray
     has_z: bool
+    # outside-hull handling (tinshift_impl.hpp:96-112, format 1.1):
+    # none | nearest_side | nearest_centroid
+    fallback: str = "none"
+
+
+def _tin_bary(tin: Tin, k, x, y):
+    """Barycentric weights of (x, y) in triangle k (may be negative —
+    the fallback path EXTRAPOLATES the nearest triangle's plane)."""
+    V, T = tin.vertices, tin.triangles
+    i0, i1, i2 = T[k, 0], T[k, 1], T[k, 2]
+    x0, y0 = V[i0, 0], V[i0, 1]
+    x1, y1 = V[i1, 0], V[i1, 1]
+    x2, y2 = V[i2, 0], V[i2, 1]
+    den = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+    a = ((y1 - y2) * (x - x2) + (x2 - x1) * (y - y2)) / den
+    b = ((y2 - y0) * (x - x2) + (x0 - x2) * (y - y2)) / den
+    return a, b, 1.0 - a - b
+
+
+def _seg_d2(x, y, x1, y1, x2, y2):
+    """Squared point-segment distance (tinshift_impl.hpp
+    distance_point_segment)."""
+    dx, dy = x2 - x1, y2 - y1
+    den = dx * dx + dy * dy
+    if den == 0.0:
+        return (x - x1) ** 2 + (y - y1) ** 2
+    t = np.clip(((x - x1) * dx + (y - y1) * dy) / den, 0.0, 1.0)
+    return (x - x1 - t * dx) ** 2 + (y - y1 - t * dy) ** 2
+
+
+def _tin_fallback(tin: Tin, x, y):
+    """Nearest triangle per the file's fallback strategy
+    (tinshift_impl.hpp:496-570): per-side distance for nearest_side,
+    centroid distance for nearest_centroid; evaluation then uses that
+    triangle's (extrapolated) barycentric weights."""
+    V, T = tin.vertices, tin.triangles
+    best = np.full(x.shape, np.inf)
+    kbest = np.zeros(x.shape, dtype=np.int64)
+    for k in range(len(T)):
+        i0, i1, i2 = T[k]
+        x0, y0 = V[i0, 0], V[i0, 1]
+        x1, y1 = V[i1, 0], V[i1, 1]
+        x2, y2 = V[i2, 0], V[i2, 1]
+        if tin.fallback == "nearest_side":
+            d2 = np.minimum(
+                _seg_d2(x, y, x0, y0, x1, y1),
+                np.minimum(_seg_d2(x, y, x1, y1, x2, y2),
+                           _seg_d2(x, y, x2, y2, x0, y0)))
+        else:
+            cx = (x0 + x1 + x2) / 3.0
+            cy = (y0 + y1 + y2) / 3.0
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+        take = d2 < best
+        best = np.where(take, d2, best)
+        kbest = np.where(take, k, kbest)
+    a, b, c = _tin_bary(tin, kbest, x, y)
+    return kbest, a, b, c
 
 
 def tin_locate(tin: Tin, x, y):
@@ -385,6 +468,15 @@ def tin_fwd(tin: Tin, x, y, z):
     else:
         zo = z
     bad = idx < 0
+    if tin.fallback != "none" and bad.any():
+        kf, a, b, c = _tin_fallback(tin, x[bad], y[bad])
+        i0, i1, i2 = T[kf, 0], T[kf, 1], T[kf, 2]
+        xo[bad] = a * V[i0, 2] + b * V[i1, 2] + c * V[i2, 2]
+        yo[bad] = a * V[i0, 3] + b * V[i1, 3] + c * V[i2, 3]
+        if tin.has_z:
+            zo[bad] = z[bad] + (a * V[i0, 4] + b * V[i1, 4]
+                                + c * V[i2, 4])
+        bad = np.zeros_like(bad)
     return (np.where(bad, np.nan, xo), np.where(bad, np.nan, yo),
             np.where(bad, np.nan, zo))
 
@@ -396,7 +488,8 @@ def tin_inv(tin: Tin, x, y, z):
         tin.vertices[:, 2], tin.vertices[:, 3],
         tin.vertices[:, 0], tin.vertices[:, 1],
         -tin.vertices[:, 4] if tin.has_z else np.zeros(len(tin.vertices)),
-    ]), triangles=tin.triangles, has_z=tin.has_z)
+    ]), triangles=tin.triangles, has_z=tin.has_z,
+        fallback=tin.fallback)
     return tin_fwd(inv_tin, x, y, z)
 
 
@@ -417,6 +510,9 @@ class UnifiedGrid:
     # 3-channel geocentric (dX,dY,dZ metres) component, the
     # GEOCENTRIC_TRANSLATION GeoTIFF type consumed by xyzgridshift
     geocentric: Grid | None = None
+    # constant additive (x, y) offset for projected-CRS grids
+    # (gridshift.cpp m_offsetX/m_offsetY)
+    offset_xy: tuple = (0.0, 0.0)
 
     def extent_grid(self):
         g = self.hgrid if self.hgrid is not None else self.vgrid
@@ -446,12 +542,12 @@ def unified_fwd(entries, lam, phi, z, no_z: bool = False,
         la, ph = lam[m], phi[m]
         if isinstance(ug.hgrid, GridSet):
             sl, sp = hgridset_fwd(ug.hgrid, la, ph)
-            out_l[m] = sl
-            out_p[m] = sp
+            out_l[m] = sl + ug.offset_xy[0]
+            out_p[m] = sp + ug.offset_xy[1]
         elif ug.hgrid is not None:
             sl, sp = hgrid_fwd(ug.hgrid, la, ph, method)
-            out_l[m] = sl
-            out_p[m] = sp
+            out_l[m] = sl + ug.offset_xy[0]
+            out_p[m] = sp + ug.offset_xy[1]
         if no_z:
             continue
         if isinstance(ug.hgrid, Grid) and ug.hgrid.values.ndim == 3 \
@@ -483,6 +579,13 @@ def unified_inv(entries, lam, phi, z, no_z: bool = False,
     subtracted using the same (final) shift sample."""
     lam = np.asarray(lam, dtype=np.float64)
     phi = np.asarray(phi, dtype=np.float64)
+    # the op-level constant offset is subtracted BEFORE the iteration
+    # (gridshift.cpp:860-870 pj_gridshift_reverse_3d)
+    for ug in entries:
+        if ug.offset_xy != (0.0, 0.0):
+            lam = lam - ug.offset_xy[0]
+            phi = phi - ug.offset_xy[1]
+            break
     sl, sp, zshift = _unified_shift(entries, lam, phi, no_z=no_z,
                                     interp=interp)
     cl = lam - sl
@@ -580,8 +683,17 @@ def tin_from_json(text: str) -> Tin:
     T = np.asarray(j["triangles"], dtype=np.int64)
     T = T[:, [tidx["idx_vertex1"], tidx["idx_vertex2"],
               tidx["idx_vertex3"]]]
+    fallback = "none"
+    if "fallback_strategy" in j:
+        if str(j.get("format_version")) != "1.1":
+            raise ValueError(
+                "tinshift: fallback_strategy needs format_version 1.1")
+        fallback = str(j["fallback_strategy"])
+        if fallback not in ("none", "nearest_side", "nearest_centroid"):
+            raise ValueError(
+                f"tinshift: invalid fallback_strategy {fallback!r}")
     return Tin(vertices=np.column_stack([sx, sy, tx, ty, dz]),
-               triangles=T, has_z=vert)
+               triangles=T, has_z=vert, fallback=fallback)
 
 
 def synthetic_tin() -> Tin:

@@ -863,7 +863,22 @@ def compile_operation(params: dict) -> Operation:
             raise FileNotFoundError(
                 f"gridshift: no grid of '{name}' in GRID_REGISTRY")
         no_z = "no_z_transform" in params
-        op.left, op.right = RADIANS, RADIANS
+
+        def _entry_projected(e):
+            for g in (e.hgrid, e.vgrid):
+                if isinstance(g, k_grid.Grid) and g.projected:
+                    return True
+                if isinstance(g, k_grid.GridSet) and any(
+                        getattr(m, "projected", False) for m in g.grids):
+                    return True
+            return False
+
+        if any(_entry_projected(e) for e in entries):
+            # projected-CRS grids: coordinates pass through in metres
+            # (no angular wrap/clip on the edges)
+            op.left, op.right = WHATEVER, WHATEVER
+        else:
+            op.left, op.right = RADIANS, RADIANS
         op.fwd_k = lambda x, y, z, t: k_grid.unified_fwd(
             entries, x, y, z, no_z=no_z, interp=interp)
         op.inv_k = lambda x, y, z, t: k_grid.unified_inv(
@@ -874,12 +889,33 @@ def compile_operation(params: dict) -> Operation:
         from .kernels import gridshift as k_grid
 
         name = params.get("grids")
-        if not name:
-            raise ValueError("deformation: missing +grids")
-        grid = GRID_REGISTRY.get(str(name))
-        if grid is None:
-            raise FileNotFoundError(
-                f"deformation: grid '{name}' not in GRID_REGISTRY")
+        xy_name = params.get("xy_grids")
+        z_name = params.get("z_grids")
+        if not name and not (xy_name and z_name):
+            raise ValueError("deformation: either +grids or (+xy_grids "
+                             "and +z_grids) should be specified "
+                             "(deformation.cpp:360-366)")
+        grid = hgrid = vgrid = None
+        if name:
+            grid = GRID_REGISTRY.get(str(name))
+            if isinstance(grid, tuple):
+                grid = next((g for g in grid
+                             if getattr(g, "values", None) is not None
+                             and g.values.ndim == 3
+                             and g.values.shape[-1] >= 3), None)
+            if grid is None:
+                raise FileNotFoundError(
+                    f"deformation: grid '{name}' not in GRID_REGISTRY")
+        else:
+            def _res(nm, what):
+                g = GRID_REGISTRY.get(str(nm))
+                if g is None:
+                    raise FileNotFoundError(
+                        f"deformation: {what} '{nm}' not in GRID_REGISTRY")
+                return g
+
+            hgrid = _res(xy_name, "xy_grids")
+            vgrid = _res(z_name, "z_grids")
         dt_param = params.get("dt")
         t_epoch = float(params.get("t_epoch", 0.0))
         if dt_param is None and "t_epoch" not in params:
@@ -890,11 +926,24 @@ def compile_operation(params: dict) -> Operation:
 
         def _shift(X, Y, Z):
             la, ph, _ = k_cart.inv(X, Y, Z, cartC)
-            d = k_grid._bilinear(grid, la, ph)
-            ok = k_grid.in_grid(grid, la, ph)
-            ve = np.where(ok, d[..., 0], np.nan) / 1000.0
-            vn = np.where(ok, d[..., 1], np.nan) / 1000.0
-            vu = np.where(ok, d[..., 2], np.nan) / 1000.0
+            if grid is not None:
+                d = k_grid._bilinear(grid, la, ph)
+                ok = k_grid.in_grid(grid, la, ph)
+                ve = np.where(ok, d[..., 0], np.nan) / 1000.0
+                vn = np.where(ok, d[..., 1], np.nan) / 1000.0
+                vu = np.where(ok, d[..., 2], np.nan) / 1000.0
+            else:
+                # legacy +xy_grids/+z_grids: the horizontal velocities
+                # come out of pj_hgrid_value as RADIAN shifts and the
+                # union alias makes them mm/yr verbatim
+                # (deformation.cpp:170-182) — a documented quirk kept
+                # bit-faithfully
+                dl, dp, okh = k_grid.hgrid_sample(hgrid, la, ph)
+                u, okv = k_grid.vgrid_sample(vgrid, la, ph)
+                ok = okh & okv
+                ve = np.where(ok, dl, np.nan) / 1000.0
+                vn = np.where(ok, dp, np.nan) / 1000.0
+                vu = np.where(ok, u, np.nan) / 1000.0
             sp, cp = np.sin(ph), np.cos(ph)
             sl, cl = np.sin(la), np.cos(la)
             return (-sp * cl * vn - sl * ve + cp * cl * vu,
@@ -904,7 +953,10 @@ def compile_operation(params: dict) -> Operation:
         def _dt_of(t):
             if dt_fixed is not None:
                 return dt_fixed
-            return np.asarray(t, dtype=np.float64) - t_epoch
+            t = np.asarray(t, dtype=np.float64)
+            # no observation time with +t_epoch -> missing-time error
+            # (deformation.cpp PROJ_ERR_COORD_TRANSFM_MISSING_TIME)
+            return np.where(np.isfinite(t), t - t_epoch, np.nan)
 
         def _def_fwd(x, y, z, t):
             dt = _dt_of(t)

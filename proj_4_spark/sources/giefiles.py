@@ -67,9 +67,9 @@ _DMS_TOKEN = re.compile(
 def parse_value(tok: str) -> float | None:
     """One coordinate token: plain float with optional '_' thousands
     separators, HUGE_VAL, or DMS (55d30'N, -81d00'00.000)."""
-    tok = tok.replace("_", "")
     if tok.startswith("HUGE_VAL"):
         return float("inf")
+    tok = tok.replace("_", "")
     try:
         return float(tok)
     except ValueError:
@@ -491,7 +491,7 @@ class GieRunner:
             if c.ignore:
                 return "skip", f"transform: {e}"
             return "fail", f"transform raised: {e}"
-        bad = any(not math.isfinite(v) for v in out[:2])
+        bad = any(not math.isfinite(v) for v in out[:3])
         if c.expect_failure:
             return ("ok", "") if bad else (
                 "fail", f"expected failure, got {out[:2]}")

@@ -548,7 +548,10 @@ def parse_geotiff(data: bytes):
 
         nodata = tv(42113)
         if isinstance(nodata, str) and nodata.strip():
-            vals = np.where(vals == float(nodata), np.nan, vals)
+            # float32-encoded grids store an f32-rounded nodata value
+            nd = float(nodata)
+            mask = (vals == nd) | (vals == float(np.float32(nd)))
+            vals = np.where(mask, np.nan, vals)
 
         meta = _parse_gdal_meta(tv(42112, "") or "")
         gtype = meta.get(("TYPE", None), "")
@@ -581,7 +584,8 @@ def parse_geotiff(data: bytes):
                 return DEG_TO_RAD
             if u == "radian":
                 return 1.0
-            if u in ("metre", "metres per year", "unity"):
+            if u in ("metre", "metres per year", "unity",
+                     "millimetres per year"):
                 return 1.0
             raise ValueError(f"geotiff: unsupported UNITTYPE {u!r}")
 
@@ -601,6 +605,27 @@ def parse_geotiff(data: bytes):
                 "name": name, "parent": parent,
                 "bands": bands,
                 "geo": (lon_ul, lat0, dlon, dlat),
+            })
+            continue
+        if gtype == "HORIZONTAL_OFFSET" and "easting_offset" in desc:
+            # grid georeferenced in a PROJECTED CRS: channels are
+            # metre offsets, georeferencing stays in metres; a
+            # constant_offset is kept SEPARATE (gridshift.cpp
+            # m_offsetX/Y — added after the sampled shift on fwd,
+            # subtracted before the inverse iteration)
+            i_e = desc.get("easting_offset", 0)
+            i_n = desc.get("northing_offset", 1)
+            gvals = np.stack([vals[:, :, i_e], vals[:, :, i_n]], axis=-1)
+            out.append({
+                "type": gtype, "interp": interp,
+                "name": name, "parent": parent,
+                "offset_xy": (float(meta.get(("constant_offset", i_e),
+                                             0.0)),
+                              float(meta.get(("constant_offset", i_n),
+                                             0.0))),
+                "grid": Grid(lon0=lon_ul, lat0=lat0, dlon=dlon,
+                             dlat=dlat, values=gvals, interp=interp,
+                             projected=True),
             })
             continue
         if gtype in ("HORIZONTAL_OFFSET", "GEOGRAPHIC_3D_OFFSET"):
@@ -684,17 +709,45 @@ def geotiff_unified(data: bytes):
 
     entries = parse_geotiff(data)
     vgrids = [e for e in entries if e["type"] == "ELLIPSOIDAL_HEIGHT_OFFSET"]
-    out = []
+    # multiple horizontal IFDs in ONE file are a parent/subgrid
+    # hierarchy: finest containing subgrid wins (grids.cpp:2332-2380)
+    hor = [e for e in entries if e["type"] == "HORIZONTAL_OFFSET"]
+    if len(hor) > 1:
+        v = vgrids[0]["grid"] if vgrids else None
+        hset = GridSet(grids=tuple(e["grid"] for e in hor),
+                       policy="finest")
+        rest = [e for e in entries if e["type"] not in
+                ("HORIZONTAL_OFFSET", "ELLIPSOIDAL_HEIGHT_OFFSET")]
+        out = [UnifiedGrid(hgrid=hset, vgrid=v, interp=hor[0]["interp"])]
+        entries = rest
+    else:
+        out = []
     for e in entries:
         if e["type"] in ("HORIZONTAL_OFFSET",):
             v = vgrids[0]["grid"] if vgrids else None
             out.append(UnifiedGrid(hgrid=e["grid"], vgrid=v,
-                                   interp=e["interp"]))
+                                   interp=e["interp"],
+                                   offset_xy=e.get("offset_xy",
+                                                   (0.0, 0.0))))
         elif e["type"] == "GEOGRAPHIC_3D_OFFSET":
             out.append(UnifiedGrid(hgrid=e["grid"], vgrid=None,
                                    interp=e["interp"]))
         elif e["type"] == "ELLIPSOIDAL_HEIGHT_OFFSET":
             continue
+        elif e["type"] in ("VELOCITY", "DEFORMATION_MODEL") \
+                and "bands" in e:
+            b = e["bands"]
+            try:
+                enu = np.stack([b["east_velocity"], b["north_velocity"],
+                                b["up_velocity"]], axis=-1)
+            except KeyError:
+                continue
+            lon_ul, lat0, dlon, dlat = e["geo"]
+            out.append(Grid(lon0=lon_ul * DEG_TO_RAD,
+                            lat0=lat0 * DEG_TO_RAD,
+                            dlon=dlon * DEG_TO_RAD,
+                            dlat=dlat * DEG_TO_RAD,
+                            values=enu, interp=e["interp"]))
         elif e["type"] == "GEOCENTRIC_TRANSLATION":
             out.append(UnifiedGrid(hgrid=None, vgrid=None,
                                    interp=e["interp"],
