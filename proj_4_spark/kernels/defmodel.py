@@ -562,8 +562,12 @@ class Evaluator:
             n_hi = np.maximum(np.ceil((x - maxx - eps) / TWO_PI), 0.0)
             x = x - n_hi * TWO_PI
         margin = 0.1 * DEG2RAD if geo else 10000.0
-        ok, x, y = _bbox_check(x, y, for_inverse, minx, miny, maxx, maxy,
-                               eps, margin)
+        # xq/yq are the (possibly edge-clamped) SAMPLING coords; the
+        # output base keeps the caller's coordinates — clamping must
+        # not leak into x_out during the inverse iteration
+        # (defmodel_impl.hpp bboxCheck only redirects the grid lookup)
+        ok, xq, yq = _bbox_check(x, y, for_inverse, minx, miny, maxx,
+                                 maxy, eps, margin)
         ok = ok & (t >= m.time_first) & (t <= m.time_last)
 
         hdeg = m.horizontal_offset_unit == "degree"
@@ -577,7 +581,7 @@ class Evaluator:
             if comp.displacement_type == "none":
                 continue
             cminx, cminy, cmaxx, cmaxy = comp.extent.normalized(geo)
-            cok, xg, yg = _bbox_check(x, y, for_inverse, cminx, cminy,
+            cok, xg, yg = _bbox_check(xq, yq, for_inverse, cminx, cminy,
                                       cmaxx, cmaxy, eps, 0.0)
             use = ok & cok
             if not use.any():

@@ -1013,10 +1013,28 @@ def compile_operation(params: dict) -> Operation:
                 raise FileNotFoundError(
                     f"defmodel: cannot open {comp.filename}")
             grids[comp.filename] = gset
+        # the definition CRS decides the position frame: geographic
+        # models run on the radian edges, projected models take metres
+        # verbatim (defmodel_impl.hpp isGeographicCRS check)
+        is_geo = True
+        try:
+            from .crs import projinfo as _projinfo
+
+            is_geo = _projinfo(mf.definition_crs)["kind"] != "projected"
+        except Exception:
+            # unknown authority code: fall back to the extent
+            # magnitude (bbox degrees vs metres)
+            bb = mf.extent.bbox if hasattr(mf.extent, "bbox") else None
+            if bb and max(abs(v) for v in bb) > 360.0:
+                is_geo = False
         ev = k_dm.Evaluator(mf, grids, ell.a,
-                            ell.a * float(np.sqrt(1.0 - ell.es)))
+                            ell.a * float(np.sqrt(1.0 - ell.es)),
+                            is_geographic=is_geo)
         op.consts = ev
-        op.left, op.right = RADIANS, RADIANS
+        if is_geo:
+            op.left, op.right = RADIANS, RADIANS
+        else:
+            op.left, op.right = WHATEVER, WHATEVER
         op.fwd_k = lambda x, y, z, t: ev.forward(x, y, z, t)
         op.inv_k = lambda x, y, z, t: ev.inverse(x, y, z, t)
     elif proj_id == "tinshift":

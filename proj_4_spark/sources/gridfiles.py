@@ -530,10 +530,13 @@ def parse_geotiff(data: bytes):
         # node centers sit half a pixel inside (grids.cpp:713-724)
         gk = tv(34735)
         raster_type = 2  # PixelIsPoint unless stated
+        model_type = 2   # geographic unless stated (GTModelTypeGeoKey)
         if gk:
             for ki in range(4, len(gk) - 3, 4):
                 if int(gk[ki]) == 1025:
                     raster_type = int(gk[ki + 3])
+                elif int(gk[ki]) == 1024:
+                    model_type = int(gk[ki + 3])
         if raster_type == 1:
             lon_ul += dlon / 2.0
             lat_ul += dlat_signed / 2.0
@@ -605,6 +608,7 @@ def parse_geotiff(data: bytes):
                 "name": name, "parent": parent,
                 "bands": bands,
                 "geo": (lon_ul, lat0, dlon, dlat),
+                "projected": model_type == 1,
             })
             continue
         if gtype == "HORIZONTAL_OFFSET" and "easting_offset" in desc:
@@ -680,6 +684,9 @@ def defmodel_gridset_from_geotiff(data: bytes):
         if bands is None:
             continue
         lon_ul, lat0, dlon, dlat = e["geo"]
+        # projected-CRS model grids keep metre georeferencing
+        # (defmodel_impl.hpp: positions in the definition CRS verbatim)
+        fac = 1.0 if e.get("projected") else DEG_TO_RAD
 
         def band(*names):
             for nm in names:
@@ -688,8 +695,8 @@ def defmodel_gridset_from_geotiff(data: bytes):
             return None
 
         grids.append(k_dm.DefGrid(
-            minx=lon_ul * DEG_TO_RAD, miny=lat0 * DEG_TO_RAD,
-            resx=dlon * DEG_TO_RAD, resy=dlat * DEG_TO_RAD,
+            minx=lon_ul * fac, miny=lat0 * fac,
+            resx=dlon * fac, resy=dlat * fac,
             e_or_lon=band("east_offset", "east_velocity"),
             n_or_lat=band("north_offset", "north_velocity"),
             z=band("vertical_offset", "vertical_velocity",

@@ -41,7 +41,7 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "adams_ws1.gie": (700, 0, {}),
     "adams_ws2.gie": (715, 3, {}),
     "axisswap.gie": (26, 1, {}),
-    "defmodel.gie": (24, 10, {}),
+    "defmodel.gie": (34, 0, {}),
     "deformation.gie": (42, 1, {}),
     "ellipsoid.gie": (34, 2, {}),
     "geotiff_grids.gie": (50, 0, {}),
@@ -83,5 +83,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6630
-    assert tot_fail <= 36
+    assert tot_ok >= 6640
+    assert tot_fail <= 26
