@@ -565,6 +565,51 @@ def eqearth_fwd(lam, phi, C: EqearthConsts):
     return x * C.rqda, y * C.rqda
 
 
+# eqearth MAX_Y: y(psi = M*pi/2... ) — the reference clamps at the
+# pole ordinate A1*psi + ... evaluated at psi_max = asin(M)
+_EE_PSI_MAX = np.arcsin(_EE_M)
+_EE_MAX_Y = float(_EE_PSI_MAX * (_EE_A1 + _EE_A2 * _EE_PSI_MAX ** 2
+                  + _EE_PSI_MAX ** 6 * (_EE_A3
+                                        + _EE_A4 * _EE_PSI_MAX ** 2)))
+
+
+def eqearth_inv(x, y, C: EqearthConsts, max_iter: int = 12,
+                eps: float = 1e-9):
+    """Equal Earth inverse (eqearth.cpp:77-140): Newton on the y
+    polynomial with the MAX_Y pole clamp, then psi -> authalic ->
+    geographic latitude."""
+    from .misc_proj import _authlat, _authset
+
+    x = np.asarray(x, dtype=np.float64) / C.rqda
+    y = np.asarray(y, dtype=np.float64) / C.rqda
+    y = np.clip(y, -_EE_MAX_Y, _EE_MAX_Y)
+    yc = y.copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(max_iter):
+            y2 = yc * yc
+            y6 = y2 * y2 * y2
+            f = yc * (_EE_A1 + _EE_A2 * y2
+                      + y6 * (_EE_A3 + _EE_A4 * y2)) - y
+            fder = (_EE_A1 + 3 * _EE_A2 * y2
+                    + y6 * (7 * _EE_A3 + 9 * _EE_A4 * y2))
+            step = f / fder
+            yc = yc - step
+            if np.all(np.isnan(step) | (np.abs(step) < eps)):
+                break
+        y2 = yc * yc
+        y6 = y2 * y2 * y2
+        lam = (_EE_M * x * (_EE_A1 + 3 * _EE_A2 * y2
+                            + y6 * (7 * _EE_A3 + 9 * _EE_A4 * y2))
+               / np.cos(yc))
+        # exactly at the pole cos(yc)->cos(psi_max) != 0, stays finite
+        beta = np.arcsin(np.clip(np.sin(yc) / _EE_M, -1.0, 1.0))
+    if C.es != 0.0:
+        phi = _authlat(beta, _authset(C.es))
+    else:
+        phi = beta
+    return lam, phi
+
+
 # --------------------------------------------------------- natearth
 
 _NE_A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)

@@ -522,7 +522,7 @@ class UnifiedGrid:
 
 
 def unified_fwd(entries, lam, phi, z, no_z: bool = False,
-                interp: str | None = None):
+                interp: str | None = None, include_offset: bool = True):
     """Forward unified grid shift over an ORDERED list of UnifiedGrid
     entries: per point, the first entry whose extent contains it wins
     (gridshift.cpp grid iteration); horizontal shift then height
@@ -540,14 +540,15 @@ def unified_fwd(entries, lam, phi, z, no_z: bool = False,
         remaining &= ~m
         method = interp or ug.interp
         la, ph = lam[m], phi[m]
+        offx, offy = ug.offset_xy if include_offset else (0.0, 0.0)
         if isinstance(ug.hgrid, GridSet):
             sl, sp = hgridset_fwd(ug.hgrid, la, ph)
-            out_l[m] = sl + ug.offset_xy[0]
-            out_p[m] = sp + ug.offset_xy[1]
+            out_l[m] = sl + offx
+            out_p[m] = sp + offy
         elif ug.hgrid is not None:
             sl, sp = hgrid_fwd(ug.hgrid, la, ph, method)
-            out_l[m] = sl + ug.offset_xy[0]
-            out_p[m] = sp + ug.offset_xy[1]
+            out_l[m] = sl + offx
+            out_p[m] = sp + offy
         if no_z:
             continue
         if isinstance(ug.hgrid, Grid) and ug.hgrid.values.ndim == 3 \
@@ -609,7 +610,8 @@ def unified_inv(entries, lam, phi, z, no_z: bool = False,
 def _unified_shift(entries, lam, phi, no_z, interp):
     """(dlam, dphi, dz) of the first containing entry per point."""
     fl, fp, fz = unified_fwd(entries, lam, phi, np.zeros(np.shape(lam)),
-                             no_z=no_z, interp=interp)
+                             no_z=no_z, interp=interp,
+                             include_offset=False)
     return fl - lam, fp - phi, fz
 
 

@@ -495,11 +495,35 @@ def compile_operation(params: dict) -> Operation:
         op.fwd_k = lambda x, y, z, t: k_cart.fwd(x, y, z, C)
         op.inv_k = lambda x, y, z, t: k_cart.inv(x, y, z, C)
     elif proj_id == "helmert":
-        C = k_helmert.setup(params)
-        op.consts = C
-        op.left, op.right = CARTESIAN, CARTESIAN
-        op.fwd_k = lambda x, y, z, t: k_helmert.fwd(x, y, z, C, t)
-        op.inv_k = lambda x, y, z, t: k_helmert.inv(x, y, z, C, t)
+        if "theta" in params:
+            # 4-parameter 2D helmert (helmert.cpp:360-435 fourparam
+            # path): theta arc-seconds, s is a PLAIN scale multiplier
+            # (default 1), planar rotation, z untouched
+            theta = float(params["theta"]) * DEG_TO_RAD / 3600.0
+            sc = float(params.get("s", 1.0))
+            if sc == 0.0 or sc <= -1.0e6:
+                raise ValueError("helmert: invalid value for s.")
+            hx = float(params.get("x", 0.0))
+            hy = float(params.get("y", 0.0))
+            cr, sr = math.cos(theta) * sc, math.sin(theta) * sc
+            cri, sri = math.cos(theta) / sc, math.sin(theta) / sc
+
+            def _h2_fwd(x, y, z, t):
+                return cr * x + sr * y + hx, -sr * x + cr * y + hy, z
+
+            def _h2_inv(x, y, z, t):
+                dx, dy = x - hx, y - hy
+                return cri * dx - sri * dy, sri * dx + cri * dy, z
+
+            op.left, op.right = WHATEVER, WHATEVER
+            op.fwd_k = _h2_fwd
+            op.inv_k = _h2_inv
+        else:
+            C = k_helmert.setup(params)
+            op.consts = C
+            op.left, op.right = CARTESIAN, CARTESIAN
+            op.fwd_k = lambda x, y, z, t: k_helmert.fwd(x, y, z, C, t)
+            op.inv_k = lambda x, y, z, t: k_helmert.inv(x, y, z, C, t)
     elif proj_id in ("latlong", "longlat", "latlon", "lonlat"):
         op.left, op.right = RADIANS, RADIANS
         op.lam0 = 0.0  # identity marker op; src/projections/latlong.cpp
@@ -1373,7 +1397,7 @@ def _mk_eqearth(op, params, ell, k0, phi0):
     C = A.eqearth_setup(ell)
     op.consts = C
     op.fwd_k = lambda x, y, z, t: (*A.eqearth_fwd(x, y, C), z)
-    op.inv_k = None
+    op.inv_k = lambda x, y, z, t: (*A.eqearth_inv(x, y, C), z)
 
 
 def _mk_natearth(op, params, ell, k0, phi0):

@@ -33,7 +33,7 @@ _SKIP_COMMON: dict[str, str] = {}
 # file -> (min_ok, max_fail, skip_ops)
 FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "builtins.gie": (2500, 1, {}),
-    "more_builtins.gie": (173, 7, {}),
+    "more_builtins.gie": (178, 2, {}),
     "4D-API_cs2cs-style.gie": (75, 2, {}),
     "DHDN_ETRS89.gie": (60, 0, {}),
     "GDA.gie": (3, 0, {}),
@@ -45,7 +45,7 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "deformation.gie": (42, 1, {}),
     "ellipsoid.gie": (34, 2, {}),
     "geotiff_grids.gie": (50, 0, {}),
-    "gridshift.gie": (57, 2, {}),
+    "gridshift.gie": (59, 0, {}),
     "guyou.gie": (700, 0, {}),
     "nkg.gie": (0, 33, {
         "urn:ogc:def:coordinateOperation:NKG":
@@ -83,5 +83,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6640
-    assert tot_fail <= 26
+    assert tot_ok >= 6650
+    assert tot_fail <= 19
