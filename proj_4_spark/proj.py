@@ -378,7 +378,11 @@ class Operation:
                 x, y, err = self._prepare_angular(x, y, err)
             elif self.left == CARTESIAN:
                 x, y, z = self._prepare_in(x, y, z, self.left)
-            x, y, z = self.fwd_k(x, y, z, t)
+            res = self.fwd_k(x, y, z, t)
+            if len(res) == 4:
+                x, y, z, t = res
+            else:
+                x, y, z = res
             if self.t_fwd is not None:
                 t = self.t_fwd(t)
             x, y, z = self._finalize_out(x, y, z, self.right)
@@ -390,7 +394,11 @@ class Operation:
                 z = self.vto_meter * z - self.z0
             if self.t_inv is not None:
                 t = self.t_inv(t)
-            x, y, z = self.inv_k(x, y, z, t)
+            res = self.inv_k(x, y, z, t)
+            if len(res) == 4:
+                x, y, z, t = res
+            else:
+                x, y, z = res
             if self.left == RADIANS:
                 x = x + self.from_greenwich + self.lam0
                 if not self.over:
@@ -564,10 +572,17 @@ def compile_operation(params: dict) -> Operation:
             idx.append(i)
             sign.append(1.0)
 
-        def _swap(x, y, z, t, idx=tuple(idx), sign=tuple(sign)):
+        # a spec touching the time channel returns 4 values; the
+        # apply() wrapper accepts either arity (axisswap.cpp is 4D)
+        four = any(i == 3 for i in idx[:3]) or idx[3] != 3 \
+            or sign[3] != 1.0
+
+        def _swap(x, y, z, t, idx=tuple(idx), sign=tuple(sign),
+                  four=four):
             chans = [x, y, z, t]
-            out = [sign[i] * chans[idx[i]] for i in range(3)]
-            return out[0], out[1], out[2]
+            out = [sign[i] * chans[idx[i]] for i in range(4 if four
+                                                          else 3)]
+            return tuple(out)
 
         op.left, op.right = WHATEVER, WHATEVER
         op.fwd_k = _swap
@@ -578,10 +593,12 @@ def compile_operation(params: dict) -> Operation:
             inv_idx[idx[i]] = i
             inv_sign[idx[i]] = sign[i]
 
-        def _unswap(x, y, z, t, idx=tuple(inv_idx), sign=tuple(inv_sign)):
+        def _unswap(x, y, z, t, idx=tuple(inv_idx),
+                    sign=tuple(inv_sign), four=four):
             chans = [x, y, z, t]
-            out = [sign[i] * chans[idx[i]] for i in range(3)]
-            return out[0], out[1], out[2]
+            out = [sign[i] * chans[idx[i]] for i in range(4 if four
+                                                          else 3)]
+            return tuple(out)
 
         op.inv_k = _unswap
     elif proj_id == "unitconvert":

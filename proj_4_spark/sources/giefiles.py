@@ -173,6 +173,11 @@ def _command_lines(path: str):
     inside = not tagged
     for i, raw in enumerate(text.splitlines(), 1):
         line = raw.strip()
+        # inline comments are stripped BEFORE continuation folding
+        # ('+step +proj=latlon \\ # dummy step' keeps folding the op,
+        # gie.cpp comment handling)
+        if "#" in line:
+            line = line.split("#", 1)[0].strip()
         if line in ("<gie>", "<gie-strict>"):
             inside = True
         elif line in ("</gie>", "</gie-strict>"):
@@ -546,6 +551,9 @@ class GieRunner:
         except Exception as e:  # noqa: BLE001
             return "fail", f"roundtrip raised: {e}"
         end = (float(x[0]), float(y[0]), float(z[0]), float(t[0]))
+        if all(math.isnan(v) for v in org[:2]) \
+                and all(math.isnan(v) for v in end[:2]):
+            return "ok", ""  # NaN in, NaN out (gie NaN==NaN)
         if in_ang:
             try:
                 d = self._lpz_dist(tr, org, end)
