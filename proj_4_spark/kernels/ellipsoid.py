@@ -116,6 +116,10 @@ class Ellipsoid:
                 b = float(params["b"])
                 f = (a - b) / a
                 es = 2 * f - f * f
+            elif "ellps" in params:
+                # +a resizes the named ellipsoid but keeps its SHAPE
+                # (ell_set.cpp: size params override after +ellps)
+                es = Ellipsoid.from_name(str(params["ellps"])).es
             else:
                 es = 0.0  # a alone -> sphere of radius a
             ell = Ellipsoid.from_a_es(a, es)
