@@ -237,17 +237,35 @@ def inv(x, y, C: IseaConsts, chunk: int = 4096):
         j = np.nanargmin(np.where(np.isnan(d2), np.inf, d2), axis=1)
         lam0[i:i + chunk] = slo[j]
         phi0[i:i + chunk] = sla[j]
+    # rescue=False: the generic multi-seed rescue starts far from the
+    # right icosahedron face and can settle in another face's local
+    # minimum — the seed-table compass below is the better fallback
     lam, phi = generic_inverse(lambda la, ph: fwd(la, ph, C), x, y,
                                lam0=lam0, phi0=phi0, seed_from_xy=False,
-                               max_iter=20)
-    bad = ~(np.isfinite(lam) & np.isfinite(phi))
+                               max_iter=20, rescue=False)
+    fx, fy = fwd(lam, phi, C)
+    bad = ~(np.isfinite(lam) & np.isfinite(phi)
+            & (np.abs(fx - x) < 1e-9) & (np.abs(fy - y) < 1e-9))
     if np.any(bad):
         # icosahedron VERTICES (5 faces meet, forward gradient is
         # discontinuous): the numeric-Jacobian Newton straddles faces
         # and diverges — fall back to a derivative-free compass search
-        # from the seed, which only ever EVALUATES the forward
-        lam[bad], phi[bad] = _compass_refine(
-            x[bad], y[bad], C, lam0[bad], phi0[bad])
+        # from the NEAREST-SEED start, which only EVALUATES the forward
+        cl, cp = _compass_refine(x[bad], y[bad], C, lam0[bad],
+                                 phi0[bad])
+        # damped-Newton polish tracks the narrow valley the
+        # axis-aligned compass cannot (vertex Jacobian ill-conditioned)
+        from .generic_inverse import _newton_polish
+
+        nl, npp = _newton_polish(lambda a, b: fwd(a, b, C),
+                                 x[bad], y[bad], cl, cp)
+        fx1, fy1 = fwd(nl, npp, C)
+        fx2, fy2 = fwd(cl, cp, C)
+        d1 = (fx1 - x[bad]) ** 2 + (fy1 - y[bad]) ** 2
+        d2 = (fx2 - x[bad]) ** 2 + (fy2 - y[bad]) ** 2
+        better = np.isfinite(d1) & (d1 < d2)
+        lam[bad] = np.where(better, nl, cl)
+        phi[bad] = np.where(better, npp, cp)
     return lam, phi
 
 
