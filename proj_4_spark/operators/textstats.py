@@ -78,96 +78,111 @@ def marker_fold(toks: Column) -> Column:
             lambda a, b: a + b))
 
 
+# --- hot-path cost model (measured r05, sf0.1/local[32], steal 0%) ----
+# Higher-order functions (filter/aggregate/transform lambdas) are
+# CodegenFallback in Spark: they run interpreted AND get no codegen
+# common-subexpression elimination.  The dominant cost is therefore
+# RE-EVALUATION: an argmax when-chain that embeds each count expression
+# in later conditions re-evaluates the interpreted filter subtrees up
+# to 2^k times.  Fix: compute every count in ONE struct/array, pin it
+# through _bind (a one-element transform), and derive outputs from the
+# bound value — never duplicate an interpreted subtree.
+# Head-to-head best-of-5 (5000 docs, noise floor 0.29 s):
+#   lang_guess:    fold+bind 0.445 s | per-word filters in when-chain
+#                  2.110 s | regexp space-doubled 1.853 s
+#   text_quality:  stop-map fold+bind 0.362 s | filters+bind 0.606 s |
+#                  full marker_fold+bind 0.969 s | unbound filters
+#                  1.153 s (r04-shipped regexp was 1.4-1.6 s here)
+
 def marker_count(text: Column, words: tuple[str, ...]) -> Column:
     """Single-traversal count of tokens in ``words`` (duplicates in
-    ``words`` count multiply, matching the old per-word filter sum)."""
+    ``words`` count multiply).  Callers composing several counts into
+    one expression must _bind the results (see cost model above)."""
     from collections import Counter
 
     mult = Counter(words)
-    w = tokens(text)
+    m = F.create_map(*[x for word, k in sorted(mult.items())
+                       for x in (F.lit(word), F.lit(k))])
     return F.aggregate(
-        w, F.lit(0),
-        lambda acc, t: acc + F.coalesce(
-            F.element_at(F.create_map(*[
-                x for word, k in sorted(mult.items())
-                for x in (F.lit(word), F.lit(k))]), t),
-            F.lit(0)))
-
-
-# --- regexp token-count formulation -----------------------------------
-# Counting marker/stopword tokens via regexp_count over a space-doubled
-# copy of the text keeps the whole expression inside whole-stage
-# codegen: higher-order functions (filter/aggregate lambdas) are
-# interpreted per element and allocation-heavy, and benchmarked 2-3x
-# slower at sf0.1 than one compiled RE2 scan.  Doubling every space
-# gives each token its own non-shared delimiters, so ' word ' matches
-# cannot overlap.  Counts are exactly equal to the token-filter
-# formulation, so the DuckDB oracles keep their list_filter form.
-
-def _padded(text: Column) -> Column:
-    return F.regexp_replace(
-        F.concat(F.lit(" "), text, F.lit(" ")), " ", "  ")
-
-
-def _word_count_re(padded: Column, words: tuple[str, ...]) -> Column:
-    return F.regexp_count(padded, F.lit("( " + " | ".join(words) + " )"))
+        tokens(text), F.lit(0),
+        lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(0)))
 
 
 def lang_guess(text: Column) -> Column:
     """argmax over marker counts; tie-break by language code order
-    ('und' when no markers hit).  One space-doubling pass + one
-    compiled regexp scan per language, all codegen."""
-    def pick(p: Column) -> Column:
+    ('und' when no markers hit).  All five counts come from ONE
+    marker_fold traversal bound once; the when-chain then compares
+    cheap element_at slots instead of re-evaluating count subtrees."""
+    def pick(f: Column) -> Column:
         best = F.lit("und")
         best_n = F.lit(0)
-        for lang in _LANGS:  # later wins only on strict >
-            n = _word_count_re(p, LANG_MARKERS[lang])
+        for i, lang in enumerate(_LANGS):  # later wins only on strict >
+            n = F.element_at(f, i + 1)
             take = n > best_n
             best = F.when(take, F.lit(lang)).otherwise(best)
             best_n = F.when(take, n).otherwise(best_n)
         return best
 
-    return _bind(_padded(text), pick)
+    return _bind(marker_fold(tokens(text)), pick)
+
+
+def _stop_map() -> Column:
+    return F.create_map(*[x for wd in sorted(STOPWORDS)
+                          for x in (F.lit(wd), F.lit(1))])
 
 
 def stopword_ratio(text: Column) -> Column:
-    return (_word_count_re(_padded(text), STOPWORDS).cast("double")
-            / F.size(tokens(text)).cast("double"))
+    def derive(s: Column) -> Column:
+        return s["stop"].cast("double") / s["n"].cast("double")
+
+    w = tokens(text)
+    stop = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.coalesce(
+        F.element_at(_stop_map(), t), F.lit(0)))
+    return _bind(F.struct(F.size(w).alias("n"), stop.alias("stop")),
+                 derive)
 
 
-def _quality_parts(text: Column):
-    """(n_tokens, stop_count, mean_token_len) — 3 codegen scans."""
-    n = F.size(tokens(text)).cast("double")
-    stop = _word_count_re(_padded(text), STOPWORDS).cast("double")
-    # total token length == length of the text with delimiters removed
-    tl = F.length(F.regexp_replace(text, " ", "")).cast("double") / n
-    return n, stop, tl
+def _quality_parts_struct(text: Column) -> Column:
+    """struct(n, stop, tl): token count, stopword count, total token
+    length — ONE stop-map fold; total length is the codegen
+    length-minus-delimiters scan (tokens() splits on single spaces, so
+    empty tokens contribute 0)."""
+    w = tokens(text)
+    stop = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.coalesce(
+        F.element_at(_stop_map(), t), F.lit(0)))
+    return F.struct(
+        F.size(w).alias("n"), stop.alias("stop"),
+        F.length(F.regexp_replace(text, " ", "")).alias("tl"))
+
+
+def _derive_quality(s: Column) -> Column:
+    """(n_tokens, stop_ratio, quality) from a BOUND (n, stop, tl)
+    struct — only cheap field accesses are duplicated here."""
+    n = s["n"].cast("double")
+    stop = s["stop"].cast("double")
+    tl = s["tl"].cast("double") / n
+    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
+    s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
+    s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
+          .otherwise(F.lit(0.0)))
+    return F.struct(
+        s["n"].alias("n_tokens"),
+        (stop / n).alias("stop_ratio"),
+        (F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3)
+        .alias("quality"))
 
 
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0,1]:
     0.4·min(tokens/100,1) + 0.4·min(stopword_ratio·5,1)
     + 0.2·(mean token length in [3,8])."""
-    n, stop, tl = _quality_parts(text)
-    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
-    s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
-    s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
-          .otherwise(F.lit(0.0)))
-    return F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3
+    return _bind(_quality_parts_struct(text), _derive_quality)["quality"]
 
 
 def quality_stats(text: Column) -> Column:
-    """(n_tokens, stop_ratio, quality) as ONE struct."""
-    n, stop, tl = _quality_parts(text)
-    s1 = F.least(n / F.lit(100.0), F.lit(1.0))
-    s2 = F.least(stop / n * F.lit(5.0), F.lit(1.0))
-    s3 = (F.when((tl >= 3.0) & (tl <= 8.0), F.lit(1.0))
-          .otherwise(F.lit(0.0)))
-    return F.struct(
-        F.size(tokens(text)).alias("n_tokens"),
-        (stop / n).alias("stop_ratio"),
-        (F.lit(0.4) * s1 + F.lit(0.4) * s2 + F.lit(0.2) * s3)
-        .alias("quality"))
+    """(n_tokens, stop_ratio, quality) as ONE struct from one bound
+    stop-map fold (cost model above: 0.362 s vs 1.15 s unbound)."""
+    return _bind(_quality_parts_struct(text), _derive_quality)
 
 
 def lang_profile(text: Column) -> Column:

@@ -724,7 +724,8 @@ c AS (
     len(list_filter(toks, t -> t IN ('o','e','a','em'))) AS c_pt,
     len(list_filter(toks,
         t -> t IN ('the','a','of','and','is','to','in'))) AS n_stop,
-    list_sum(list_transform(toks, t -> len(t))) AS total_len
+    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+         AS BIGINT) AS total_len
   FROM w
 )
 SELECT doc_id, c_de, c_en, c_es, c_fr, c_pt, n_stop, total_len,
