@@ -42,19 +42,28 @@ def generic_inverse(fwd, x, y, lam0=None, phi0=None, max_iter: int = 15,
         rx = fx - x[active]
         ry = fy - y[active]
         done = (np.abs(rx) < tol) & (np.abs(ry) < tol)
-        # numeric Jacobian (forward differences, generic_inverse.cpp)
-        fxl, fyl = fwd(la + h, ph)
-        fxp, fyp = fwd(la, ph + h)
-        j11 = (fxl - fx) / h
-        j21 = (fyl - fy) / h
-        j12 = (fxp - fx) / h
-        j22 = (fyp - fy) / h
+        # numeric Jacobian; the difference step points TOWARD zero so a
+        # clamped iterate at the +-pi / +-pi/2 boundary never samples
+        # the forward outside its domain (generic_inverse.cpp:66,73)
+        hl = np.where(la > 0, -h, h)
+        hp = np.where(ph > 0, -h, h)
+        fxl, fyl = fwd(la + hl, ph)
+        fxp, fyp = fwd(la, ph + hp)
+        j11 = (fxl - fx) / hl
+        j21 = (fyl - fy) / hl
+        j12 = (fxp - fx) / hp
+        j22 = (fyp - fy) / hp
         det = j11 * j22 - j12 * j21
         with np.errstate(invalid="ignore", divide="ignore"):
             dlam = np.where(det != 0, (rx * j22 - ry * j12) / det, np.nan)
             dphi = np.where(det != 0, (ry * j11 - rx * j21) / det, np.nan)
-        la = la - dlam
-        ph = np.clip(ph - dphi, -np.pi / 2, np.pi / 2)
+        # cap the correction (+-0.3) and clamp the iterate to the
+        # principal lon/lat domain: half-angle forwards (adams_ws2,
+        # spilhaus) are not 2pi-periodic, so an escaped iterate
+        # converges to a DIFFERENT valid preimage outside [-pi, pi]
+        # (generic_inverse.cpp:93-107 pins this choice)
+        la = np.clip(la - np.clip(dlam, -0.3, 0.3), -np.pi, np.pi)
+        ph = np.clip(ph - np.clip(dphi, -0.3, 0.3), -np.pi / 2, np.pi / 2)
         lam[active] = np.where(done, lam[active], la)
         phi[active] = np.where(done, phi[active], ph)
         idx = np.flatnonzero(active)
@@ -95,7 +104,7 @@ def compass_refine(fwd, x, y, lam, phi, span: float = 0.5,
             for dla in offs * span:
                 if dlo == 0.0 and dla == 0.0:
                     continue
-                lt = lam + dlo
+                lt = np.clip(lam + dlo, -np.pi, np.pi)
                 pt = np.clip(phi + dla, -np.pi / 2, np.pi / 2)
                 xt, yt = fwd(lt, pt)
                 d = (xt - x) ** 2 + (yt - y) ** 2
@@ -162,7 +171,7 @@ def _newton_polish(fwd, x, y, lam0, phi0, max_iter: int = 30,
             # damp steps so one bad Jacobian doesn't eject the iterate
             dlam = np.clip(np.nan_to_num(dlam), -0.3, 0.3)
             dphi = np.clip(np.nan_to_num(dphi), -0.3, 0.3)
-            lam = lam - dlam
+            lam = np.clip(lam - dlam, -np.pi, np.pi)
             phi = np.clip(phi - dphi, -np.pi / 2, np.pi / 2)
             fx, fy = fwd(lam, phi)
             d = (fx - x) ** 2 + (fy - y) ** 2

@@ -1587,19 +1587,157 @@ def bertin1953_fwd(lam, phi):
     return xx, yy
 
 
-def adams_ws2_inv(x, y):
-    """adams.cpp adams_inverse: seeded 2D Newton on the forward (the
-    magic seed constants are the reference's +R=1 corner values)."""
-    from .generic_inverse import generic_inverse
+_ELL5_HALFPI = 1.854074716833181  # _ell_int_5(pi/2): the CHEBYSHEV
+# approximation's own endpoint (4e-8 above the true F(pi/2, m=0.5) =
+# 1.8540746773013719) — clipping to the true value would truncate
+# in-domain endpoint preimages
 
-    phi_seed = np.clip(y / 2.62181347, -1.0, 1.0) * HALFPI
+
+def _ell_int_5_inv(u):
+    """Invert the monotone odd elliptic integral _ell_int_5 on
+    [-pi/2, pi/2] by Newton with the true integrand derivative
+    dF/dt = 1/sqrt(1 - sin^2(t)/2); converges to the root of the
+    SAME Chebyshev approximation the forward uses, so fwd(inv) is
+    machine-exact."""
+    u = np.clip(u, -_ELL5_HALFPI, _ELL5_HALFPI)
+    t = u * (HALFPI / _ELL5_HALFPI)  # proportional seed
+    for _ in range(6):
+        g = _ell_int_5(t) - u
+        t = np.clip(t - g * np.sqrt(1.0 - 0.5 * np.sin(t) ** 2),
+                    -HALFPI, HALFPI)
+    # the true-integrand derivative differs from the Chebyshev
+    # approximation by ~1e-7, leaving a fixed-point offset; polish
+    # with a central-difference derivative OF the approximation so the
+    # root is the approximation's own (fwd/inv then cancel exactly)
+    h = 1e-6
+    for _ in range(3):
+        g = _ell_int_5(t) - u
+        dg = (_ell_int_5(t + h) - _ell_int_5(t - h)) / (2.0 * h)
+        t = np.clip(t - g / np.maximum(dg, 0.5), -HALFPI, HALFPI)
+    return t
+
+
+def adams_ws2_inv(x, y):
+    """ANALYTIC inverse of Adams World in a Square II (the reference
+    uses a seeded 2D Newton, adams.cpp:296-317, which cannot converge
+    near the lam=+-pi seam where d(x)/d(a+b) is singular — its own
+    corpus comments one corner out as platform-dependent).
+
+    Derivation from the forward (adams.cpp:183-201): with
+    b = acos(spp), a = acos(A), the elliptic-integral arguments obey
+    cos(a+b) = -cos^2(m) and cos(a-b) = cos^2(n) (the min/max guards
+    never bind in-domain because A^2 <= 1-spp^2), and the fold signs
+    pin the branches: a+b > pi  <=>  spp+A < 0  <=>  m < 0, and
+    a-b < 0  <=>  spp-A < 0  <=>  n < 0.  So m,n from inverting the
+    1-D integral give a,b, hence spp = cos b -> phi and
+    sin(lam/2) = cos a / sqrt(1-spp^2) -> lam."""
     with np.errstate(invalid="ignore", divide="ignore"):
-        lam_seed = np.where(
-            np.abs(phi_seed) >= HALFPI, 0.0,
-            np.clip(x / 2.62205760 / np.cos(phi_seed), -1.0, 1.0) * np.pi)
-    return generic_inverse(lambda la, ph: adams_fwd(la, ph, "adams_ws2"),
-                           x, y, lam0=lam_seed, phi0=phi_seed,
-                           seed_from_xy=False, tol=1e-10)
+        u = _RSQRT2 * (x + y)   # undo the final 45-degree rotation
+        v = _RSQRT2 * (y - x)
+        m = _ell_int_5_inv(u)
+        n = _ell_int_5_inv(v)
+        cm = np.cos(m)
+        cn = np.cos(n)
+        s = np.arccos(np.clip(-cm * cm, -1.0, 1.0))   # principal a+b
+        s = np.where(m < 0.0, 2.0 * np.pi - s, s)
+        d = np.arccos(np.clip(cn * cn, -1.0, 1.0))    # principal a-b
+        d = np.where(n < 0.0, -d, d)
+        a = 0.5 * (s + d)
+        b = 0.5 * (s - d)
+        spp = np.cos(b)
+        A = np.cos(a)
+        phi = 2.0 * np.arctan(spp)
+        csp = np.sqrt(np.maximum(1.0 - spp * spp, 0.0))
+        sinhalf = np.where(csp > 1e-12, A / np.where(csp > 1e-12, csp, 1.0),
+                           0.0)
+        lam = 2.0 * np.arcsin(np.clip(sinhalf, -1.0, 1.0))
+    bad = ~(np.isfinite(x) & np.isfinite(y))
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+
+
+def _peirce_mn_to_lp(u, v, south):
+    """Shared analytic core for the Peirce quincuncial inverse: from
+    pre-fold elliptic coordinates (u, v) recover (lam, phi) on the
+    requested hemisphere.  Same branch algebra as adams_ws2_inv but
+    with cos a = cp*sin(lam+pi/4), cos b = cp*sin(lam-pi/4)
+    (adams.cpp:155-161), so lam = atan2(ca+cb, ca-cb) and
+    cp = hypot(...)."""
+    m = _ell_int_5_inv(u)
+    n = _ell_int_5_inv(v)
+    cm = np.cos(m)
+    cn = np.cos(n)
+    s = np.arccos(np.clip(-cm * cm, -1.0, 1.0))
+    s = np.where(m < 0.0, 2.0 * np.pi - s, s)
+    d = np.arccos(np.clip(cn * cn, -1.0, 1.0))
+    d = np.where(n < 0.0, -d, d)
+    a = 0.5 * (s + d)
+    b = 0.5 * (s - d)
+    ca = np.cos(a)
+    cb = np.cos(b)
+    cpsl = (ca + cb) / np.sqrt(2.0)
+    cpcl = (ca - cb) / np.sqrt(2.0)
+    lam = np.arctan2(cpsl, cpcl)
+    cp = np.clip(np.hypot(cpsl, cpcl), -1.0, 1.0)
+    phi = np.arccos(cp)
+    return lam, np.where(south, -phi, phi)
+
+
+def peirce_q_inv(x, y, pqshape: str):
+    """ANALYTIC inverse of the Peirce quincuncial square/diamond
+    shapes (the reference uses per-quadrant seed heuristics + 2D
+    Newton, adams.cpp:319-385, which diverges at the fold seams /
+    square vertices).  Tries the identity (northern-hemisphere)
+    unfolding plus the five southern quincunx segment reflections
+    (adams.cpp:214-231), reconstructs (lam, phi) analytically for
+    each, and keeps the candidate whose forward best reproduces the
+    input — exact at seams where Newton cannot converge."""
+    shd = _PEIRCE_SHD
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if pqshape == "square":   # undo the 45-degree rotation
+            uf = _RSQRT2 * (x + y)
+            vf = _RSQRT2 * (y - x)
+        else:                     # diamond
+            uf, vf = np.asarray(x, float), np.asarray(y, float)
+        best_l = np.full_like(uf, np.nan)
+        best_p = np.full_like(uf, np.nan)
+        best_r = np.full_like(uf, np.inf)
+        # (unfold_u, unfold_v, south, lam_range) — the range is each
+        # fold segment's half-open lam interval (adams.cpp:214-231);
+        # the reconstructed lam is clamped into it so the verifying
+        # forward applies THIS candidate's fold (an FP hair across the
+        # boundary would fold differently), and so the pole's
+        # arbitrary atan2(0,0) lands in-segment
+        eps = 1e-12
+        q = np.pi / 4.0
+        candidates = (
+            (uf, vf, False, None),                       # north, no fold
+            (uf, shd - vf, True, "top"),                 # |lam| >= 3pi/4
+            (-shd - uf, vf, True, (-3 * q, -q - eps)),   # left
+            (uf, -shd - vf, True, (-q, q - eps)),        # bottom
+            (shd - uf, vf, True, (q, 3 * q - eps)),      # right
+        )
+        for u, v, south, rng in candidates:
+            inside = (np.abs(u) <= _ELL5_HALFPI + 1e-12) & \
+                     (np.abs(v) <= _ELL5_HALFPI + 1e-12)
+            lam, phi = _peirce_mn_to_lp(u, v, south)
+            if rng == "top":  # disjoint: [-pi, -3pi/4) u [3pi/4, pi]
+                lam = np.where(lam >= 0.0,
+                               np.clip(lam, 3 * q, np.pi),
+                               np.clip(lam, -np.pi, -3 * q - eps))
+            elif rng is not None:
+                lam = np.clip(lam, rng[0], rng[1])
+            fx, fy = adams_fwd(lam, phi, "peirce_q", pqshape)
+            r = np.hypot(fx - x, fy - y)
+            better = inside & np.isfinite(r) & (r < best_r)
+            best_l = np.where(better, lam, best_l)
+            best_p = np.where(better, phi, best_p)
+            best_r = np.where(better, r, best_r)
+    # acceptance: the right candidate's xy residual is <= ~3e-4 even at
+    # the square corners (where the conformal scale diverges and the
+    # m,n reconstruction loses half its digits); wrong-fold candidates
+    # are reflections >= 1.2 units away — 1e-3 separates them cleanly
+    ok = best_r < 1e-3
+    return (np.where(ok, best_l, np.nan), np.where(ok, best_p, np.nan))
 
 
 # ----------------------------------------------------------- spilhaus

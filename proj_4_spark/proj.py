@@ -1682,8 +1682,13 @@ def _mk_misc_sph(op, params, ell, k0, phi0):
                 return la, ph, z
 
             op.inv_k = _ws2_inv
+        elif pid == "peirce_q" and pqshape in ("square", "diamond"):
+            # analytic fold-candidate inverse (the reference's seeded
+            # Newton, adams.cpp:319-385, diverges at seams/vertices)
+            op.inv_k = lambda x, y, z, t: (
+                *MS.peirce_q_inv(x, y, pqshape), z)
         else:
-            op.inv_k = None  # peirce etc: seeded generic fallback
+            op.inv_k = None  # guyou/hemispheres: seeded generic fallback
         return
     if pid == "putp2":
         op.fwd_k = lambda x, y, z, t: (*MS.putp2_fwd(x, y), z)

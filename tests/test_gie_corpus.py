@@ -39,7 +39,13 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "GDA.gie": (3, 0, {}),
     "adams_hemi.gie": (700, 0, {}),
     "adams_ws1.gie": (700, 0, {}),
-    "adams_ws2.gie": (715, 3, {}),
+    # the 1 allowed fail is line 2175: the reference *expects failure*
+    # (its seeded Newton diverges at the lam=+-pi seam,
+    # adams.cpp:296-317) while the analytic fold inverse here
+    # legitimately recovers the preimage (misc_sph.py adams_ws2_inv) —
+    # a strict improvement the gie `expect failure` directive cannot
+    # express
+    "adams_ws2.gie": (721, 1, {}),
     "axisswap.gie": (27, 0, {}),
     "defmodel.gie": (34, 0, {}),
     "deformation.gie": (42, 1, {}),
@@ -52,8 +58,8 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
             "proj.db-backed URN operation resolution is out of scope "
             "(SURVEY.md §1.3: no SQLite EPSG database port)",
     }),
-    "peirce_q.gie": (585, 3, {}),
-    "spilhaus.gie": (131, 2, {}),
+    "peirce_q.gie": (592, 0, {}),
+    "spilhaus.gie": (133, 0, {}),
     "tinshift.gie": (15, 0, {}),
     "unitconvert.gie": (16, 0, {}),
 }
@@ -83,5 +89,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6655
-    assert tot_fail <= 13
+    assert tot_ok >= 6664
+    assert tot_fail <= 4
