@@ -38,6 +38,12 @@ class Grid:
     # grid georeferenced in a PROJECTED CRS (gridshift.cpp projected
     # grids: extents/offsets in metres, no angular wrap)
     projected: bool = False
+    # NTv2/CTable2 store the longitude band west-positive; parsers
+    # negate it at load so hgridshift applies east-positive values
+    # directly.  Raw-value consumers (deformation's legacy +xy_grids
+    # velocities, grids.cpp:3572 compensateNTConvention=false) must
+    # undo that negation, so record it here.
+    nt_lam_negated: bool = False
 
 
 def _is_global_lon(grid: Grid) -> bool:
@@ -216,7 +222,12 @@ def hgrid_sample(g, lam, phi):
                 dp[mk] = dpk
         return dl, dp, sel >= 0
     d = sample(g, lam, phi)
-    return d[..., 0], d[..., 1], in_grid(g, lam, phi)
+    # reference deformation samples the grid RAW (grids.cpp:3543-3572
+    # pj_hgrid_value -> compensateNTConvention=false): velocity grids
+    # in NTv2/CTable2 containers store the east component verbatim, so
+    # undo the parser's west-positive->east-positive negation
+    dl = -d[..., 0] if g.nt_lam_negated else d[..., 0]
+    return dl, d[..., 1], in_grid(g, lam, phi)
 
 
 def vgrid_sample(g, lam, phi):

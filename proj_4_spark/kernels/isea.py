@@ -119,7 +119,12 @@ def _ctran(lam, phi, C: IseaConsts):
     lambdap = np.mod(lambdap, 2.0 * np.pi)
     lambdap = np.where(lambdap > np.pi, lambdap - 2.0 * np.pi, lambdap)
     lambdap = np.where(lambdap < -np.pi, lambdap + 2.0 * np.pi, lambdap)
-    phip = np.arcsin(np.clip(sin_phip, -1.0, 1.0))
+    # arctan2(sin, |cos|) instead of arcsin(sin): near the orientation
+    # pole (an icosahedron vertex) sin_phip rounds to 1.0 and arcsin
+    # collapses a ~1e-8 rad neighbourhood to exactly pi/2, flattening
+    # the forward there; the horizontal-norm form stays conditioned
+    cos_phip = np.hypot(cp * sdl, sa * cp * cdl + ca * sp)
+    phip = np.arctan2(sin_phip, cos_phip)
     return lambdap, phip
 
 

@@ -2158,7 +2158,20 @@ def _mk_ob_tran(op, params, ell, k0, phi0):
         return link.fwd_k(lam2, phi2, z, t)
 
     op.fwd_k = _fwd
-    if link.inv_k is not None:
+    # ob_tran drives the wrapped op through its 2D interface
+    # (ob_tran.cpp:284-287 `Q->link->inv ? o_inverse : nullptr`);
+    # helmert exposes 2D fwd/inv only for the +theta planar setup
+    # (helmert.cpp:566-571), so wrapping a 3D helmert has no inverse —
+    # raise like PROJ's no_inverse_op rather than let the generic
+    # Newton fallback synthesize one
+    if str(o_proj) == "helmert" and "theta" not in params:
+        def _no_inv(x, y, z, t):
+            raise ValueError(
+                "ob_tran: wrapped +o_proj=helmert has no 2D inverse "
+                "(no_inverse_op)")
+
+        op.inv_k = _no_inv
+    elif link.inv_k is not None:
         def _inv(x, y, z, t):
             lam2, phi2, z2 = link.inv_k(x, y, z, t)
             lam3, phi3 = _rot_inv(lam2, phi2)

@@ -141,7 +141,8 @@ def parse_ntv2(data: bytes):
         dphi = rec[:, ::-1, 0].astype(np.float64) * SEC_TO_RAD
         dlam = -rec[:, ::-1, 1].astype(np.float64) * SEC_TO_RAD
         g = Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
-                 values=np.stack([dlam, dphi], axis=-1))
+                 values=np.stack([dlam, dphi], axis=-1),
+                 nt_lam_negated=True)
         out.append((name, parent, g))
     return out
 
@@ -219,7 +220,8 @@ def parse_ctable2(data: bytes) -> Grid:
     dlam = -rec[:, :, 0]   # west-positive -> east-positive
     dphi = rec[:, :, 1]
     return Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
-                values=np.stack([dlam, dphi], axis=-1))
+                values=np.stack([dlam, dphi], axis=-1),
+                nt_lam_negated=True)
 
 
 def write_ctable2(west_rad: float, south_rad: float, res_x_rad: float,
@@ -279,7 +281,8 @@ def parse_ntv1(data: bytes) -> Grid:
     dphi = rec[:, ::-1, 0] * SEC_TO_RAD
     dlam = -rec[:, ::-1, 1] * SEC_TO_RAD
     return Grid(lon0=west, lat0=south, dlon=res_x, dlat=res_y,
-                values=np.stack([dlam, dphi], axis=-1))
+                values=np.stack([dlam, dphi], axis=-1),
+                nt_lam_negated=True)
 
 
 def synthetic_ctable2_pair() -> tuple[bytes, bytes]:

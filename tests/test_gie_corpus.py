@@ -32,8 +32,8 @@ _SKIP_COMMON: dict[str, str] = {}
 
 # file -> (min_ok, max_fail, skip_ops)
 FILES: dict[str, tuple[int, int, dict[str, str]]] = {
-    "builtins.gie": (2500, 1, {}),
-    "more_builtins.gie": (181, 1, {}),
+    "builtins.gie": (2504, 0, {}),
+    "more_builtins.gie": (182, 0, {}),
     "4D-API_cs2cs-style.gie": (78, 0, {}),
     "DHDN_ETRS89.gie": (60, 0, {}),
     "GDA.gie": (3, 0, {}),
@@ -48,7 +48,7 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "adams_ws2.gie": (721, 1, {}),
     "axisswap.gie": (27, 0, {}),
     "defmodel.gie": (34, 0, {}),
-    "deformation.gie": (42, 1, {}),
+    "deformation.gie": (43, 0, {}),
     "ellipsoid.gie": (36, 0, {}),
     "geotiff_grids.gie": (50, 0, {}),
     "gridshift.gie": (59, 0, {}),
@@ -89,5 +89,5 @@ def test_corpus_totals():
                     fixture_dirs=FIXTURE_DIRS)
         tot_ok += res.ok
         tot_fail += res.failed
-    assert tot_ok >= 6664
-    assert tot_fail <= 4
+    assert tot_ok >= 6669
+    assert tot_fail <= 1
