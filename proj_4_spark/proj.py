@@ -2568,7 +2568,15 @@ def invert_step_dict(d: dict) -> dict:
 
 
 def compile_projstring(s: str) -> Transform:
-    """proj-string -> Transform (single op or pipeline, rewrites applied)."""
+    """proj-string -> Transform (single op or pipeline, rewrites applied).
+
+    Also accepts ``urn:ogc:def:coordinateOperation:NKG::*`` names,
+    resolved through the curated registry table (sources/nkg_ops.py)
+    the way the reference resolves them through proj.db."""
+    if s.lstrip().startswith("urn:ogc:def:coordinateOperation:NKG"):
+        from .sources.nkg_ops import resolve_nkg_urn
+
+        s = resolve_nkg_urn(s.strip())
     parsed = parse_projstring(s)
     top = parsed[0]
     if top.get("proj") == "pipeline":

@@ -475,6 +475,26 @@ class GieRunner:
             self._register_fixture(c.require_grid)
             if c.require_grid.lstrip("@") not in GRID_REGISTRY:
                 return "skip", f"missing grid {c.require_grid}"
+        if c.operation.startswith("urn:ogc:def:coordinateOperation:NKG"):
+            # URN resolution itself is in scope (sources/nkg_ops.py);
+            # the NKG velocity grids ship with proj-data, not the
+            # source tree, so evaluation is gated on their presence
+            from ..proj import GRID_REGISTRY
+            from .nkg_ops import required_grids
+
+            try:
+                grids = required_grids(c.operation.strip())
+            except KeyError:
+                return "fail", f"unresolvable URN {c.operation}"
+            missing = []
+            for g in grids:
+                self._register_fixture(g)
+                if g not in GRID_REGISTRY:
+                    missing.append(g)
+            if missing:
+                return ("skip", "URN resolved; velocity grid(s) "
+                        f"{sorted(set(missing))} ship with proj-data, "
+                        "not the source tree")
         self._ensure_fixtures(c.operation)
         tr, err = self._compile(c)
         if err is not None:

@@ -53,11 +53,11 @@ FILES: dict[str, tuple[int, int, dict[str, str]]] = {
     "geotiff_grids.gie": (50, 0, {}),
     "gridshift.gie": (59, 0, {}),
     "guyou.gie": (700, 0, {}),
-    "nkg.gie": (0, 33, {
-        "urn:ogc:def:coordinateOperation:NKG":
-            "proj.db-backed URN operation resolution is out of scope "
-            "(SURVEY.md §1.3: no SQLite EPSG database port)",
-    }),
+    # URN resolution is implemented (sources/nkg_ops.py; every pair's
+    # operation compiles — see tests/test_nkg_urns.py) but the NKG
+    # velocity grids (eur_nkg_*.tif) ship with proj-data, not the
+    # source tree, so the runner skips evaluation with that reason
+    "nkg.gie": (0, 0, {}),
     "peirce_q.gie": (592, 0, {}),
     "spilhaus.gie": (133, 0, {}),
     "tinshift.gie": (15, 0, {}),
