@@ -205,7 +205,8 @@ def projinfo(defn) -> dict:
     the method, the CRS kind, the ellipsoid, and the pipeline edge
     units.  The definition is compiled, so an invalid CRS raises the
     same error `compile_crs` would."""
-    from .crs_io import projstring_to_projjson, projstring_to_wkt2
+    from .crs_io import (projstring_to_projjson, projstring_to_wkt1,
+                         projstring_to_wkt2)
     from .proj import CLASSIC, PROJECTED, RADIANS
 
     projstr = _resolve(defn)
@@ -227,8 +228,13 @@ def projinfo(defn) -> dict:
         projjson = projstring_to_projjson(projstr)
     except Exception:
         projjson = None  # method outside the PROJJSON writer's subset
+    try:
+        wkt1 = projstring_to_wkt1(projstr)
+    except Exception:
+        wkt1 = None  # method outside the WKT1 writer's subset
     return {
         "projstring": projstr,
+        "wkt1": wkt1,
         "wkt2": wkt2,
         "projjson": projjson,
         "kind": kind,

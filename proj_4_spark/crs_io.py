@@ -581,8 +581,37 @@ def _proj_to_projstring(node: WktNode) -> str:
     out = " ".join(parts)
     out += _primem_of(base, geog_fac)
     out += _linear_unit_str(node)
+    out += _axis_of(node)
     out += _towgs84_of(base) + _towgs84_of(node)
     return out
+
+
+_AXIS_DIR_CODE = {"east": "e", "west": "w", "north": "n", "south": "s",
+                  "up": "u", "down": "d"}
+
+
+def _axis_of(node: WktNode) -> str:
+    """PROJCS/PROJCRS AXIS directions -> +axis=abc when they deviate
+    from the east,north,up default (io.cpp axis import; WKT1 puts the
+    AXIS nodes directly under PROJCS, WKT2 under/next to CS)."""
+    cs = node.child("CS")
+    axes = node.children("AXIS") + (cs.children("AXIS") if cs else [])
+    codes = []
+    for ax in axes:
+        # the direction is a bare keyword (AXIS["Westing",WEST]) which
+        # the tokenizer yields as a childless node, not a string
+        low = [s.lower() for s in ax.strings()[1:]] + \
+            [a.name.lower() for a in ax.args
+             if isinstance(a, WktNode) and not a.args]
+        code = next((_AXIS_DIR_CODE[d] for d in low
+                     if d in _AXIS_DIR_CODE), None)
+        if code is None:
+            return ""  # unmodelled direction (geocentric X/Y/Z etc.)
+        codes.append(code)
+    s = "".join(codes)
+    if not s or s in ("en", "enu"):
+        return ""
+    return " +axis=" + (s + "u" if len(s) == 2 else s)
 
 
 def _bound_to_projstring(node: WktNode) -> str:
@@ -906,7 +935,7 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                      'SCALEUNIT["unity",1]')
                 + _p("False easting", x0, _M_UNIT)
                 + _p("False northing", y0, _M_UNIT)
-                + f'],{_WKT2_CART_CS}]')
+                + f'],{_wkt2_cart_cs(top)}]')
     elif pid == "merc" and "lat_ts" in top:
         # Mercator variant B (standard parallel instead of scale)
         body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
@@ -918,7 +947,7 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                 + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
                 + _p("False northing", float(top.get("y_0", 0.0)),
                      _M_UNIT)
-                + f'],{_WKT2_CART_CS}]')
+                + f'],{_wkt2_cart_cs(top)}]')
     elif pid == "lcc" and "lat_2" not in top:
         # 1SP form: the reference exports lat_1 (== lat_0) + scale
         lat1 = float(top.get("lat_1", top.get("lat_0", 0.0)))
@@ -939,7 +968,7 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                 + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
                 + _p("False northing", float(top.get("y_0", 0.0)),
                      _M_UNIT)
-                + f'],{_WKT2_CART_CS}]')
+                + f'],{_wkt2_cart_cs(top)}]')
     elif pid == "stere" and "lat_ts" not in top:
         # Polar Stereographic variant A: scale at the pole (the UPS
         # parameterization) instead of a standard parallel
@@ -959,7 +988,7 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                 + _p("False easting", float(top.get("x_0", 0.0)), _M_UNIT)
                 + _p("False northing", float(top.get("y_0", 0.0)),
                      _M_UNIT)
-                + f'],{_WKT2_CART_CS}]')
+                + f'],{_wkt2_cart_cs(top)}]')
     elif pid in _EXPORT_METHODS:
         method, plist = _EXPORT_METHODS[pid]
         if pid == "stere":
@@ -980,7 +1009,7 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
             parts.append(_p(ename, v, unit))
         body = (f'PROJCRS["{name}",{_wkt2_basegeog(top, name)},'
                 f'CONVERSION["unnamed",METHOD["{method}"],'
-                + "".join(parts) + f'],{_WKT2_CART_CS}]')
+                + "".join(parts) + f'],{_wkt2_cart_cs(top)}]')
     else:
         raise ValueError(
             f"projstring_to_wkt2: +proj={pid} not in the export subset")
@@ -1009,6 +1038,212 @@ _ANGULAR_EXPORT = ("longlat", "latlong", "lonlat", "latlon")
 _WKT2_CART_CS = ('CS[Cartesian,2],'
                  'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
                  'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]')
+
+
+def _wkt2_cart_cs(params: dict) -> str:
+    """Cartesian CS with the +axis directions (default east,north)."""
+    ax = str(params.get("axis", "enu"))[:2]
+    if ax == "en":
+        return _WKT2_CART_CS
+    names = {"e": ("(E)", "east"), "w": ("(W)", "west"),
+             "n": ("(N)", "north"), "s": ("(S)", "south")}
+    a1, a2 = names.get(ax[0], ("(E)", "east")), \
+        names.get(ax[1], ("(N)", "north"))
+    return ('CS[Cartesian,2],'
+            f'AXIS["{a1[0]}",{a1[1]},ORDER[1],LENGTHUNIT["metre",1]],'
+            f'AXIS["{a2[0]}",{a2[1]},ORDER[2],LENGTHUNIT["metre",1]]')
+
+
+# ------------------------------------------------------- proj -> WKT1
+
+# proj id -> (GDAL PROJECTION name, [(WKT1 parameter, proj keys,
+# default)]); the export half of the reader's _METHODS aliases
+# (io.cpp WKT1 formatter / parammappings.cpp getWKT1...Mappings)
+_WKT1_METHODS = {
+    "tmerc": ("Transverse_Mercator", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("scale_factor", ("k", "k_0"), 1.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "sterea": ("Oblique_Stereographic", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("scale_factor", ("k", "k_0"), 1.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "somerc": ("Swiss_Oblique_Cylindrical", [
+        ("latitude_of_center", "lat_0", 0.0),
+        ("longitude_of_center", "lon_0", 0.0),
+        ("scale_factor", ("k", "k_0"), 1.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "webmerc": ("Popular_Visualisation_Pseudo_Mercator", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "laea": ("Lambert_Azimuthal_Equal_Area", [
+        ("latitude_of_center", "lat_0", 0.0),
+        ("longitude_of_center", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "aea": ("Albers_Conic_Equal_Area", [
+        ("standard_parallel_1", "lat_1", 0.0),
+        ("standard_parallel_2", "lat_2", 0.0),
+        ("latitude_of_center", "lat_0", 0.0),
+        ("longitude_of_center", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "robin": ("Robinson", [
+        ("longitude_of_center", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "moll": ("Mollweide", [
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "cass": ("Cassini_Soldner", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "krovak": ("Krovak", [
+        ("latitude_of_center", "lat_0", 49.5),
+        ("longitude_of_center", "lon_0", 24.833333333333332),
+        ("pseudo_standard_parallel_1", "lat_1", 78.5),
+        ("scale_factor", ("k", "k_0"), 0.9999),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+}
+
+
+def _wkt1_geogcs(params: dict, name: str, tow=None) -> str:
+    ename = str(params.get("ellps", "WGS84"))
+    if ename in ELLIPSOIDS:
+        a, kind, v = ELLIPSOIDS[ename]
+        rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
+        wname = _WKT_ELLPS_NAMES.get(ename, ename)
+    else:
+        a = float(params.get("a", 6378137.0))
+        rf = float(params.get("rf", 0.0))
+        wname = "unnamed"
+    datum = f'SPHEROID["{wname}",{_wkt_num(a)},{_wkt_num(rf)}]'
+    if tow is not None:
+        vals = [float(v) for v in str(tow).split(",")]
+        vals += [0.0] * (7 - len(vals))
+        datum += ",TOWGS84[" + ",".join(_wkt_num(v) for v in vals) + "]"
+    return (f'GEOGCS["{name}",DATUM["{name}",{datum}],'
+            f'PRIMEM["Greenwich",0],'
+            f'UNIT["degree",0.0174532925199433]]')
+
+
+def projstring_to_wkt1(projstr: str, name: str = "unnamed") -> str:
+    """Export a proj-string CRS as WKT1_GDAL (the proj_as_wkt /
+    PJ_WKT1_GDAL direction, src/iso19111/io.cpp WKT1 formatter):
+    GEOGCS for angular CRSs, PROJCS[GEOGCS,PROJECTION,PARAMETER...,
+    UNIT] for the projected method subset, +towgs84 as a DATUM-level
+    TOWGS84[].  Roundtrip contract: wkt_to_projstring(
+    projstring_to_wkt1(s)) compiles to the same transform as s."""
+    from .proj import parse_projstring
+
+    top = dict(parse_projstring(projstr)[0])
+    tow = top.pop("towgs84", None)
+    pid = top.get("proj")
+    if pid in _ANGULAR_EXPORT:
+        return _wkt1_geogcs(top, name, tow)
+    geog = _wkt1_geogcs(top, name, tow)
+    if pid == "utm":
+        zone = int(float(top.get("zone", 0)))
+        south = "south" in top
+        method = "Transverse_Mercator"
+        plist = [("latitude_of_origin", 0.0),
+                 ("central_meridian", zone * 6 - 183),
+                 ("scale_factor", 0.9996),
+                 ("false_easting", 500000.0),
+                 ("false_northing", 10000000.0 if south else 0.0)]
+        name = name if name != "unnamed" else \
+            f"UTM zone {zone}{'S' if south else 'N'}"
+    elif pid == "merc" and "lat_ts" in top:
+        method = "Mercator_2SP"
+        plist = [("standard_parallel_1", float(top["lat_ts"])),
+                 ("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "merc":
+        method = "Mercator_1SP"
+        plist = [("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("scale_factor",
+                  float(top.get("k", top.get("k_0", 1.0)))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "lcc" and "lat_2" in top:
+        method = "Lambert_Conformal_Conic_2SP"
+        plist = [("standard_parallel_1", float(top.get("lat_1", 0.0))),
+                 ("standard_parallel_2", float(top.get("lat_2", 0.0))),
+                 ("latitude_of_origin", float(top.get("lat_0", 0.0))),
+                 ("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "lcc":
+        lat1 = float(top.get("lat_1", top.get("lat_0", 0.0)))
+        if "lat_0" in top and "lat_1" in top \
+                and float(top["lat_0"]) != float(top["lat_1"]):
+            raise ValueError(
+                "projstring_to_wkt1: lcc with lat_0 != lat_1 and no "
+                "lat_2 has no WKT1 method equivalent")
+        method = "Lambert_Conformal_Conic_1SP"
+        plist = [("latitude_of_origin", lat1),
+                 ("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("scale_factor",
+                  float(top.get("k", top.get("k_0", 1.0)))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "stere" and "lat_ts" in top:
+        # variant B: the reader infers lat_0 = +-90 from the
+        # standard parallel's sign (crs_io.py _proj_to_projstring)
+        method = "Polar_Stereographic_Variant_B"
+        plist = [("standard_parallel_1", float(top["lat_ts"])),
+                 ("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "stere":
+        lat0 = float(top.get("lat_0", 0.0))
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "projstring_to_wkt1: only polar stere exportable")
+        method = "Polar_Stereographic"
+        plist = [("latitude_of_origin", lat0),
+                 ("central_meridian", float(top.get("lon_0", 0.0))),
+                 ("scale_factor",
+                  float(top.get("k", top.get("k_0", 1.0)))),
+                 ("false_easting", float(top.get("x_0", 0.0))),
+                 ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid in _WKT1_METHODS:
+        method, spec = _WKT1_METHODS[pid]
+        plist = []
+        for wname_, keys, dflt in spec:
+            keys = (keys,) if isinstance(keys, str) else keys
+            v = dflt
+            for k in keys:
+                if k in top:
+                    v = float(top[k])
+                    break
+            plist.append((wname_, v))
+    else:
+        raise ValueError(
+            f"projstring_to_wkt1: +proj={pid} not in the export subset")
+    params = "".join(f'PARAMETER["{n}",{_wkt_num(v)}],' for n, v in plist)
+    axes = ""
+    ax = str(top.get("axis", "enu"))
+    if ax[:2] not in ("en",):
+        names = {"e": ("Easting", "EAST"), "w": ("Westing", "WEST"),
+                 "n": ("Northing", "NORTH"), "s": ("Southing", "SOUTH"),
+                 "u": ("Up", "UP"), "d": ("Down", "DOWN")}
+        axes = "".join(f',AXIS["{names[c][0]}",{names[c][1]}]'
+                       for c in ax[:2])
+    return (f'PROJCS["{name}",{geog},PROJECTION["{method}"],'
+            f'{params}UNIT["metre",1]{axes}]')
 
 
 # ------------------------------------------------------- proj -> PROJJSON

@@ -1258,29 +1258,35 @@ def q_mined_coords(spark, sf_dir):
 
 
 # The external driver gate verifies only the FIRST 50 entries of
-# queries() against their oracles each round.  Rounds 2-3 gated
-# registrations 1-50 (green in CORRECTNESS_r02/r03); the 36 queries
-# registered after position 50 were verified only by the local replica
-# (scripts/parity_all.py).  Emit those 36 first — plus any round-4
-# additions — so the driver itself certifies them this round, then
-# fill the remaining gate slots with already-gated entries.
+# queries() against their oracles each round.  Rounds 3 and 4 together
+# covered all 94 then-registered queries.  Round-5 rule (VERDICT r04
+# ask #4): any query whose engine or oracle text changed since its
+# last driver row goes in the front window — this round that is the
+# new WKT1 writer gate, the lang_onepass oracle cast fix, the reverted
+# textstats hot path, the generic-inverse domain clamps, and every
+# grid-sampling query touched by the ct2/NTv2 raw-value fix; the
+# remaining slots refresh the queries whose newest driver evidence is
+# oldest (round 3).
 _GATE_PRIORITY = [
-    # round-2/3 registrations 51-86: judge-verified, never driver-gated
-    "krovak_fwd", "somerc_fwd", "molodensky_fwd", "geoc_lat",
-    "eqdc_fwd", "hammer_fwd", "cass_hyperbolic_fwd", "poly_fwd",
-    "bonne_fwd", "igh_fwd", "topocentric_enu", "horner_tc32_fwd",
-    "qsc_fwd", "airocean_fwd", "crs_osgb_fwd", "defmodel_velocity",
-    "healpix_fwd", "token_stats", "rolling_fingerprints",
-    "wkt_lambert93_fwd", "mined_coords_dms", "nadgrids_ctable2",
-    "gridshift_biquadratic", "dms_format", "knn_cell_pruned_top5",
-    "itrf_kinematic", "url_canonical", "polygon_area_sphere",
-    "geodesic_direct_sphere", "tmerc_auto_fwd",
-    "newton_inverse_roundtrip", "repetition_signals", "bm25_top10",
-    "deformation_cart", "tinshift_fwd", "xyzgridshift_fwd",
-    # round-4 additions (never gated before)
-    "crs_multiregion_select", "epsg_generated_lcc", "cs2cs_two_crs",
-    "a7hex_compact", "lang_onepass_guess", "projjson_roundtrip_fwd",
-    "iceberg_style_incremental", "stream_tile_rollup_batchpar",
+    # changed since their last driver row (round-5 edits)
+    "wkt1_roundtrip_fwd", "lang_onepass_guess", "text_quality",
+    "lang_marker_guess", "newton_inverse_roundtrip",
+    "deformation_cart", "nadgrids_ctable2", "hgridshift_pipeline",
+    "vgridshift_gtx", "xyzgridshift_fwd", "gridshift_biquadratic",
+    "bilinear_sample",
+    # oldest driver evidence (round 3) — refreshed this round
+    "utm_zone_counts", "webmerc_fwd", "merc_ell_fwd", "lcc_fwd",
+    "utm_snyder_fwd", "cart_fwd", "cart_helmert_pipeline",
+    "s2_face_ij_l12", "s2_cell_counts_l8", "haversine_to_tokyo",
+    "geodesic_to_tokyo", "etmerc_fwd", "pip_join",
+    "pip_polygon_counts", "knn_top5", "raster_hist", "dedup_exact",
+    "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "simhash16", "doc_fingerprints", "embed_cosine_top5",
+    "embed_neardup_pairs", "ivf_cosine_top5", "events_hourly",
+    "tpch_q1_pricing", "orders_by_nation", "multimodal_meta",
+    "multimodal_fake_embed", "webmerc_inv", "trans_bounds_lcc",
+    "eqc_fwd", "aea_fwd", "laea_fwd", "hex_cell_counts_r5",
+    "mined_coords", "stere_fwd",
 ]
 
 
@@ -1776,6 +1782,29 @@ def q_projjson_roundtrip_fwd(spark, sf_dir):
     from .crs import compile_crs
 
     tr = compile_crs(doc)
+    df = _coords(spark, sf_dir)
+    u = G.project_udf(tr)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_p", st)
+              .select("doc_id", (F.round("_p.x", 2) + 0.0).alias("x_m"),
+                      (F.round("_p.y", 2) + 0.0).alias("y_m"))
+              .orderBy("doc_id"))
+
+
+@register("wkt1_roundtrip_fwd", _lambert93_sql())
+def q_wkt1_roundtrip_fwd(spark, sf_dir):
+    """WKT1_GDAL WRITER in the gate (VERDICT r04 ask #6): EPSG:2154
+    is exported with crs_io.projstring_to_wkt1 (the proj_as_wkt
+    PJ_WKT1_GDAL direction), read back through wkt_to_projstring,
+    compiled, and projected — matching the closed-form lcc SQL of the
+    ORIGINAL definition, so any writer/reader asymmetry is a value
+    mismatch."""
+    from .crs import compile_crs, epsg_projstring
+    from .crs_io import projstring_to_wkt1
+
+    wkt1 = projstring_to_wkt1(epsg_projstring(2154),
+                              name="RGF93 / Lambert-93")
+    tr = compile_crs(wkt1)
     df = _coords(spark, sf_dir)
     u = G.project_udf(tr)
     st = u(F.col("lon"), F.col("lat"))

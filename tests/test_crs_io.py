@@ -445,3 +445,81 @@ class TestReviewFixes:
                                  "conversion_factor": 1.0}}]}}
         s = projjson_to_projstring(obj)
         assert "+towgs84=-87,0,0,0,0,0,-20.489" in s
+
+
+class TestWkt1Writer:
+    """projstring_to_wkt1 (PJ_WKT1_GDAL direction, io.cpp WKT1
+    formatter): reader-roundtrip over the FULL registry."""
+
+    def test_full_registry_roundtrip(self):
+        from proj_4_spark.crs import registry_codes
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        lon = np.array([5.0, 9.5, -1.0, 173.5])
+        lat = np.array([50.0, 47.0, 52.0, -41.0])
+        bad = []
+        for c in registry_codes():
+            s = epsg_projstring(c)
+            try:
+                w = projstring_to_wkt1(s, f"EPSG {c}")
+                s2 = wkt_to_projstring(w)
+                ta, tb = compile_crs(s), compile_crs(s2)
+                xa, ya = ta.transform_deg(lon.copy(), lat.copy())[:2]
+                xb, yb = tb.transform_deg(lon.copy(), lat.copy())[:2]
+                if not (np.allclose(np.nan_to_num(xa), np.nan_to_num(xb),
+                                    atol=1e-6)
+                        and np.allclose(np.nan_to_num(ya),
+                                        np.nan_to_num(yb), atol=1e-6)):
+                    bad.append((c, "value"))
+            except Exception as e:  # noqa: BLE001
+                bad.append((c, str(e)[:60]))
+        assert not bad, f"{len(bad)} WKT1 roundtrip failures: {bad[:8]}"
+
+    def test_geogcs_only_for_angular(self):
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        w = projstring_to_wkt1("+proj=longlat +ellps=GRS80", "g")
+        assert w.startswith('GEOGCS["g"')
+        assert "PROJCS" not in w
+
+    def test_towgs84_in_datum(self):
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        w = projstring_to_wkt1(epsg_projstring(27700), "OSGB")
+        assert "TOWGS84[446.448,-125.157,542.06," in w
+        s2 = wkt_to_projstring(w)
+        assert "+towgs84=446.448,-125.157,542.06" in s2
+        _same_forward(epsg_projstring(27700), s2)
+
+    def test_axis_wsu_survives(self):
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        s = epsg_projstring(2046)  # Hartebeesthoek Lo15: westing/southing
+        w = projstring_to_wkt1(s, "Lo15")
+        assert 'AXIS["Westing",WEST],AXIS["Southing",SOUTH]' in w
+        s2 = wkt_to_projstring(w)
+        assert "+axis=wsu" in s2
+        _same_forward(s, s2)
+
+    def test_polar_variant_b(self):
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        s = epsg_projstring(3413)
+        w = projstring_to_wkt1(s, "NSIDC")
+        s2 = wkt_to_projstring(w)
+        assert "+lat_ts=70" in s2 and "+lat_0=90" in s2
+        _same_forward(s, s2, lon=np.array([-45.0, 10.0]),
+                      lat=np.array([80.0, 75.0]))
+
+    def test_unsupported_method_raises(self):
+        from proj_4_spark.crs_io import projstring_to_wkt1
+
+        with pytest.raises(ValueError, match="export subset"):
+            projstring_to_wkt1("+proj=airocean +ellps=GRS80")
+
+    def test_projinfo_reports_wkt1(self):
+        from proj_4_spark.crs import projinfo
+
+        info = projinfo("EPSG:32632")
+        assert info["wkt1"].startswith("PROJCS[")
+        assert 'PROJECTION["Transverse_Mercator"]' in info["wkt1"]
