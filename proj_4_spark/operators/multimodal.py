@@ -2,10 +2,13 @@
 
 Images/audio/video ride as `binary` columns; decode / feature-extract
 / resize / frame-sample run as Arrow-batched `mapInPandas` stages.
-The actual codec calls are STUBBED (no imaging/audio libs in this
-environment) behind `_decode_stub`, which produces deterministic fake
-dimensions from the byte length — the Spark-side plumbing (schema,
-batch iteration, partitioning) is real and tested.
+The codec is probed at RUNTIME: when PIL is importable on the
+executor, payloads that decode as real images report their true
+dimensions; otherwise (or for undecodable payloads) `_decode_stub`
+produces deterministic fake dimensions from the byte length — so the
+Spark-side plumbing (schema, batch iteration, partitioning) is
+identical with and without the imaging stack, and the same tests pass
+both ways.
 """
 
 from __future__ import annotations
@@ -18,28 +21,62 @@ from pyspark.sql import DataFrame
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long"
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: dims derived from byte length.
+def _pil_image_module():
+    """Runtime probe for the optional imaging stack (executor-side;
+    never a hard dependency)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    Replace with PIL/libvips/ffmpeg probing on a real cluster:
-        raise NotImplementedError("image decode requires PIL")
-    """
+        return Image
+    except Exception:  # noqa: BLE001 — absent or broken install
+        return None
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: dims derived from byte length (the
+    fallback when PIL is absent or the payload isn't a real image)."""
     n = len(payload)
     return n % 640, (n * 7) % 480
 
 
+def _decode_dims(payload: bytes, image_mod) -> tuple[int, int]:
+    """Real decode when possible, stub otherwise."""
+    if image_mod is not None:
+        import io
+
+        try:
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height)
+        except Exception:  # noqa: BLE001 — not a decodable image
+            pass
+    return _decode_stub(payload)
+
+
 def extract_meta(blobs: DataFrame, id_col: str = "doc_id",
                  payload_col: str = "payload") -> DataFrame:
-    """mapInPandas metadata extraction over binary payloads."""
+    """mapInPandas metadata extraction over binary payloads.  With PIL
+    on the executors, real images get true dimensions; everything else
+    takes the vectorized deterministic-stub path."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil_image_module()
         for pdf in batches:
             lens = pdf[payload_col].map(len)
+            if image_mod is None:
+                width = (lens % 640).astype("int64")
+                height = ((lens * 7) % 480).astype("int64")
+            else:
+                dims = [_decode_dims(p, image_mod)
+                        for p in pdf[payload_col]]
+                width = pd.Series([d[0] for d in dims], index=pdf.index,
+                                  dtype="int64")
+                height = pd.Series([d[1] for d in dims], index=pdf.index,
+                                   dtype="int64")
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
                 "n_bytes": lens.astype("int64"),
-                "width": (lens % 640).astype("int64"),
-                "height": ((lens * 7) % 480).astype("int64"),
+                "width": width,
+                "height": height,
             })
 
     return blobs.mapInPandas(_extract, META_SCHEMA)

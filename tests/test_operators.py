@@ -90,6 +90,50 @@ def test_multimodal_frame_sample(spark, sf_dir):
     assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in rows)
 
 
+def test_multimodal_decode_probe_both_ways(monkeypatch):
+    """extract_meta's codec probe: the stub path and a fake-PIL path
+    must agree on non-image payloads, and a decodable payload must get
+    its TRUE dimensions when the imaging stack is present (VERDICT r04
+    ask #10 — runtime probe, not a hard dependency)."""
+    import sys
+    import types
+
+    from proj_4_spark.operators import multimodal as MM
+
+    payload = b"not an image at all"
+    assert MM._pil_image_module() is None or True  # probe never raises
+    stub = MM._decode_stub(payload)
+    assert MM._decode_dims(payload, None) == stub
+
+    class _FakeImage:
+        width, height = 320, 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) == b"IMG!":
+                return _FakeImage()
+            raise OSError("cannot identify image file")
+
+    # undecodable payload falls back to the stub even "with PIL"
+    assert MM._decode_dims(payload, _FakeImageMod) == stub
+    # decodable payload reports true dims
+    assert MM._decode_dims(b"IMG!....", _FakeImageMod) == (320, 200)
+
+    # and the probe picks up an installed PIL
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImageMod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _FakeImageMod)
+    assert MM._pil_image_module() is _FakeImageMod
+
+
 def test_knn_cell_pruned_exact(spark, sf_dir):
     """The widening-ring pruned kNN equals brute force exactly."""
     from proj_4_spark.operators.knn import knn_broadcast, knn_cell_pruned
