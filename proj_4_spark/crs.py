@@ -159,14 +159,21 @@ def epsg_projstring(code: int) -> str:
         lon0 = 15 + 2 * (code - 2046)
         return (f"+proj=tmerc +lat_0=0 +lon_0={lon0} +k=1 +x_0=0 "
                 "+y_0=0 +axis=wsu +ellps=WGS84")
+    from .epsg_data import EPSG_GENERATED
+
+    if code in EPSG_GENERATED:
+        return EPSG_GENERATED[code]
     raise KeyError(
-        f"EPSG:{code} not in the curated registry (full EPSG database "
-        "resolution is out of scope; pass a proj-string instead)")
+        f"EPSG:{code} not in the registry ({len(EPSG_GENERATED)} "
+        "generated + curated codes; see epsg_data.py for the supported "
+        "method/datum/unit envelope; pass a proj-string instead)")
 
 
 def registry_codes() -> list[int]:
     """Every EPSG code the registry resolves (curated + generated)."""
-    out = set(EPSG) | set(_UPS)
+    from .epsg_data import EPSG_GENERATED
+
+    out = set(EPSG) | set(_UPS) | set(EPSG_GENERATED)
     for rng in (_UTM_NORTH, _UTM_SOUTH, _UTM_ETRS, _UTM_NAD83,
                 _UTM_ED50, _MGA94, _MGA2020, _UTM_WGS72_N,
                 _UTM_WGS72_S, _GK_PULKOVO, _LCC_FRANCE, _SA_LO):

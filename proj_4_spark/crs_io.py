@@ -246,7 +246,9 @@ _method("krovak", "", {"latitudeofprojectioncentre": "lat_0",
                        "colatitudeofconeaxis": "alpha"},
         "Krovak")
 _method("omerc", "+no_uoff", {"latitudeofprojectioncentre": "lat_0",
+                              "latitudeofcenter": "lat_0",
                               "longitudeofprojectioncentre": "lonc",
+                              "longitudeofcenter": "lonc",
                               "azimuthatprojectioncentre": "alpha",
                               "azimuthofinitialline": "alpha",
                               "anglefromrectifiedtoskewgrid": "gamma",
@@ -255,7 +257,9 @@ _method("omerc", "+no_uoff", {"latitudeofprojectioncentre": "lat_0",
                               "scalefactoroninitialline": "k_0"},
         "Hotine Oblique Mercator (variant A)", "Hotine_Oblique_Mercator")
 _method("omerc", "", {"latitudeofprojectioncentre": "lat_0",
+                      "latitudeofcenter": "lat_0",
                       "longitudeofprojectioncentre": "lonc",
+                      "longitudeofcenter": "lonc",
                       "azimuthatprojectioncentre": "alpha",
                       "azimuthofinitialline": "alpha",
                       "anglefromrectifiedtoskewgrid": "gamma",
@@ -266,6 +270,8 @@ _method("omerc", "", {"latitudeofprojectioncentre": "lat_0",
                       "northingatprojectioncentre": "y_0"},
         "Hotine Oblique Mercator (variant B)",
         "Hotine_Oblique_Mercator_Azimuth_Center")
+_method("col_urban", "", {"projectionplaneoriginheight": "h_0"},
+        "Colombia Urban", "Colombia_Urban")
 _method("somerc", "", {"latitudeofprojectioncentre": "lat_0",
                        "longitudeofprojectioncentre": "lon_0"},
         "Swiss Oblique Mercator", "Swiss_Oblique_Cylindrical",
@@ -775,6 +781,29 @@ def _pj_proj(obj) -> str:
         ts = float(next(p.split("=")[1] for p in parts
                         if p.startswith("+lat_ts=")))
         parts.append(f"+lat_0={90.0 if ts >= 0 else -90.0:.12g}")
+    cs_axes = obj.get("coordinate_system", {}).get("axis", [])
+    codes = [_AXIS_DIR_CODE.get(str(a.get("direction", "")).lower())
+             for a in cs_axes]
+    if codes and all(codes) and "".join(codes) not in ("en", "enu"):
+        s = "".join(codes)
+        parts.append("+axis=" + (s + "u" if len(s) == 2 else s))
+    if cs_axes:
+        au = cs_axes[0].get("unit", "metre")
+        from .proj import UNITS
+
+        aliases = {"foot": "ft", "us survey foot": "us-ft",
+                   "kilometre": "km"}
+        if isinstance(au, dict):
+            fac = float(au.get("conversion_factor", 1.0))
+            uname = str(au.get("name", "")).lower()
+            if abs(fac - 1.0) > 1e-12:
+                alias = aliases.get(uname)
+                if alias and abs(UNITS[alias] - fac) < 1e-12 * fac:
+                    parts.append(f"+units={alias}")
+                else:
+                    parts.append(f"+to_meter={fac!r}")
+        elif str(au).lower() in aliases:
+            parts.append(f"+units={aliases[str(au).lower()]}")
     parts.append(ell)
     return " ".join(parts)
 
@@ -797,14 +826,23 @@ def _wkt_num(v: float) -> str:
 
 
 def _wkt2_ellipsoid(params: dict) -> str:
-    name = str(params.get("ellps", "WGS84"))
+    # a custom +a/+rf (or +a/+b) ellipsoid must not be silently
+    # replaced by the WGS84 default (GSK-2011, Xian-80, ... have no
+    # proj ellps name)
+    name = str(params.get("ellps", "" if "a" in params else "WGS84"))
     if name in ELLIPSOIDS:
         a, kind, v = ELLIPSOIDS[name]
         rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
         wname = _WKT_ELLPS_NAMES.get(name, name)
     else:
         a = float(params.get("a", 6378137.0))
-        rf = float(params.get("rf", 0.0))
+        if "rf" in params:
+            rf = float(params["rf"])
+        elif "b" in params:
+            b = float(params["b"])
+            rf = a / (a - b) if a != b else 0.0
+        else:
+            rf = 0.0
         wname = "unnamed"
     return (f'ELLIPSOID["{wname}",{_wkt_num(a)},{_wkt_num(rf)},'
             f'{_M_UNIT}]')
@@ -897,7 +935,53 @@ _EXPORT_METHODS = {
          0.9999, False),
         ("False easting", "x_0", 0.0, False),
         ("False northing", "y_0", 0.0, False)]),
+    "poly": ("American Polyconic", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "cea": ("Lambert Cylindrical Equal Area", [
+        ("Latitude of 1st standard parallel", "lat_ts", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "eqc": ("Equidistant Cylindrical", [
+        ("Latitude of 1st standard parallel", "lat_ts", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "eqearth": ("Equal Earth", [
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False)]),
+    "col_urban": ("Colombia Urban", [
+        ("Latitude of natural origin", "lat_0", 0.0, True),
+        ("Longitude of natural origin", "lon_0", 0.0, True),
+        ("False easting", "x_0", 0.0, False),
+        ("False northing", "y_0", 0.0, False),
+        ("Projection plane origin height", "h_0", 0.0, False)]),
 }
+
+# omerc export needs a variant split (A carries +no_uoff and false
+# origins; B carries the projection-centre origins), shared by the
+# WKT2 and PROJJSON writers
+_OMERC_COMMON = [
+    ("Latitude of projection centre", "lat_0", 0.0, True),
+    ("Longitude of projection centre", "lonc", 0.0, True),
+    ("Azimuth at projection centre", "alpha", 0.0, True),
+    ("Angle from Rectified to Skew Grid", ("gamma", "alpha"), 0.0, True),
+    ("Scale factor at projection centre", ("k", "k_0"), 1.0, False),
+]
+
+
+def _omerc_export(top: dict) -> tuple[str, list]:
+    if "no_uoff" in top or "no_off" in top:
+        return ("Hotine Oblique Mercator (variant A)", _OMERC_COMMON + [
+            ("False easting", "x_0", 0.0, False),
+            ("False northing", "y_0", 0.0, False)])
+    return ("Hotine Oblique Mercator (variant B)", _OMERC_COMMON + [
+        ("Easting at projection centre", "x_0", 0.0, False),
+        ("Northing at projection centre", "y_0", 0.0, False)])
 
 
 def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
@@ -989,8 +1073,9 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
                 + _p("False northing", float(top.get("y_0", 0.0)),
                      _M_UNIT)
                 + f'],{_wkt2_cart_cs(top)}]')
-    elif pid in _EXPORT_METHODS:
-        method, plist = _EXPORT_METHODS[pid]
+    elif pid in _EXPORT_METHODS or pid == "omerc":
+        method, plist = (_omerc_export(top) if pid == "omerc"
+                         else _EXPORT_METHODS[pid])
         if pid == "stere":
             lat0 = float(top.get("lat_0", 0.0))
             if abs(lat0) != 90.0:
@@ -1040,18 +1125,36 @@ _WKT2_CART_CS = ('CS[Cartesian,2],'
                  'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]')
 
 
+def _wkt_linear_unit(params: dict) -> tuple[str, float]:
+    """(WKT unit name, metres-per-unit) for the CRS's +units/+to_meter
+    (the export half of _linear_unit_str)."""
+    u = str(params.get("units", ""))
+    if u in ("", "m"):
+        if "to_meter" in params:
+            f = float(params["to_meter"])
+            return ("unknown", f) if abs(f - 1.0) > 1e-12 else ("metre", 1.0)
+        return "metre", 1.0
+    names = {"ft": "foot", "us-ft": "US survey foot", "km": "kilometre"}
+    from .proj import UNITS
+
+    return names.get(u, u), float(UNITS.get(u, 1.0))
+
+
 def _wkt2_cart_cs(params: dict) -> str:
-    """Cartesian CS with the +axis directions (default east,north)."""
+    """Cartesian CS with the +axis directions (default east,north) and
+    the CRS's linear unit on both axes."""
     ax = str(params.get("axis", "enu"))[:2]
-    if ax == "en":
+    uname, ufac = _wkt_linear_unit(params)
+    lu = f'LENGTHUNIT["{uname}",{_wkt_num(ufac)}]'
+    if ax == "en" and uname == "metre":
         return _WKT2_CART_CS
     names = {"e": ("(E)", "east"), "w": ("(W)", "west"),
              "n": ("(N)", "north"), "s": ("(S)", "south")}
     a1, a2 = names.get(ax[0], ("(E)", "east")), \
         names.get(ax[1], ("(N)", "north"))
     return ('CS[Cartesian,2],'
-            f'AXIS["{a1[0]}",{a1[1]},ORDER[1],LENGTHUNIT["metre",1]],'
-            f'AXIS["{a2[0]}",{a2[1]},ORDER[2],LENGTHUNIT["metre",1]]')
+            f'AXIS["{a1[0]}",{a1[1]},ORDER[1],{lu}],'
+            f'AXIS["{a2[0]}",{a2[1]},ORDER[2],{lu}]')
 
 
 # ------------------------------------------------------- proj -> WKT1
@@ -1115,18 +1218,49 @@ _WKT1_METHODS = {
         ("scale_factor", ("k", "k_0"), 0.9999),
         ("false_easting", "x_0", 0.0),
         ("false_northing", "y_0", 0.0)]),
+    "poly": ("Polyconic", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "cea": ("Cylindrical_Equal_Area", [
+        ("standard_parallel_1", "lat_ts", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "eqc": ("Equirectangular", [
+        ("standard_parallel_1", "lat_ts", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "eqearth": ("Equal_Earth", [
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0)]),
+    "col_urban": ("Colombia_Urban", [
+        ("latitude_of_origin", "lat_0", 0.0),
+        ("central_meridian", "lon_0", 0.0),
+        ("false_easting", "x_0", 0.0),
+        ("false_northing", "y_0", 0.0),
+        ("projection_plane_origin_height", "h_0", 0.0)]),
 }
 
 
 def _wkt1_geogcs(params: dict, name: str, tow=None) -> str:
-    ename = str(params.get("ellps", "WGS84"))
+    ename = str(params.get("ellps", "" if "a" in params else "WGS84"))
     if ename in ELLIPSOIDS:
         a, kind, v = ELLIPSOIDS[ename]
         rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
         wname = _WKT_ELLPS_NAMES.get(ename, ename)
     else:
         a = float(params.get("a", 6378137.0))
-        rf = float(params.get("rf", 0.0))
+        if "rf" in params:
+            rf = float(params["rf"])
+        elif "b" in params:
+            b = float(params["b"])
+            rf = a / (a - b) if a != b else 0.0
+        else:
+            rf = 0.0
         wname = "unnamed"
     datum = f'SPHEROID["{wname}",{_wkt_num(a)},{_wkt_num(rf)}]'
     if tow is not None:
@@ -1219,6 +1353,26 @@ def projstring_to_wkt1(projstr: str, name: str = "unnamed") -> str:
                   float(top.get("k", top.get("k_0", 1.0)))),
                  ("false_easting", float(top.get("x_0", 0.0))),
                  ("false_northing", float(top.get("y_0", 0.0)))]
+    elif pid == "omerc":
+        method = ("Hotine_Oblique_Mercator"
+                  if ("no_uoff" in top or "no_off" in top)
+                  else "Hotine_Oblique_Mercator_Azimuth_Center")
+        spec = [("latitude_of_center", "lat_0", 0.0),
+                ("longitude_of_center", "lonc", 0.0),
+                ("azimuth", "alpha", 0.0),
+                ("rectified_grid_angle", ("gamma", "alpha"), 0.0),
+                ("scale_factor", ("k", "k_0"), 1.0),
+                ("false_easting", "x_0", 0.0),
+                ("false_northing", "y_0", 0.0)]
+        plist = []
+        for wname_, keys, dflt in spec:
+            keys = (keys,) if isinstance(keys, str) else keys
+            v = dflt
+            for k in keys:
+                if k in top:
+                    v = float(top[k])
+                    break
+            plist.append((wname_, v))
     elif pid in _WKT1_METHODS:
         method, spec = _WKT1_METHODS[pid]
         plist = []
@@ -1242,8 +1396,9 @@ def projstring_to_wkt1(projstr: str, name: str = "unnamed") -> str:
                  "u": ("Up", "UP"), "d": ("Down", "DOWN")}
         axes = "".join(f',AXIS["{names[c][0]}",{names[c][1]}]'
                        for c in ax[:2])
+    uname, ufac = _wkt_linear_unit(top)
     return (f'PROJCS["{name}",{geog},PROJECTION["{method}"],'
-            f'{params}UNIT["metre",1]{axes}]')
+            f'{params}UNIT["{uname}",{_wkt_num(ufac)}]{axes}]')
 
 
 # ------------------------------------------------------- proj -> PROJJSON
@@ -1260,6 +1415,28 @@ _PJJ_CART_CS = {
     ],
 }
 
+def _pjj_cart_cs(params: dict) -> dict:
+    """Cartesian CS dict carrying the +axis directions (default
+    east,north) and the CRS's linear unit."""
+    ax = str(params.get("axis", "enu"))[:2]
+    uname, ufac = _wkt_linear_unit(params)
+    if ax == "en" and uname == "metre":
+        return _PJJ_CART_CS
+    unit = "metre" if uname == "metre" else {
+        "type": "LinearUnit", "name": uname, "conversion_factor": ufac}
+    names = {"e": ("Easting", "E", "east"), "w": ("Westing", "W", "west"),
+             "n": ("Northing", "N", "north"),
+             "s": ("Southing", "S", "south")}
+    return {
+        "subtype": "Cartesian",
+        "axis": [
+            {"name": names[c][0], "abbreviation": names[c][1],
+             "direction": names[c][2], "unit": unit}
+            for c in ax
+        ],
+    }
+
+
 _PJJ_SCALE_UNITY = {"type": "ScaleUnit", "name": "unity",
                     "conversion_factor": 1.0}
 _PJJ_PPM = {"type": "ScaleUnit", "name": "parts per million",
@@ -1267,14 +1444,23 @@ _PJJ_PPM = {"type": "ScaleUnit", "name": "parts per million",
 
 
 def _pjj_ellipsoid(params: dict) -> dict:
-    name = str(params.get("ellps", "WGS84"))
+    # a custom +a/+rf (or +a/+b) ellipsoid must not be silently
+    # replaced by the WGS84 default (GSK-2011, Xian-80, ... have no
+    # proj ellps name)
+    name = str(params.get("ellps", "" if "a" in params else "WGS84"))
     if name in ELLIPSOIDS:
         a, kind, v = ELLIPSOIDS[name]
         rf = v if kind == "rf" else (a / (a - v) if a != v else 0.0)
         wname = _WKT_ELLPS_NAMES.get(name, name)
     else:
         a = float(params.get("a", 6378137.0))
-        rf = float(params.get("rf", 0.0))
+        if "rf" in params:
+            rf = float(params["rf"])
+        elif "b" in params:
+            b = float(params["b"])
+            rf = a / (a - b) if a != b else 0.0
+        else:
+            rf = 0.0
         wname = "unnamed"
     out = {"name": wname, "semi_major_axis": a}
     if rf:
@@ -1318,10 +1504,6 @@ def projstring_to_projjson(projstr: str, name: str = "unnamed") -> dict:
     from .proj import parse_projstring
 
     top = dict(parse_projstring(projstr)[0])
-    if "axis" in top and str(top["axis"]) != "enu":
-        raise ValueError(
-            "projstring_to_projjson: +axis reordering is not part of "
-            "the export subset")
     tow = top.pop("towgs84", None)
     pid = top.get("proj")
 
@@ -1334,7 +1516,7 @@ def projstring_to_projjson(projstr: str, name: str = "unnamed") -> dict:
                 "method": {"name": method},
                 "parameters": [_pjj_p(*p) for p in params],
             },
-            "coordinate_system": _PJJ_CART_CS,
+            "coordinate_system": _pjj_cart_cs(top),
         }
 
     if pid in _ANGULAR_EXPORT:
@@ -1389,8 +1571,9 @@ def projstring_to_projjson(projstr: str, name: str = "unnamed") -> dict:
              ("Scale factor at natural origin", k, _PJJ_SCALE_UNITY),
              ("False easting", float(top.get("x_0", 0.0)), "metre"),
              ("False northing", float(top.get("y_0", 0.0)), "metre")])
-    elif pid in _EXPORT_METHODS:
-        method, plist = _EXPORT_METHODS[pid]
+    elif pid in _EXPORT_METHODS or pid == "omerc":
+        method, plist = (_omerc_export(top) if pid == "omerc"
+                         else _EXPORT_METHODS[pid])
         if pid == "stere":
             lat0 = float(top.get("lat_0", 0.0))
             if abs(lat0) != 90.0:

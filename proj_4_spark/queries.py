@@ -147,6 +147,42 @@ def q_epsg_generated_lcc(spark, sf_dir):
               .orderBy("doc_id"))
 
 
+def _epsg2225_sql() -> str:
+    from .crs import epsg_projstring
+
+    ps = epsg_projstring(2225)
+    gx, gy = O.lcc_xy(ps)
+    ftus = 1200.0 / 3937.0
+    return f"""
+WITH coords AS ({_COORDS_CTE})
+SELECT doc_id,
+       (round(({gx} + 2000000.0001016003) / {ftus!r}, 2) + 0.0) AS x_ftus,
+       (round(({gy} + 500000.00010160013) / {ftus!r}, 2) + 0.0) AS y_ftus
+FROM coords ORDER BY doc_id
+"""
+
+
+@register("epsg_stateplane_ftus", _epsg2225_sql())
+def q_epsg_stateplane_ftus(spark, sf_dir):
+    """A foot-unit GENERATED EPSG code end-to-end: EPSG:2225 (NAD83 /
+    California zone 1, US survey foot) resolves from the
+    EPSG-dataset-derived registry (epsg_data.py — round-5 breadth,
+    3,754 codes), compiles to lcc 2SP with metre false origins and a
+    +units=us-ft output scale, and matches the closed-form lcc SQL
+    divided by the exact survey-foot factor."""
+    from .crs import compile_crs
+
+    tr = compile_crs("EPSG:2225")
+    df = _coords(spark, sf_dir)
+    u = G.project_udf(tr)
+    st = u(F.col("lon"), F.col("lat"))
+    return (df.withColumn("_p", st)
+              .select("doc_id",
+                      (F.round("_p.x", 2) + 0.0).alias("x_ftus"),
+                      (F.round("_p.y", 2) + 0.0).alias("y_ftus"))
+              .orderBy("doc_id"))
+
+
 @register("utm_snyder_fwd", O.utm_snyder_sql(round_to=2))
 def q_utm_snyder_fwd(spark, sf_dir):
     """Auto-zone UTM via the Evenden/Snyder TM series
@@ -1269,7 +1305,8 @@ def q_mined_coords(spark, sf_dir):
 # oldest (round 3).
 _GATE_PRIORITY = [
     # changed since their last driver row (round-5 edits)
-    "wkt1_roundtrip_fwd", "lang_onepass_guess", "text_quality",
+    "wkt1_roundtrip_fwd", "epsg_stateplane_ftus", "lang_onepass_guess",
+    "text_quality",
     "lang_marker_guess", "newton_inverse_roundtrip",
     "deformation_cart", "nadgrids_ctable2", "hgridshift_pipeline",
     "vgridshift_gtx", "xyzgridshift_fwd", "gridshift_biquadratic",

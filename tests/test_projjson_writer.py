@@ -16,10 +16,6 @@ from tests.test_epsg_registry import _probe_point
 @pytest.mark.parametrize("code", crs.registry_codes())
 def test_registry_roundtrip(code):
     ps = crs.epsg_projstring(code)
-    if "+axis" in ps:
-        with pytest.raises(ValueError):
-            projstring_to_projjson(ps)
-        return
     j = projstring_to_projjson(ps, name=f"EPSG:{code}")
     # must be valid JSON end-to-end
     back = projjson_to_projstring(json.dumps(j))
