@@ -425,7 +425,7 @@ def _primem_of(node: WktNode, unit_fac: float) -> str:
     vdeg = v * fac
     if vdeg == 0.0:
         return ""
-    return f" +pm={vdeg:.10g}"
+    return f" +pm={vdeg!r}"
 
 
 def _geog_to_projstring(node: WktNode) -> str:
@@ -717,7 +717,21 @@ def _pj_ellps(obj) -> str:
 
 
 def _pj_geog(obj) -> str:
-    return "+proj=longlat " + _pj_ellps(obj)
+    return "+proj=longlat " + _pj_ellps(obj) + _pj_pm(obj)
+
+
+def _pj_pm(obj) -> str:
+    pm = obj.get("datum", {}).get("prime_meridian")
+    if not pm:
+        return ""
+    v = pm.get("longitude", 0.0)
+    if isinstance(v, dict):
+        v = float(v.get("value", 0.0)) * float(
+            v.get("unit", {}).get("conversion_factor", 1.0)) \
+            * 180.0 / math.pi
+    if float(v) == 0.0:
+        return ""
+    return f" +pm={float(v)!r}"
 
 
 _PJ_UNIT_DEG = {"degree": 1.0, "grad": 0.9,
@@ -729,7 +743,7 @@ def _pj_proj(obj) -> str:
     conv = obj.get("conversion", {})
     method_name = conv.get("method", {}).get("name", "")
     conv_name = conv.get("name", "")
-    ell = _pj_ellps(base)
+    ell = _pj_ellps(base) + _pj_pm(base)
     m = re.search(r"UTM zone (\d+)([NS])", conv_name or "", re.I)
     if m and _norm(method_name) == _norm("Transverse Mercator"):
         zone, hemi = int(m.group(1)), m.group(2).upper()
@@ -825,6 +839,20 @@ def _wkt_num(v: float) -> str:
     return _fmt_num(float(v))
 
 
+def _pm_export(params: dict) -> tuple[str, float]:
+    """(PRIMEM name, degrees east of Greenwich) for the CRS's +pm
+    (export half of _primem_of; named meridians carry their catalog
+    longitude, numeric ones an 'unknown' label)."""
+    pm = str(params.get("pm", "greenwich")).lower()
+    if pm == "greenwich":
+        return "Greenwich", 0.0
+    from .proj import PRIME_MERIDIANS
+
+    if pm in PRIME_MERIDIANS:
+        return pm.capitalize(), PRIME_MERIDIANS[pm]
+    return "unknown", float(pm)
+
+
 def _wkt2_ellipsoid(params: dict) -> str:
     # a custom +a/+rf (or +a/+b) ellipsoid must not be silently
     # replaced by the WGS84 default (GSK-2011, Xian-80, ... have no
@@ -849,9 +877,10 @@ def _wkt2_ellipsoid(params: dict) -> str:
 
 
 def _wkt2_basegeog(params: dict, name: str = "unknown") -> str:
+    pmn, pmv = _pm_export(params)
     return (f'BASEGEOGCRS["{name}",DATUM["{name}",'
             f'{_wkt2_ellipsoid(params)}],'
-            f'PRIMEM["Greenwich",0,{_DEG_UNIT}]]')
+            f'PRIMEM["{pmn}",{_wkt_num(pmv)},{_DEG_UNIT}]]')
 
 
 def _p(name: str, value, unit: str) -> str:
@@ -998,9 +1027,10 @@ def projstring_to_wkt2(projstr: str, name: str = "unnamed") -> str:
     tow = top.pop("towgs84", None)
     pid = top.get("proj")
     if pid in _ANGULAR_EXPORT:
+        pmn, pmv = _pm_export(top)
         body = (f'GEOGCRS["{name}",DATUM["{name}",'
                 f'{_wkt2_ellipsoid(top)}],'
-                f'PRIMEM["Greenwich",0,{_DEG_UNIT}],'
+                f'PRIMEM["{pmn}",{_wkt_num(pmv)},{_DEG_UNIT}],'
                 f'CS[ellipsoidal,2],'
                 f'AXIS["longitude",east,ORDER[1],{_DEG_UNIT}],'
                 f'AXIS["latitude",north,ORDER[2],{_DEG_UNIT}]]')
@@ -1267,8 +1297,9 @@ def _wkt1_geogcs(params: dict, name: str, tow=None) -> str:
         vals = [float(v) for v in str(tow).split(",")]
         vals += [0.0] * (7 - len(vals))
         datum += ",TOWGS84[" + ",".join(_wkt_num(v) for v in vals) + "]"
+    pmn, pmv = _pm_export(params)
     return (f'GEOGCS["{name}",DATUM["{name}",{datum}],'
-            f'PRIMEM["Greenwich",0],'
+            f'PRIMEM["{pmn}",{_wkt_num(pmv)}],'
             f'UNIT["degree",0.0174532925199433]]')
 
 
@@ -1471,10 +1502,14 @@ def _pjj_ellipsoid(params: dict) -> dict:
 
 
 def _pjj_geog(params: dict, name: str) -> dict:
+    datum = {"type": "GeodeticReferenceFrame", "name": name,
+             "ellipsoid": _pjj_ellipsoid(params)}
+    pmn, pmv = _pm_export(params)
+    if pmv != 0.0:
+        datum["prime_meridian"] = {"name": pmn, "longitude": pmv}
     return {
         "type": "GeographicCRS", "name": name,
-        "datum": {"type": "GeodeticReferenceFrame", "name": name,
-                  "ellipsoid": _pjj_ellipsoid(params)},
+        "datum": datum,
         "coordinate_system": {
             "subtype": "ellipsoidal",
             "axis": [

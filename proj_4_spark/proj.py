@@ -2496,6 +2496,13 @@ def towgs84_step_dicts(step: dict) -> list[dict]:
     if step.get("proj") not in _ANGULAR_IDS:
         steps.append({k: v for k, v in step.items()
                       if k not in ("towgs84", "inv")})
+    elif "pm" in step:
+        # an angular CRS on a non-Greenwich meridian: the cart chain
+        # yields Greenwich-referenced radians, the CRS's own longitudes
+        # are pm-relative — keep the latlong step so its from_greenwich
+        # re-references them (fwd.cpp:108 / inv.cpp:113)
+        steps.append({k: v for k, v in step.items()
+                      if k not in ("towgs84", "inv")})
     if "inv" in step:
         steps = [invert_step_dict(d) for d in reversed(steps)]
     return steps
