@@ -131,7 +131,7 @@ FROM coords ORDER BY doc_id
 def q_epsg_generated_lcc(spark, sf_dir):
     """A GENERATED EPSG code end-to-end: EPSG:3950 (RGF93 / Lambert
     CC49) resolves from the registry's zone arithmetic
-    (crs.py::_LCC_FRANCE — one of ~220 generated national-grid codes,
+    (crs.py::_LCC_FRANCE — one of the generated national-grid codes,
     VERDICT r03 ask #8), compiles to the lcc kernel with the zone's
     false origin, and matches the closed-form lcc SQL with the same
     generated parameters."""
@@ -167,7 +167,7 @@ def q_epsg_stateplane_ftus(spark, sf_dir):
     """A foot-unit GENERATED EPSG code end-to-end: EPSG:2225 (NAD83 /
     California zone 1, US survey foot) resolves from the
     EPSG-dataset-derived registry (epsg_data.py — round-5 breadth,
-    3,806 codes), compiles to lcc 2SP with metre false origins and a
+    4,500 codes), compiles to lcc 2SP with metre false origins and a
     +units=us-ft output scale, and matches the closed-form lcc SQL
     divided by the exact survey-foot factor."""
     from .crs import compile_crs
