@@ -167,7 +167,7 @@ def q_epsg_stateplane_ftus(spark, sf_dir):
     """A foot-unit GENERATED EPSG code end-to-end: EPSG:2225 (NAD83 /
     California zone 1, US survey foot) resolves from the
     EPSG-dataset-derived registry (epsg_data.py — round-5 breadth,
-    4,500 codes), compiles to lcc 2SP with metre false origins and a
+    4,506 codes), compiles to lcc 2SP with metre false origins and a
     +units=us-ft output scale, and matches the closed-form lcc SQL
     divided by the exact survey-foot factor."""
     from .crs import compile_crs

@@ -247,6 +247,17 @@ METHODS = {
     "1052": simple("col_urban", [("8801", "lat_0"), ("8802", "lon_0"),
                                  ("8806", "x_0"), ("8807", "y_0"),
                                  ("1039", "h_0")], optional=("1039",)),
+    # Krovak: the cone colatitude (1036) and pseudo-SP latitude (8818)
+    # are the fixed S-JTSK constants baked into the kernel
+    # (kernels/natgrid.py); North-Orientated (1041) is the plain
+    # kernel output (negative E-N), classic south-west (9819) mirrors
+    # the reference's +czech via +axis=wsu
+    "1041": simple("krovak", [("8811", "lat_0"), ("8833", "lon_0"),
+                              ("8819", "k_0"), ("8806", "x_0"),
+                              ("8807", "y_0")]),
+    "9819": simple("krovak", [("8811", "lat_0"), ("8833", "lon_0"),
+                              ("8819", "k_0"), ("8806", "x_0"),
+                              ("8807", "y_0")], extra="+axis=wsu"),
 }
 
 # ------------------------------------------------- geodetic base policy
@@ -270,6 +281,7 @@ BRIDGES = {
     "4149": "+towgs84=674.374,15.056,405.346",
     "4150": "+towgs84=674.374,15.056,405.346",
     "4121": "+towgs84=-199.87,74.79,246.62",       # GGRS87 (datums.cpp:44)
+    "4156": "+towgs84=589,76,480",                 # S-JTSK (classic epsg registry)
 }
 
 # Non-Greenwich bases: geog -> (+pm name, full ellps+bridge string)
@@ -277,6 +289,7 @@ PM_BASES = {
     "4807": ("paris", "+ellps=clrk80ign +towgs84=-168,-60,320"),
     "4805": ("ferro", "+ellps=bessel "
              "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    "4818": ("ferro", "+ellps=bessel +towgs84=589,76,480"),  # S-JTSK (Ferro)
 }
 
 # ITRF/ETRS/WGS-aligned frames: identity to WGS84 at proj4 accuracy.
@@ -379,6 +392,9 @@ def main() -> int:
             axis = ""
         elif dirs == ("west", "south"):
             axis = " +axis=wsu"
+        elif dirs == ("south", "west") and conv.get(cv, ("", {}))[0] \
+                == "9819":
+            axis = ""  # classic Krovak: the method itself adds +axis=wsu
         else:
             skipped["cs-dirs"] += 1
             continue
@@ -397,7 +413,7 @@ def main() -> int:
             continue
         try:
             ps = b(params)
-            if method == "9808":
+            if method in ("9808", "9819"):
                 ps = ps.replace(" +axis=wsu", "") + " +axis=wsu"
         except KeyError as e:
             skipped["param-" + str(e)[:24]] += 1

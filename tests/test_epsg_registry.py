@@ -47,7 +47,7 @@ def test_registry_size():
     codes = crs.registry_codes()
     # round 3: ~165; round 4: 383; round 5: 3704 (generated from the
     # published EPSG dataset, epsg_data.py)
-    assert len(codes) >= 4500, len(codes)
+    assert len(codes) >= 4506, len(codes)
 
 
 @pytest.mark.parametrize("code", crs.registry_codes())
